@@ -6,7 +6,9 @@ pjit/shard_map code paths over 8 virtual CPU devices instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment pins JAX_PLATFORMS to the real TPU
+# tunnel, which is slow and single-device; tests want the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = os.environ.get("TPURT_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -165,5 +165,5 @@ def test_procedural_scene_shapes(cornell, sphere, soup):
     assert sphere.num_triangles == 20 * 4**3 + 2
     assert soup.num_triangles == 2000
     dev = scene_to_device(cornell)
-    assert dev.normals.shape == (36, 3, 3)
+    assert dev.normals.shape == (30, 3, 3)
     assert int(dev.num_materials) == 3
