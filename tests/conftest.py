@@ -9,6 +9,9 @@ import os
 # Force CPU: the session environment pins JAX_PLATFORMS to the real TPU
 # tunnel, which is slow and single-device; tests want the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = os.environ.get("TPURT_TEST_PLATFORM", "cpu")
+# Persistent compile cache: the suite is compile-bound, not run-bound.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
