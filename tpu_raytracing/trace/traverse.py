@@ -39,16 +39,21 @@ _META_CHILD_SHIFT = 5
 
 @flax.struct.dataclass
 class TraversalBVH:
-    """Packed traversal view: one 32-byte row per node slot."""
+    """Packed traversal view: one 32-byte row per node slot.
 
-    rows: jnp.ndarray  # [N, 8] float32: min xyz, max xyz, meta(bitcast), pad
+    Rows are int32 with float fields bit-cast in (never the other way round:
+    small integers bit-cast to float32 are denormals, which TPU/CPU float
+    paths flush to zero).
+    """
+
+    rows: jnp.ndarray  # [N, 8] int32: min xyz, max xyz (bitcast f32), meta, pad
     root: jnp.ndarray  # [] int32
     root_count: jnp.ndarray  # [] int32
 
 
 @flax.struct.dataclass
 class PackedPairs:
-    rows: jnp.ndarray  # [P, 16] f32: v0 v1 v2 v3 xyz, prim0, prim1, rot0, rot1
+    rows: jnp.ndarray  # [P, 16] i32: v0..v3 xyz (bitcast), prim0, prim1, rot0, rot1
 
 
 @flax.struct.dataclass
@@ -63,12 +68,13 @@ def pack_bvh(bvh: BVH) -> TraversalBVH:
         | (jnp.clip(bvh.count, 0, _META_COUNT_MASK) << _META_COUNT_SHIFT)
         | jnp.clip(bvh.type, 0, _META_TYPE_MASK)
     ).astype(jnp.int32)
+    f2i = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.float32), jnp.int32)  # noqa: E731
     rows = jnp.concatenate(
         [
-            bvh.node_min.astype(jnp.float32),
-            bvh.node_max.astype(jnp.float32),
-            jax.lax.bitcast_convert_type(meta, jnp.float32)[:, None],
-            jnp.zeros((bvh.num_slots, 1), jnp.float32),
+            f2i(bvh.node_min),
+            f2i(bvh.node_max),
+            meta[:, None],
+            jnp.zeros((bvh.num_slots, 1), jnp.int32),
         ],
         axis=1,
     )
@@ -76,20 +82,20 @@ def pack_bvh(bvh: BVH) -> TraversalBVH:
 
 
 def pack_pairs(pairs: TrianglePairs) -> PackedPairs:
-    cast = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32), jnp.float32)[:, None]  # noqa: E731
+    f2i = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.float32), jnp.int32)  # noqa: E731
     rows = jnp.concatenate(
         [
-            pairs.v0,
-            pairs.v1,
-            pairs.v2,
-            pairs.v3,
-            cast(pairs.prim_id_0),
-            cast(pairs.prim_id_1),
-            cast(pairs.rot_0),
-            cast(pairs.rot_1),
+            f2i(pairs.v0),
+            f2i(pairs.v1),
+            f2i(pairs.v2),
+            f2i(pairs.v3),
+            pairs.prim_id_0.astype(jnp.int32)[:, None],
+            pairs.prim_id_1.astype(jnp.int32)[:, None],
+            pairs.rot_0.astype(jnp.int32)[:, None],
+            pairs.rot_1.astype(jnp.int32)[:, None],
         ],
         axis=1,
-    ).astype(jnp.float32)
+    )
     return PackedPairs(rows=rows)
 
 
@@ -157,9 +163,9 @@ def trace_rays(
             valid = active & (i < count)
             slot = jnp.clip(index + i, 0, num_slots - 1)
             row = trav.rows[slot]  # [R, 8] gather
-            nmin = row[:, 0:3]
-            nmax = row[:, 3:6]
-            meta = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+            nmin = jax.lax.bitcast_convert_type(row[:, 0:3], jnp.float32)
+            nmax = jax.lax.bitcast_convert_type(row[:, 3:6], jnp.float32)
+            meta = row[:, 6]
             child = meta >> _META_CHILD_SHIFT
             ccount = (meta >> _META_COUNT_SHIFT) & _META_COUNT_MASK
             ntype = meta & _META_TYPE_MASK
@@ -173,14 +179,15 @@ def trace_rays(
             # --- leaf: TrianglePair intersection (src/Tracer.cu:293-306) ---
             do_leaf = valid & box_hit & (ntype == CHILD_TRI)
             prow = pairs.rows[jnp.clip(child, 0, num_pairs - 1)]  # [R, 16]
+            i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)  # noqa: E731
             v0, v1, v2, v3 = (
-                prow[:, 0:3],
-                prow[:, 3:6],
-                prow[:, 6:9],
-                prow[:, 9:12],
+                i2f(prow[:, 0:3]),
+                i2f(prow[:, 3:6]),
+                i2f(prow[:, 6:9]),
+                i2f(prow[:, 9:12]),
             )
-            p0 = jax.lax.bitcast_convert_type(prow[:, 12], jnp.int32)
-            p1 = jax.lax.bitcast_convert_type(prow[:, 13], jnp.int32)
+            p0 = prow[:, 12]
+            p1 = prow[:, 13]
             tri_tests = tri_tests + do_leaf.astype(jnp.int32)
 
             acc_a, t_a, u_a, v_a = intersect_ray_triangle(
