@@ -27,6 +27,19 @@ class HitRecord:
     bary_v: jnp.ndarray  # [R] float32
 
 
+def make_brute_tracer(triangles: jnp.ndarray, chunk: int = 4096):
+    """Adapter with the BVH tracer's (trav, pairs, rays) signature so the
+    render pipeline can swap in the no-BVH oracle (use with identity_pairs)."""
+    from tpu_raytracing.trace.traverse import TraceStats
+
+    def tracer(trav, pairs, rays):
+        rec = brute_force_trace(triangles, rays, chunk=chunk)
+        zeros = jnp.zeros_like(rec.prim_id)
+        return rec, TraceStats(box_tests=zeros, tri_tests=zeros)
+
+    return tracer
+
+
 def brute_force_trace(triangles: jnp.ndarray, rays: Rays, chunk: int = 4096) -> HitRecord:
     """Intersect every ray against every triangle.
 
