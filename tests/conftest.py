@@ -6,15 +6,17 @@ pjit/shard_map code paths over 8 virtual CPU devices instead.
 
 import os
 
-# Force CPU: the session environment pins JAX_PLATFORMS to the real TPU
-# tunnel, which is slow and single-device; tests want the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = os.environ.get("TPURT_TEST_PLATFORM", "cpu")
-# Persistent compile cache: the suite is compile-bound, not run-bound.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Force CPU with 8 virtual devices. The session's sitecustomize imports jax
+# at interpreter start (latching JAX_PLATFORMS=<tpu tunnel> from the env), so
+# env tweaks here are too late — override via jax.config before any backend
+# initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("TPURT_TEST_PLATFORM", "cpu"))
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,114 @@
+"""Two-level TLAS/BLAS instancing tests vs a flattened brute-force oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_raytracing.bvh import lbvh, tlas
+from tpu_raytracing.scene.procedural import icosphere
+from tpu_raytracing.trace.brute import brute_force_trace
+from tpu_raytracing.trace.instanced import trace_rays_instanced
+from tpu_raytracing.trace.ray import Rays
+from tpu_raytracing.trace.traverse import pack_pairs
+
+_build = jax.jit(lbvh.build_lbvh)
+_trace_inst = jax.jit(trace_rays_instanced)
+_brute = jax.jit(brute_force_trace)
+
+
+def _transforms(num, rng):
+    """Random rigid+scale transforms [I, 3, 4]."""
+    out = np.zeros((num, 3, 4), np.float32)
+    for i in range(num):
+        angle = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(angle), np.sin(angle)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        scale = rng.uniform(0.5, 1.5)
+        out[i, :, :3] = rot * scale
+        out[i, :, 3] = rng.uniform(-5, 5, 3)
+    return out
+
+
+def _flatten(tris, transforms):
+    """World-space copies of every instance's triangles (oracle geometry)."""
+    r = transforms[:, None, None, :, :3]
+    t = transforms[:, None, None, :, 3]
+    world = np.einsum("iabjk,abk->iabj", np.broadcast_to(
+        r, (transforms.shape[0], tris.shape[0], 3, 3, 3)), tris) + t
+    return world.reshape(-1, 3, 3)
+
+
+def _rays_grid(centre, extent, res=32):
+    xs = np.linspace(-extent, extent, res, dtype=np.float32)
+    ox, oy = np.meshgrid(xs, xs)
+    origin = np.stack(
+        [ox.ravel() + centre[0], oy.ravel() + centre[1],
+         np.full(res * res, centre[2] - 3 * extent, np.float32)], axis=-1
+    )
+    direction = np.tile(np.array([[0, 0, 1]], np.float32), (res * res, 1))
+    return Rays(
+        origin=jnp.asarray(origin),
+        direction=jnp.asarray(direction),
+        tmin=jnp.full((res * res,), 1e-5),
+        tmax=jnp.full((res * res,), 100.0),
+    )
+
+
+def test_instance_world_aabbs():
+    bmin = jnp.array([-1.0, -1.0, -1.0])
+    bmax = jnp.array([1.0, 1.0, 1.0])
+    tf = jnp.asarray(
+        np.array([[[2, 0, 0, 5], [0, 1, 0, 0], [0, 0, 1, -2]]], np.float32)
+    )
+    wmin, wmax = tlas.instance_world_aabbs(bmin, bmax, tf)
+    np.testing.assert_allclose(np.asarray(wmin[0]), [3, -1, -3])
+    np.testing.assert_allclose(np.asarray(wmax[0]), [7, 1, -1])
+
+
+def test_invert_affine_roundtrip():
+    rng = np.random.default_rng(0)
+    tf = jnp.asarray(_transforms(5, rng))
+    inv = tlas.invert_affine(tf)
+    p = jnp.asarray(rng.random((5, 3), np.float32))
+    world = jnp.einsum("ijk,ik->ij", tf[:, :, :3], p) + tf[:, :, 3]
+    back = jnp.einsum("ijk,ik->ij", inv[:, :, :3], world) + inv[:, :, 3]
+    np.testing.assert_allclose(np.asarray(back), np.asarray(p), atol=1e-5)
+
+
+def test_instanced_trace_matches_flattened_brute():
+    rng = np.random.default_rng(7)
+    mesh = icosphere(subdivisions=1, radius=0.8)  # 80 tris
+    transforms = _transforms(12, rng)
+
+    blas, pairs = _build(jnp.asarray(mesh))
+    inst_as = jax.jit(tlas.build_instanced)(blas, jnp.asarray(transforms))
+
+    rays = _rays_grid(np.zeros(3), 6.0)
+    rec, inst_id, stats = _trace_inst(inst_as, pack_pairs(pairs), rays)
+
+    flat = _flatten(mesh, transforms)
+    ref = _brute(jnp.asarray(flat), rays)
+
+    hit = np.asarray(rec.hit)
+    np.testing.assert_array_equal(hit, np.asarray(ref.hit))
+    np.testing.assert_allclose(
+        np.asarray(rec.t)[hit], np.asarray(ref.t)[hit], rtol=2e-4, atol=1e-5
+    )
+    # Hit instances must be consistent: flattened oracle's winning triangle
+    # maps to instance = tri // mesh_size.
+    ref_inst = np.asarray(ref.prim_id) // mesh.shape[0]
+    got_inst = np.asarray(inst_id)
+    same_t = np.isclose(np.asarray(rec.t), np.asarray(ref.t), rtol=1e-4)
+    check = hit & same_t
+    np.testing.assert_array_equal(got_inst[check], ref_inst[check])
+
+
+def test_tlas_rebuild_is_jittable_per_frame():
+    rng = np.random.default_rng(1)
+    mesh = icosphere(subdivisions=1)
+    blas, pairs = _build(jnp.asarray(mesh))
+    build_fn = jax.jit(tlas.build_instanced)
+    for frame in range(2):
+        tf = jnp.asarray(_transforms(8, rng))
+        inst_as = build_fn(blas, tf)
+        assert inst_as.trav.rows.shape[0] == 2 * (8 - 1) + blas.num_slots

@@ -1,0 +1,185 @@
+"""App shell: scene load -> build -> frame loop -> PNG output
+(reference: src/main.cu — GLUT window, CUDA-GL interop and keyboard state
+replaced by an offline frame loop with PNG readback, orbit/animate flags in
+place of mouse-look, and --cycle-modes in place of the 'm' key).
+
+Frame 0 mirrors the reference exactly: the build runs with per-stage timing
+(the run() macro report), the hierarchy is pulled to host and validated
+(CountNodes + VerifyHierarchy, src/main.cu:248-259), and the total box-test
+count of the first frame is printed (src/main.cu:180-183).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_raytracing.app.args import parse_cmd
+from tpu_raytracing.bvh import hybrid, lbvh, sah
+from tpu_raytracing.bvh.verify import count_nodes, verify_hierarchy
+from tpu_raytracing.scene import camera as cam
+from tpu_raytracing.scene import procedural
+from tpu_raytracing.scene.objio import load_obj
+from tpu_raytracing.scene.types import scene_to_device
+from tpu_raytracing.trace.modes import BuildType, RenderType
+from tpu_raytracing.trace.pathtrace import path_trace
+from tpu_raytracing.trace.render import render_frame
+from tpu_raytracing.trace.traverse import pack_bvh, pack_pairs
+from tpu_raytracing.utils.png import write_png
+from tpu_raytracing.utils.timing import FPSCounter, StageTimer
+
+
+def load_scene(args):
+    if args.filename:
+        return load_obj(args.filename)
+    spec = args.scene or "cornell"
+    if spec == "cornell":
+        return procedural.cornell_box()
+    if spec.startswith("sphere"):
+        sub = int(spec.split(":")[1]) if ":" in spec else 4
+        return procedural.sphere_scene(sub)
+    if spec.startswith("soup"):
+        n = int(spec.split(":")[1]) if ":" in spec else 100000
+        return procedural.random_triangle_soup(n)
+    raise SystemExit(f"unknown scene '{spec}'")
+
+
+def build_accel(triangles, args, timer: StageTimer):
+    """Dispatch + stage-timed build (the reference's run()-wrapped kernel
+    sequence, src/BuildWrapper.cu:193-361)."""
+    if args.build_type == BuildType.SAH:
+        if args.profile_build:
+            if args.splits:
+                from tpu_raytracing.bvh.splits import setup_split_leaves
+
+                leaves, pairs = timer.run(
+                    "setup+splits        ",
+                    jax.jit(setup_split_leaves, static_argnums=1),
+                    triangles, args.pairs,
+                )
+            else:
+                leaves, pairs = timer.run(
+                    "triangle pairing    ",
+                    jax.jit(sah.setup_leaves, static_argnums=1),
+                    triangles, args.pairs,
+                )
+            _ = timer.run("grid partition      ",
+                          jax.jit(sah.grid_partition), leaves)
+        bvh, pairs = timer.run(
+            "SharedTaskBuild     ",
+            jax.jit(sah.build_sah, static_argnames=("enable_pairs", "enable_splits")),
+            triangles, args.pairs, args.splits,
+        )
+    elif args.build_type == BuildType.BOTTOM_UP:
+        if args.profile_build:
+            aabb = timer.run("SceneAabb           ",
+                             jax.jit(lbvh.scene_aabb), triangles)
+            codes = timer.run(
+                "GenerateMortonCodes ",
+                jax.jit(lbvh.generate_morton_codes), triangles, *aabb,
+            )
+            _ = timer.run("RadixSort           ",
+                          jax.jit(lbvh.sort_codes), *codes)
+        bvh, pairs = timer.run(
+            "BottomUpBuild       ",
+            jax.jit(lbvh.build_lbvh, static_argnames="enable_pairs"),
+            triangles, args.pairs,
+        )
+    else:
+        bvh, pairs = timer.run(
+            "HybridBuild         ",
+            jax.jit(hybrid.build_hybrid, static_argnames="enable_pairs"),
+            triangles, args.pairs,
+        )
+    return bvh, pairs
+
+
+def orbit_camera(camera, scene, frame, num_frames):
+    angle = math.pi / 2 + 2 * math.pi * frame / max(num_frames, 1)
+    camera.yaw = angle
+    return cam.update_camera(camera)
+
+
+def main(argv=None):
+    args = parse_cmd(argv)
+    scene = load_scene(args)
+    print("Geometry")
+    print(f"  faces:        {scene.num_triangles}")
+
+    dev_scene = scene_to_device(scene)
+    camera = cam.initialise_camera(scene.aabb_min, scene.aabb_max)
+    os.makedirs(args.output, exist_ok=True)
+
+    triangles = jnp.asarray(scene.triangles)
+    timer = StageTimer(should_print=True)
+    fps = FPSCounter()
+
+    bvh, pairs = build_accel(triangles, args, timer)
+
+    # Frame-0 hierarchy validation (src/main.cu:248-259).
+    stats = count_nodes(bvh)
+    print("Hierarchy stats")
+    print(f"  num nodes:      {stats.num_nodes}")
+    print(f"  num tree nodes: {stats.num_tree_nodes}")
+    print(f"  num leaf nodes: {stats.num_leaf_nodes}")
+    errors = verify_hierarchy(bvh)
+    for e in errors:
+        print(f"Error: Invalid hierarchy; aabb inclusion check failed on index {e}",
+              file=sys.stderr)
+
+    trav = pack_bvh(bvh)
+    packed = pack_pairs(pairs)
+
+    modes = list(RenderType)[:-1] if args.cycle_modes else [args.render_type]
+    key = jax.random.PRNGKey(0)
+
+    for frame in range(args.frames):
+        if args.orbit:
+            camera = orbit_camera(camera, scene, frame, args.frames)
+        if args.animate and frame > 0:
+            triangles = jnp.asarray(
+                procedural.animate_triangles(np.asarray(scene.triangles), frame * 0.1)
+            )
+            quiet = StageTimer(should_print=False)
+            bvh, pairs = build_accel(triangles, args, quiet)
+            trav = pack_bvh(bvh)
+            packed = pack_pairs(pairs)
+        cam_dev = cam.camera_to_device(camera)
+
+        for mode in modes:
+            if args.bounces > 0:
+                key, sub = jax.random.split(key)
+                img, rays_traced = path_trace(
+                    trav, packed, dev_scene, cam_dev, args.width, args.height,
+                    num_bounces=args.bounces, key=sub,
+                )
+                img = np.asarray(
+                    jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
+                )
+                tests = int(rays_traced)
+                name = f"frame{frame:04d}_pt.png"
+            else:
+                img_dev, tests_dev = render_frame(
+                    trav, packed, dev_scene, cam_dev, args.width, args.height, mode
+                )
+                img = np.asarray(img_dev)
+                tests = int(tests_dev)
+                name = f"frame{frame:04d}_mode{int(mode)}.png"
+            write_png(os.path.join(args.output, name), img)
+            if frame == 0:
+                # src/main.cu:180-183.
+                print(f"Total number of box tests: {tests}")
+        rate = fps.tick()
+        if rate is not None:
+            print(f"fps: {rate:.1f}")
+
+    print(f"Wrote {args.frames * len(modes)} frame(s) to {args.output}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -275,18 +275,14 @@ def generate_triangles(
     return create_pairs(a, b, index, second, is_pair)
 
 
-def refit(bvh: BVH, pairs: TrianglePairs, leaf_slots: jnp.ndarray,
+def refit(bvh: BVH, lo: jnp.ndarray, hi: jnp.ndarray, leaf_slots: jnp.ndarray,
           num_leaves) -> BVH:
     """Bottom-up AABB refit, level-synchronous
     (replaces src/BottomUpBuilder.cu:247-285's atomic one-visit locks).
 
-    leaf_slots[k] is the node slot of sorted leaf k; leaf k's box covers the
-    pair's four vertices (v3 == v2 for unpaired leaves, so including it is a
-    no-op, matching the is_pair branch of the reference).
+    leaf_slots[k] is the node slot of sorted leaf k; lo/hi are the leaf
+    AABBs in sorted-leaf order.
     """
-    lo = jnp.minimum(jnp.minimum(pairs.v0, pairs.v1), jnp.minimum(pairs.v2, pairs.v3))
-    hi = jnp.maximum(jnp.maximum(pairs.v0, pairs.v1), jnp.maximum(pairs.v2, pairs.v3))
-
     k = jnp.arange(leaf_slots.shape[0])
     slot = jnp.where(k < num_leaves, leaf_slots, bvh.num_slots)
     node_min = bvh.node_min.at[slot].set(lo, mode="drop")
@@ -340,5 +336,48 @@ def build_lbvh(triangles: jnp.ndarray, enable_pairs: bool = False):
     bvh = generate_hierarchy(sorted_codes, num_leaves)
     pairs = generate_triangles(sorted_values, triangles)
     leaf_slots = _leaf_slots_from_hierarchy(bvh, triangles.shape[0])
-    bvh = refit(bvh, pairs, leaf_slots, num_leaves)
+    # Leaf k's box covers the pair's four vertices (v3 == v2 for unpaired
+    # leaves, so including it is a no-op, matching the is_pair branch of
+    # src/BottomUpBuilder.cu:260-267).
+    lo = jnp.minimum(jnp.minimum(pairs.v0, pairs.v1), jnp.minimum(pairs.v2, pairs.v3))
+    hi = jnp.maximum(jnp.maximum(pairs.v0, pairs.v1), jnp.maximum(pairs.v2, pairs.v3))
+    bvh = refit(bvh, lo, hi, leaf_slots, num_leaves)
     return bvh, pairs
+
+
+def build_lbvh_from_aabbs(
+    leaf_min: jnp.ndarray,
+    leaf_max: jnp.ndarray,
+    leaf_payload: jnp.ndarray,
+    leaf_type: int = CHILD_TRI,
+    leaf_count: int = 1,
+):
+    """LBVH over arbitrary leaf boxes (the TLAS path: leaves are instance
+    world AABBs with ChildType_Inst, a capability the reference declares but
+    never builds — src/Common.cuh:40).
+
+    Returns a BVH whose leaf nodes carry ``leaf_payload`` in their child
+    field and ``leaf_count`` in count. Root is the slot pair 0..1.
+    """
+    num = leaf_min.shape[0]
+    centre = (leaf_min + leaf_max) * 0.5
+    cmin = jnp.min(centre, axis=0)
+    cmax = jnp.max(centre, axis=0)
+    norm = jnp.clip((centre - cmin) / jnp.maximum(cmax - cmin, 1e-30), 0.0, 1.0)
+    codes = morton3d(norm)
+    values = jnp.arange(num, dtype=jnp.uint32)
+    sorted_codes, sorted_values = sort_codes(codes, values)
+    bvh = generate_hierarchy(sorted_codes, num)
+    src = sorted_values.astype(jnp.int32)
+    # leaf_slots must be recovered while child still holds sorted leaf
+    # indices; only then remap child -> payload.
+    leaf_slots = _leaf_slots_from_hierarchy(bvh, num)
+    is_leaf = bvh.type == CHILD_TRI
+    payload = leaf_payload[src[jnp.clip(bvh.child, 0, num - 1)]]
+    bvh = bvh.replace(
+        child=jnp.where(is_leaf, payload, bvh.child),
+        count=jnp.where(is_leaf, leaf_count, bvh.count),
+        type=jnp.where(is_leaf, leaf_type, bvh.type),
+    )
+    bvh = refit(bvh, leaf_min[src], leaf_max[src], leaf_slots, num)
+    return bvh

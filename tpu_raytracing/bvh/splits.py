@@ -1,0 +1,187 @@
+"""Bounded spatial splits (reference: SetupSplits / SetupPairSplits,
+src/Multiblock.cu:200-425).
+
+Primitives whose AABB footprint spans multiple cells of a 4x4x4 grid over
+the scene AABB are split into one clipped reference per overlapped cell,
+under a global budget of num_triangles/5 extra references
+(src/BuildWrapper.cu:143). The reference allocates budget with an atomicAdd
+(nondeterministic grant order); here the grant is an inclusive prefix sum
+over primitive order, so results are deterministic.
+
+Cell enumeration vectorizes as a fixed 64-iteration loop over grid offsets
+(x-fastest, matching GridNextCell, src/Multiblock.cu:118-131); two passes:
+one to count each primitive's emitted references, one to scatter them.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from tpu_raytracing.bvh.pairing import can_form_pair, create_pairs, should_form_pair
+from tpu_raytracing.bvh.sah import BLOCK_GRID_DIM, LeafInput
+from tpu_raytracing.bvh.types import CHILD_TRI, TrianglePairs
+from tpu_raytracing.ops.intersect import triangle_aabb
+
+
+def _grid_cell(p, gmin, gmax):
+    """CalculateGridcell (src/Multiblock.cu:84-89)."""
+    raw = jnp.floor((p - gmin) * BLOCK_GRID_DIM / (gmax - gmin)).astype(jnp.int32)
+    return jnp.clip(raw, 0, BLOCK_GRID_DIM - 1)
+
+
+def _cell_bounds(cell, gmin, gmax):
+    """CellToBounds (src/Multiblock.cu:91-100)."""
+    step = (gmax - gmin) / BLOCK_GRID_DIM
+    return gmin + cell.astype(jnp.float32) * step, gmin + (cell + 1).astype(jnp.float32) * step
+
+
+def setup_split_leaves(
+    triangles: jnp.ndarray, enable_pairs: bool
+) -> Tuple[LeafInput, TrianglePairs]:
+    num = triangles.shape[0]
+    threshold = max(num // 5, 1)
+    cap = num + threshold
+
+    scene_min = jnp.min(triangles.reshape(-1, 3), axis=0)
+    scene_max = jnp.max(triangles.reshape(-1, 3), axis=0)
+
+    # ---- primitive (pair) stream ----
+    if enable_pairs:
+        num_even = (num + 1) // 2
+        a_idx = jnp.arange(num_even, dtype=jnp.int32) * 2
+        has_b = a_idx + 1 < num
+        b_idx = jnp.minimum(a_idx + 1, num - 1)
+        a = triangles[a_idx]
+        b = triangles[b_idx]
+        a_min, a_max = triangle_aabb(a[:, 0], a[:, 1], a[:, 2])
+        b_min, b_max = triangle_aabb(b[:, 0], b[:, 1], b[:, 2])
+        p_min = jnp.minimum(a_min, b_min)
+        p_max = jnp.maximum(a_max, b_max)
+        can, _, _ = can_form_pair(a, b)
+        merge = has_b & can & should_form_pair(a_min, a_max, b_min, b_max, p_min, p_max)
+        # Compact (first, maybe-second) prims: prim k <-> pair k.
+        counts = 1 + (has_b & ~merge).astype(jnp.int32)
+        starts = jnp.cumsum(counts) - counts
+        num_prims = starts[-1] + counts[-1]
+        oob = jnp.int32(num)
+        slot1 = starts
+        slot2 = jnp.where(has_b & ~merge, starts + 1, oob)
+
+        def scat(v1, v2, dtype=jnp.float32, width=3):
+            out = jnp.zeros((num, width) if width else (num,), dtype)
+            out = out.at[slot1].set(v1)
+            return out.at[slot2].set(v2, mode="drop")
+
+        prim_a_min = scat(jnp.where(merge[:, None], a_min, a_min), b_min)
+        prim_a_max = scat(jnp.where(merge[:, None], a_max, a_max), b_max)
+        prim_b_min = scat(jnp.where(merge[:, None], b_min, a_min), b_min)
+        prim_b_max = scat(jnp.where(merge[:, None], b_max, a_max), b_max)
+        prim_merge = jnp.zeros((num,), bool).at[slot1].set(merge)
+        src_a = jnp.zeros((num,), jnp.int32).at[slot1].set(a_idx).at[slot2].set(
+            b_idx, mode="drop"
+        )
+        src_b = jnp.where(prim_merge, jnp.minimum(src_a + 1, num - 1), src_a)
+        pairs = create_pairs(triangles[src_a], triangles[src_b], src_a, src_b, prim_merge)
+        prim_live = jnp.arange(num) < num_prims
+    else:
+        # SetupSplits: one prim per triangle, never paired
+        # (src/Multiblock.cu:229-230).
+        lo, hi = triangle_aabb(triangles[:, 0], triangles[:, 1], triangles[:, 2])
+        prim_a_min = prim_b_min = lo
+        prim_a_max = prim_b_max = hi
+        prim_merge = jnp.zeros((num,), bool)
+        idx = jnp.arange(num, dtype=jnp.int32)
+        pairs = create_pairs(triangles, triangles, idx, idx, prim_merge)
+        num_prims = jnp.int32(num)
+        prim_live = jnp.ones((num,), bool)
+
+    prim_min = jnp.minimum(prim_a_min, prim_b_min)
+    prim_max = jnp.maximum(prim_a_max, prim_b_max)
+    prim_count = jnp.where(prim_merge, 2, 1).astype(jnp.int32)
+
+    # ---- split grant under the extra-leaf budget ----
+    min_cell = _grid_cell(prim_min, scene_min, scene_max)
+    max_cell = _grid_cell(prim_max, scene_min, scene_max)
+    spans = jnp.any(min_cell != max_cell, axis=-1) & prim_live
+    rng = max_cell - min_cell
+    num_extra = jnp.where(
+        spans, (rng[:, 0] + 1) * (rng[:, 1] + 1) * (rng[:, 2] + 1) - 1, 0
+    )
+    granted = spans & (jnp.cumsum(num_extra) < threshold)
+
+    def cell_iter(fn, init):
+        """Fold over the 64 grid offsets, x-fastest (GridNextCell order)."""
+        state = init
+        for dz in range(BLOCK_GRID_DIM):
+            for dy in range(BLOCK_GRID_DIM):
+                for dx in range(BLOCK_GRID_DIM):
+                    off = jnp.array([dx, dy, dz], jnp.int32)
+                    cell = min_cell + off[None, :]
+                    in_range = jnp.all(cell <= max_cell, axis=-1) & granted
+                    cmin, cmax = _cell_bounds(cell, scene_min, scene_max)
+                    ia_min = jnp.maximum(prim_a_min, cmin)
+                    ia_max = jnp.minimum(prim_a_max, cmax)
+                    ib_min = jnp.maximum(prim_b_min, cmin)
+                    ib_max = jnp.minimum(prim_b_max, cmax)
+                    va = jnp.all(ia_max >= ia_min, axis=-1)
+                    vb = jnp.all(ib_max >= ib_min, axis=-1)
+                    # Merged pairs drop cells neither triangle AABB overlaps
+                    # (src/Multiblock.cu:362-371).
+                    ok = in_range & jnp.where(prim_merge, va | vb, True)
+                    clip_min = jnp.where(
+                        prim_merge[:, None], jnp.minimum(ia_min, ib_min), ia_min
+                    )
+                    clip_max = jnp.where(
+                        prim_merge[:, None], jnp.maximum(ia_max, ib_max), ia_max
+                    )
+                    state = fn(state, ok, clip_min, clip_max)
+        return state
+
+    counts_per_prim = cell_iter(
+        lambda c, ok, *_: c + ok.astype(jnp.int32), jnp.zeros_like(num_extra)
+    )
+    counts_per_prim = jnp.where(prim_live & ~granted, 1, counts_per_prim)
+
+    ref_start = jnp.cumsum(counts_per_prim) - counts_per_prim
+    num_leaves = ref_start[-1] + counts_per_prim[-1] if num else jnp.int32(0)
+
+    leaf_min = jnp.zeros((cap, 3), jnp.float32)
+    leaf_max = jnp.zeros((cap, 3), jnp.float32)
+    leaf_child = jnp.zeros((cap,), jnp.int32)
+    leaf_cnt = jnp.zeros((cap,), jnp.int32)
+    prim_ids = jnp.arange(prim_min.shape[0], dtype=jnp.int32)
+
+    # Unsplit prims: one unclipped reference.
+    upos = jnp.where(prim_live & ~granted, ref_start, cap)
+    leaf_min = leaf_min.at[upos].set(prim_min, mode="drop")
+    leaf_max = leaf_max.at[upos].set(prim_max, mode="drop")
+    leaf_child = leaf_child.at[upos].set(prim_ids, mode="drop")
+    leaf_cnt = leaf_cnt.at[upos].set(prim_count, mode="drop")
+
+    def write(state, ok, clip_min, clip_max):
+        leaf_min, leaf_max, leaf_child, leaf_cnt, cursor = state
+        pos = jnp.where(ok, ref_start + cursor, cap)
+        leaf_min = leaf_min.at[pos].set(clip_min, mode="drop")
+        leaf_max = leaf_max.at[pos].set(clip_max, mode="drop")
+        leaf_child = leaf_child.at[pos].set(prim_ids, mode="drop")
+        leaf_cnt = leaf_cnt.at[pos].set(prim_count, mode="drop")
+        return leaf_min, leaf_max, leaf_child, leaf_cnt, cursor + ok.astype(jnp.int32)
+
+    leaf_min, leaf_max, leaf_child, leaf_cnt, _ = cell_iter(
+        write,
+        (leaf_min, leaf_max, leaf_child, leaf_cnt, jnp.zeros_like(num_extra)),
+    )
+
+    return (
+        LeafInput(
+            aabb_min=leaf_min,
+            aabb_max=leaf_max,
+            child=leaf_child,
+            count=leaf_cnt,
+            type=jnp.full((cap,), CHILD_TRI, jnp.int32),
+            num_leaves=jnp.asarray(num_leaves, jnp.int32),
+        ),
+        pairs,
+    )

@@ -134,7 +134,26 @@ def render_frame(
     including the truncating float->uchar casts.
     """
     rays = generate_primary_rays(camera, width, height)
-    spread = ray_spread(width)
+    flat, tests = shade_rays(
+        trav, pairs, scene, camera, rays, ray_spread(width), render_type, tracer
+    )
+    return flat.reshape(height, width, 4), tests
+
+
+def shade_rays(
+    trav: TraversalBVH,
+    pairs: PackedPairs,
+    scene: DeviceScene,
+    camera: dict,
+    rays: Rays,
+    spread: float,
+    render_type: RenderType = RenderType.DEPTH,
+    tracer=trace_rays,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace + shade an arbitrary ray batch; returns ([R, 4] uint8, tests).
+
+    This is the band-level kernel the multi-chip path shards over the mesh.
+    """
     rec, stats = tracer(trav, pairs, rays)
     hit = rec.hit
     depth = jnp.where(hit, rec.t, 0.0)
@@ -142,7 +161,7 @@ def render_frame(
 
     ctx = _gather_hit_context(scene, pairs, rec)
     u8 = shade._trunc_u8
-    num = width * height
+    num = rays.origin.shape[0]
     alpha = jnp.full((num, 1), 255, jnp.uint8)
     black = jnp.zeros((num, 3), jnp.uint8)
 
@@ -176,7 +195,7 @@ def render_frame(
         img = jnp.concatenate(
             [rgb, jnp.where(valid[:, None], grey[:, None], jnp.uint8(255))], axis=1
         )
-        return img.reshape(height, width, 4), jnp.sum(stats.box_tests)
+        return img, jnp.sum(stats.box_tests)
     elif render_type == RenderType.TEXTURE:
         lod = shade.compute_lod(
             scene.textures, ctx["mat_texture"], ctx["tri_v0"], ctx["tri_v1"],
@@ -201,7 +220,7 @@ def render_frame(
         raise ValueError(f"unknown render type {render_type}")
 
     img = jnp.concatenate([rgb, alpha], axis=1)
-    return img.reshape(height, width, 4), jnp.sum(stats.box_tests)
+    return img, jnp.sum(stats.box_tests)
 
 
 def render_frame_host(trav, pairs, scene, camera, width, height, render_type,

@@ -104,11 +104,14 @@ def trace_rays(
     pairs: PackedPairs,
     rays: Rays,
     max_width: int = 2,
+    active=None,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace of a ray batch against the BVH.
 
     max_width is the static bound on a node group's child count (2 for the
     binary builders; the SAH top-of-tree stitch can use wider roots).
+    ``active`` (optional [R] bool) starts dead lanes with an empty stack so
+    retired wavefront rays cost nothing (used by the path tracer).
     """
     num_rays = rays.origin.shape[0]
     num_slots = trav.rows.shape[0]
@@ -120,10 +123,15 @@ def trace_rays(
         jnp.int32
     )
     stack = stack.at[:, 0].set(root_entry)
+    size0 = (
+        jnp.ones((num_rays,), jnp.int32)
+        if active is None
+        else active.astype(jnp.int32)
+    )
 
     state = dict(
         stack=stack,
-        size=jnp.ones((num_rays,), jnp.int32),
+        size=size0,
         tmax=rays.tmax,
         hit=jnp.zeros((num_rays,), bool),
         prim_id=jnp.zeros((num_rays,), jnp.int32),
