@@ -86,8 +86,8 @@ def build_hybrid(triangles: jnp.ndarray, enable_pairs: bool = False) -> Tuple[BV
     num_base = base.num_slots
     extra = 2 * MAX_SUBROOTS + 2
     arena = Arena(
-        node_min=jnp.concatenate([base.node_min, jnp.full((extra, 3), jnp.float32(3.4e38))]),
-        node_max=jnp.concatenate([base.node_max, jnp.full((extra, 3), jnp.float32(-3.4e38))]),
+        node_min=jnp.concatenate([base.node_min, jnp.full((extra, 3), 3.4e38, jnp.float32)]),
+        node_max=jnp.concatenate([base.node_max, jnp.full((extra, 3), -3.4e38, jnp.float32)]),
         child=jnp.concatenate([base.child, jnp.zeros((extra,), jnp.int32)]),
         count=jnp.concatenate([base.count, jnp.zeros((extra,), jnp.int32)]),
         type=jnp.concatenate([base.type, jnp.zeros((extra,), jnp.int32)]),

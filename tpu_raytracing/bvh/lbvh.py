@@ -37,7 +37,9 @@ from tpu_raytracing.bvh.pairing import can_form_pair, create_pairs, should_form_
 from tpu_raytracing.ops.intersect import triangle_aabb
 from tpu_raytracing.ops.morton import morton3d
 
-_F32_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+# Python float, NOT a jnp scalar: module-level device arrays become
+# jit-captured device constants, which this backend re-stages per call.
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
 # Longest possible common prefix: 30 Morton bits + 32 index tie-break bits,
 # so Karras tree depth is bounded by ~64 regardless of input size.
 MAX_TREE_DEPTH = 64
@@ -140,13 +142,14 @@ def _cpl(codes: jnp.ndarray, i: jnp.ndarray, j: jnp.ndarray, count) -> jnp.ndarr
     return jnp.where(valid, out, -1)
 
 
-def generate_hierarchy(sorted_codes: jnp.ndarray, count) -> BVH:
+def generate_hierarchy(sorted_codes: jnp.ndarray, count):
     """Vectorized Karras internal-node construction
     (src/BottomUpBuilder.cu:167-215).
 
     ``count`` may be a traced scalar (paired builds) or a Python int; arrays
-    are padded to the static maximum. Returns a BVH with child/type/parent
-    topology and leaf_slot mapping folded in; AABBs are filled by refit.
+    are padded to the static maximum. Returns (BVH, range_lo, range_hi):
+    topology plus each slot's covered sorted-leaf range; AABBs are filled by
+    refit_ranges.
     """
     n_max = sorted_codes.shape[0]
     num_slots = max(2 * (n_max - 1), 2)
@@ -199,24 +202,29 @@ def generate_hierarchy(sorted_codes: jnp.ndarray, count) -> BVH:
     )
 
     # --- child/type/parent writes (src/BottomUpBuilder.cu:186-214) ---
+    # Slot pair (2i, 2i+1) belongs to internal node i, so child/type build by
+    # interleave (stack + reshape) instead of scatter — scatters are slow on
+    # TPU and the slot indices are just the even/odd stride.
     leaf_a = split == first
     leaf_b = split + 1 == last
     child_a = jnp.where(leaf_a, split, split * 2)
     child_b = jnp.where(leaf_b, split + 1, (split + 1) * 2)
-    type_a = jnp.where(leaf_a, CHILD_TRI, CHILD_BOX)
-    type_b = jnp.where(leaf_b, CHILD_TRI, CHILD_BOX)
+    none = jnp.int32(CHILD_NONE)
+    type_a = jnp.where(~valid, none, jnp.where(leaf_a, CHILD_TRI, CHILD_BOX))
+    type_b = jnp.where(~valid, none, jnp.where(leaf_b, CHILD_TRI, CHILD_BOX))
+
+    def interleave(a, b):
+        return jnp.stack([a, b], axis=1).reshape(-1)
+
+    child = interleave(jnp.where(valid, child_a, 0), jnp.where(valid, child_b, 0))
+    ntype = interleave(type_a, type_b)
+    # Sorted-leaf range covered by each slot: [first, split] on the left,
+    # [split+1, last] on the right (single-leaf ranges for Tri slots). These
+    # drive the gather-free range-min refit.
+    range_lo = interleave(first, split + 1)
+    range_hi = interleave(split, last)
 
     oob = jnp.int32(num_slots)
-    slot_a = jnp.where(valid, 2 * ii, oob)
-    slot_b = jnp.where(valid, 2 * ii + 1, oob)
-
-    child = jnp.zeros((num_slots,), jnp.int32)
-    child = child.at[slot_a].set(child_a, mode="drop")
-    child = child.at[slot_b].set(child_b, mode="drop")
-    ntype = jnp.zeros((num_slots,), jnp.int32)
-    ntype = ntype.at[slot_a].set(type_a, mode="drop")
-    ntype = ntype.at[slot_b].set(type_b, mode="drop")
-
     parent = jnp.arange(num_slots, dtype=jnp.int32)
     pa = jnp.where(valid & ~leaf_a, child_a, oob)
     pb = jnp.where(valid & ~leaf_b, child_b, oob)
@@ -229,9 +237,17 @@ def generate_hierarchy(sorted_codes: jnp.ndarray, count) -> BVH:
         ntype == CHILD_BOX, 2, jnp.where(ntype == CHILD_TRI, 1, 0)
     ).astype(jnp.int32)
 
-    return BVH(
-        node_min=jnp.full((num_slots, 3), _F32_MAX),
-        node_max=jnp.full((num_slots, 3), -_F32_MAX),
+    if num_slots > 2 * (n_max - 1):  # n_max < 2 padding
+        pad = num_slots - 2 * (n_max - 1)
+        child = jnp.pad(child, (0, pad))
+        ntype = jnp.pad(ntype, (0, pad))
+        count_field = jnp.pad(count_field, (0, pad))
+        range_lo = jnp.pad(range_lo, (0, pad))
+        range_hi = jnp.pad(range_hi, (0, pad))
+
+    bvh = BVH(
+        node_min=jnp.zeros((num_slots, 3), jnp.float32),
+        node_max=jnp.zeros((num_slots, 3), jnp.float32),
         child=child,
         count=count_field,
         type=ntype,
@@ -239,10 +255,51 @@ def generate_hierarchy(sorted_codes: jnp.ndarray, count) -> BVH:
         root=jnp.int32(0),
         root_count=jnp.int32(2),
     )
+    return bvh, range_lo, range_hi
+
+
+def refit_ranges(bvh: BVH, range_lo, range_hi, leaf_lo, leaf_hi) -> BVH:
+    """Gather-free bottom-up refit: every slot's box is the min/max of the
+    sorted leaf AABBs over its covered range [range_lo, range_hi].
+
+    Replaces both the reference's atomic one-visit refit
+    (src/BottomUpBuilder.cu:247-285) and this port's earlier level-sync
+    fixed point: a sparse-table range-min over the sorted leaf order needs
+    no loop-carried gathers (which this TPU backend executes pathologically
+    slowly) — only log2(n) dense shifted-min passes plus two gathers per
+    level from freshly produced tables. Exactness: the range min/max equals
+    the child-union fold bit-for-bit (fp min/max is associative), so
+    VerifyHierarchy's exact-equality check still passes.
+    """
+    n = leaf_lo.shape[0]
+    levels = max(int(n - 1).bit_length(), 1)
+    table = jnp.concatenate([leaf_lo, -leaf_hi], axis=1)  # [n, 6] min-space
+    length = jnp.maximum(range_hi - range_lo + 1, 1)
+    klev = 31 - jax.lax.clz(length.astype(jnp.uint32)).astype(jnp.int32)
+
+    out = jnp.full((bvh.num_slots, 6), _F32_MAX, jnp.float32)
+    for k in range(levels + 1):
+        use = klev == k
+        span = 1 << k
+        a = table[jnp.clip(range_lo, 0, n - 1)]
+        b = table[jnp.clip(range_hi + 1 - span, 0, n - 1)]
+        cand = jnp.minimum(a, b)
+        out = jnp.where(use[:, None], cand, out)
+        if k < levels:
+            shifted = jnp.concatenate(
+                [table[span:], jnp.full((min(span, n), 6), _F32_MAX, jnp.float32)],
+                axis=0,
+            )[:n]
+            table = jnp.minimum(table, shifted)
+
+    return bvh.replace(node_min=out[:, 0:3], node_max=-out[:, 3:6])
 
 
 def tree_height(bvh: BVH) -> jnp.ndarray:
-    """Max slot depth via pointer doubling on parent links (log passes)."""
+    """Max slot depth via pointer doubling on parent links (log passes).
+
+    Diagnostic only — the build path no longer needs it (refit_ranges is
+    loop-free), and its loop-carried gathers are slow on TPU."""
     ptr = bvh.parent
     depth = (ptr != jnp.arange(bvh.num_slots, dtype=jnp.int32)).astype(jnp.int32)
 
@@ -333,15 +390,14 @@ def build_lbvh(triangles: jnp.ndarray, enable_pairs: bool = False):
         codes, values = generate_morton_codes(triangles, aabb_min, aabb_max)
         num_leaves = triangles.shape[0]
     sorted_codes, sorted_values = sort_codes(codes, values)
-    bvh = generate_hierarchy(sorted_codes, num_leaves)
+    bvh, range_lo, range_hi = generate_hierarchy(sorted_codes, num_leaves)
     pairs = generate_triangles(sorted_values, triangles)
-    leaf_slots = _leaf_slots_from_hierarchy(bvh, triangles.shape[0])
     # Leaf k's box covers the pair's four vertices (v3 == v2 for unpaired
     # leaves, so including it is a no-op, matching the is_pair branch of
     # src/BottomUpBuilder.cu:260-267).
     lo = jnp.minimum(jnp.minimum(pairs.v0, pairs.v1), jnp.minimum(pairs.v2, pairs.v3))
     hi = jnp.maximum(jnp.maximum(pairs.v0, pairs.v1), jnp.maximum(pairs.v2, pairs.v3))
-    bvh = refit(bvh, lo, hi, leaf_slots, num_leaves)
+    bvh = refit_ranges(bvh, range_lo, range_hi, lo, hi)
     return bvh, pairs
 
 
@@ -367,11 +423,8 @@ def build_lbvh_from_aabbs(
     codes = morton3d(norm)
     values = jnp.arange(num, dtype=jnp.uint32)
     sorted_codes, sorted_values = sort_codes(codes, values)
-    bvh = generate_hierarchy(sorted_codes, num)
+    bvh, range_lo, range_hi = generate_hierarchy(sorted_codes, num)
     src = sorted_values.astype(jnp.int32)
-    # leaf_slots must be recovered while child still holds sorted leaf
-    # indices; only then remap child -> payload.
-    leaf_slots = _leaf_slots_from_hierarchy(bvh, num)
     is_leaf = bvh.type == CHILD_TRI
     payload = leaf_payload[src[jnp.clip(bvh.child, 0, num - 1)]]
     bvh = bvh.replace(
@@ -379,5 +432,5 @@ def build_lbvh_from_aabbs(
         count=jnp.where(is_leaf, leaf_count, bvh.count),
         type=jnp.where(is_leaf, leaf_type, bvh.type),
     )
-    bvh = refit(bvh, leaf_min[src], leaf_max[src], leaf_slots, num)
+    bvh = refit_ranges(bvh, range_lo, range_hi, leaf_min[src], leaf_max[src])
     return bvh

@@ -50,7 +50,9 @@ LEAF_THRESHOLD = 2
 BLOCK_GRID_DIM = 4
 NUM_BLOCKS = BLOCK_GRID_DIM**3
 BIN_EPS = 1.1920929e-7  # 2^-23 (src/SharedTaskBuilder.cu:209)
-_F32_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+# Python float, NOT a jnp scalar: module-level device arrays become
+# jit-captured device constants, which this backend re-stages per call.
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 
 @flax.struct.dataclass

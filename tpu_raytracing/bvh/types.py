@@ -86,8 +86,8 @@ def empty_bvh(num_slots: int) -> BVH:
     f = jnp.zeros((num_slots, 3), jnp.float32)
     i = jnp.zeros((num_slots,), jnp.int32)
     return BVH(
-        node_min=f + jnp.float32(jnp.finfo(jnp.float32).max),
-        node_max=f - jnp.float32(jnp.finfo(jnp.float32).max),
+        node_min=f + float(jnp.finfo(jnp.float32).max),
+        node_max=f - float(jnp.finfo(jnp.float32).max),
         child=i,
         count=i,
         type=i,

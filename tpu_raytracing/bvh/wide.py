@@ -28,7 +28,9 @@ import jax.numpy as jnp
 from tpu_raytracing.bvh.types import BVH, CHILD_BOX, CHILD_NONE, CHILD_TRI
 
 WIDE = 8
-_F32_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+# Python float, NOT a jnp scalar: module-level device arrays become
+# jit-captured device constants, which this backend re-stages per call.
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 
 @flax.struct.dataclass

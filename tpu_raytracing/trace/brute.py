@@ -70,7 +70,7 @@ def brute_force_trace(triangles: jnp.ndarray, rays: Rays, chunk: int = 4096) -> 
             lo[:, None],
             hi[:, None],
         )  # all [chunk, T]
-        big = jnp.float32(jnp.finfo(jnp.float32).max)
+        big = float(jnp.finfo(jnp.float32).max)
         t_masked = jnp.where(accept, t, big)
         best_t = jnp.min(t_masked, axis=1)
         hit = jnp.any(accept, axis=1)

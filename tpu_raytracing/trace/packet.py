@@ -48,7 +48,9 @@ from tpu_raytracing.trace.traverse import (
     TraversalBVH,
 )
 
-_F32_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
+# Python float, NOT a jnp scalar: module-level device arrays become
+# jit-captured device constants, which this backend re-stages per call.
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
 
 
 def tile_permutation(width: int, height: int, tile_w: int = 16, tile_h: int = 8):

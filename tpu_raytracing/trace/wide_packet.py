@@ -33,8 +33,10 @@ from tpu_raytracing.trace.traverse import (
     TraceStats,
 )
 
-_F32_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
-_NEG = jnp.float32(-jnp.finfo(jnp.float32).max)
+# Python float, NOT a jnp scalar: module-level device arrays become
+# jit-captured device constants, which this backend re-stages per call.
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+_NEG = -float(jnp.finfo(jnp.float32).max)
 
 # Optimal 8-input sorting network (19 comparators).
 _NETWORK = [
