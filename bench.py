@@ -2,8 +2,8 @@
 scene, plus per-frame LBVH rebuild time (targets in BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; supporting
-numbers go to stderr. Scale down via TPURT_BENCH_TRIS / TPURT_BENCH_RES for
-smoke runs.
+numbers go to stderr. Scale via TPURT_BENCH_TRIS / TPURT_BENCH_RES for smoke
+runs.
 """
 
 from __future__ import annotations
@@ -27,12 +27,13 @@ def main():
     bounces = int(os.environ.get("TPURT_BENCH_BOUNCES", 1))
     iters = int(os.environ.get("TPURT_BENCH_ITERS", 5))
 
-    from tpu_raytracing.bvh import lbvh
+    from tpu_raytracing.bvh import lbvh, wide
     from tpu_raytracing.scene import camera as cam
     from tpu_raytracing.scene import procedural
     from tpu_raytracing.scene.types import scene_to_device
     from tpu_raytracing.trace.pathtrace import path_trace
-    from tpu_raytracing.trace.traverse import pack_bvh, pack_pairs
+    from tpu_raytracing.trace.traverse import pack_pairs
+    from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
 
     log(f"bench: {num_tris} tris, {res}x{res}, {bounces} bounce(s), "
         f"device={jax.devices()[0]}")
@@ -42,32 +43,35 @@ def main():
     camera = cam.camera_to_device(cam.initialise_camera(scene.aabb_min, scene.aabb_max))
     triangles = jnp.asarray(scene.triangles)
 
-    # --- LBVH rebuild time ---
-    build = jax.jit(lbvh.build_lbvh)
-    bvh, pairs = jax.block_until_ready(build(triangles))
+    # --- per-frame rebuild: LBVH + 8-wide collapse (the full build path) ---
+    def full_build(tris):
+        bvh, pairs = lbvh.build_lbvh(tris)
+        packed = pack_pairs(pairs)
+        return wide.build_wide_fat(bvh, packed.rows), packed
+
+    build = jax.jit(full_build)
+    fat, packed = jax.block_until_ready(build(triangles))
     t0 = time.perf_counter()
     for _ in range(iters):
-        bvh, pairs = build(triangles)
-    jax.block_until_ready(bvh)
+        fat, packed = build(triangles)
+    jax.block_until_ready(fat)
     build_ms = (time.perf_counter() - t0) / iters * 1000.0
-    log(f"LBVH rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
+    log(f"LBVH + wide rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
 
-    trav = pack_bvh(bvh)
-    packed = pack_pairs(pairs)
+    # --- trace throughput (primary + NEE shadow + bounce rays) ---
+    tracer = make_tiled_fat_tracer(fat, res, res, tile_w=8, tile_h=8)
 
-    # --- trace throughput (primary + bounce + shadow rays) ---
-    key = jax.random.PRNGKey(0)
-    img, rays_traced = jax.block_until_ready(
-        path_trace(trav, packed, dev_scene, camera, res, res,
-                   num_bounces=bounces, key=key)
-    )
+    def frame(key):
+        return path_trace(
+            fat, packed, dev_scene, camera, res, res, num_bounces=bounces,
+            key=key, tracer=tracer,
+        )
+
+    img, rays_traced = jax.block_until_ready(frame(jax.random.PRNGKey(0)))
     t0 = time.perf_counter()
     total_rays = 0
     for i in range(iters):
-        img, rays_traced = path_trace(
-            trav, packed, dev_scene, camera, res, res, num_bounces=bounces,
-            key=jax.random.PRNGKey(i),
-        )
+        img, rays_traced = frame(jax.random.PRNGKey(i))
         total_rays += int(jax.block_until_ready(rays_traced))
     elapsed = time.perf_counter() - t0
     mrays = total_rays / elapsed / 1e6

@@ -135,6 +135,26 @@ def main(argv=None):
     trav = pack_bvh(bvh)
     packed = pack_pairs(pairs)
 
+    def make_tracer(bvh, packed):
+        """Select the traversal kernel (--tracer)."""
+        if args.tracer == "wide":
+            from tpu_raytracing.bvh.wide import build_wide_fat
+            from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
+
+            fat = jax.jit(build_wide_fat)(bvh, packed.rows)
+            return make_tiled_fat_tracer(fat, args.width, args.height, 8, 8)
+        if args.tracer == "packet":
+            from tpu_raytracing.trace.packet import make_tiled_packet_tracer
+
+            return make_tiled_packet_tracer(args.width, args.height, 8, 8)
+        from tpu_raytracing.trace.traverse import trace_rays
+
+        return trace_rays
+
+    if args.width % 8 or args.height % 8:
+        args.tracer = "scalar"  # packet tiling needs 8-divisible frames
+    tracer = make_tracer(bvh, packed)
+
     modes = list(RenderType)[:-1] if args.cycle_modes else [args.render_type]
     key = jax.random.PRNGKey(0)
 
@@ -149,6 +169,7 @@ def main(argv=None):
             bvh, pairs = build_accel(triangles, args, quiet)
             trav = pack_bvh(bvh)
             packed = pack_pairs(pairs)
+            tracer = make_tracer(bvh, packed)
         cam_dev = cam.camera_to_device(camera)
 
         for mode in modes:
@@ -156,7 +177,7 @@ def main(argv=None):
                 key, sub = jax.random.split(key)
                 img, rays_traced = path_trace(
                     trav, packed, dev_scene, cam_dev, args.width, args.height,
-                    num_bounces=args.bounces, key=sub,
+                    num_bounces=args.bounces, key=sub, tracer=tracer,
                 )
                 img = np.asarray(
                     jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
@@ -165,7 +186,8 @@ def main(argv=None):
                 name = f"frame{frame:04d}_pt.png"
             else:
                 img_dev, tests_dev = render_frame(
-                    trav, packed, dev_scene, cam_dev, args.width, args.height, mode
+                    trav, packed, dev_scene, cam_dev, args.width, args.height,
+                    mode, tracer=tracer,
                 )
                 img = np.asarray(img_dev)
                 tests = int(tests_dev)

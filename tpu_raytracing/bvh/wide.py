@@ -142,6 +142,46 @@ def build_wide(bvh: BVH, max_iters: int = 24) -> WideBVH:
     return WideBVH(rows=rows, num_nodes=num_wide)
 
 
+@flax.struct.dataclass
+class FatWideBVH:
+    """Wide BVH with leaf pair data inlined into the node rows.
+
+    Entry layout (24 int32): min3 max3 (bitcast f32), meta, pad, then the
+    16-word packed pair (v0..v3 bitcast, prim0, prim1, rot0, rot1) for Tri
+    entries (zeros for Box). One 768-byte row gather per pop replaces the
+    node gather plus up to eight pair gathers — gather count per traversal
+    step is the dominant cost on this backend.
+    """
+
+    rows: jnp.ndarray  # [W, 8 * 24] int32
+    num_nodes: jnp.ndarray  # [] int32
+
+
+ENTRY_WORDS = 24
+
+
+def build_wide_fat(bvh: BVH, pair_rows: jnp.ndarray, max_iters: int = 24) -> FatWideBVH:
+    """Collapse to 8-wide with inlined pair data (pair_rows: PackedPairs.rows).
+
+    Pair data is gathered one entry slot at a time: a single [W, 8, 16]
+    gather would tile-pad its 16-wide minor dim to 128 lanes (8x memory) and
+    OOM at 1M triangles.
+    """
+    w = build_wide(bvh, max_iters=max_iters)
+    rows = w.rows.reshape(-1, WIDE, 8)
+    meta = rows[:, :, 6]
+    ntype = meta & 3
+    child = meta >> 5
+    num_pairs = pair_rows.shape[0]
+    parts = [rows.reshape(-1, WIDE * 8)]
+    for e in range(WIDE):
+        pe = pair_rows[jnp.clip(child[:, e], 0, num_pairs - 1)]  # [W, 16]
+        parts.append(jnp.where((ntype[:, e] == CHILD_TRI)[:, None], pe, 0))
+    # Layout: 64 node words, then entry 0..7's 16 pair words each.
+    fat = jnp.concatenate(parts, axis=1)  # [W, 64 + 128]
+    return FatWideBVH(rows=fat, num_nodes=w.num_nodes)
+
+
 def _expand_group(bvh: BVH, entries: jnp.ndarray, levels: int) -> jnp.ndarray:
     """Expand a [8] entry set ``levels`` times within the 8-slot budget.
 

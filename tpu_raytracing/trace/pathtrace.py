@@ -2,13 +2,18 @@
 
 The reference's megakernel handles one bounce (primary + shadow); multi-
 bounce path tracing is the wavefront generalization promised by the north
-star: bounce loop at the Python level, each bounce a full-batch traversal,
-with dead rays carrying empty stacks and a stable sort compacting live rays
-to the front so the batch's while_loop drains coherently.
+star: a Python-level bounce loop over jitted stages. The traversal kernel is
+compiled ONCE and reused for the primary, shadow and bounce passes of every
+frame (inlining it per pass quadruples compile time and overflows this
+backend's remote-compile payload limit); the per-bounce shading/NEE/sampling
+math is a second jitted stage.
 
 Lighting model: Lambertian surfaces (material diffuse albedo), cosine-
-weighted hemisphere bounces, sky radiance on miss, plus next-event direct
-light toward the scene point light with a shadow trace per bounce.
+weighted hemisphere bounces keyed by *pixel id* (so compaction permutations
+don't change the image), sky radiance on miss, and next-event estimation
+toward the scene point light with a shadow trace per bounce. Compaction
+stable-sorts live rays to the front so the traversal batch drains
+coherently.
 """
 
 from __future__ import annotations
@@ -23,125 +28,150 @@ from tpu_raytracing.scene.types import DeviceScene
 from tpu_raytracing.trace import shade
 from tpu_raytracing.trace.ray import Rays, generate_primary_rays
 from tpu_raytracing.trace.render import SHADOW_TMIN, _gather_hit_context, _shadow_rays
-from tpu_raytracing.trace.traverse import PackedPairs, TraversalBVH, trace_rays
+from tpu_raytracing.trace.traverse import trace_rays
 
-SKY_HORIZON = jnp.array([1.0, 1.0, 1.0], jnp.float32)
-SKY_ZENITH = jnp.array([0.5, 0.7, 1.0], jnp.float32)
+SKY_HORIZON = (1.0, 1.0, 1.0)
+SKY_ZENITH = (0.5, 0.7, 1.0)
 
 
 def _sky(direction):
     t = 0.5 * (direction[:, 1] + 1.0)
-    return SKY_HORIZON[None, :] * (1.0 - t[:, None]) + SKY_ZENITH[None, :] * t[:, None]
+    horizon = jnp.array(SKY_HORIZON, jnp.float32)
+    zenith = jnp.array(SKY_ZENITH, jnp.float32)
+    return horizon[None, :] * (1.0 - t[:, None]) + zenith[None, :] * t[:, None]
 
 
 def _cosine_sample(normal, u):
-    """Cosine-weighted hemisphere directions around per-ray normals; ``u`` is
-    [R, 2] uniforms indexed by *pixel*, so results are invariant under the
-    compaction permutation."""
+    """Cosine-weighted hemisphere directions; ``u`` is [R, 2] uniforms
+    indexed by pixel, so results are invariant under compaction."""
     r = jnp.sqrt(u[:, 0])
     phi = 2.0 * jnp.pi * u[:, 1]
     local = jnp.stack(
         [r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.maximum(1.0 - u[:, 0], 0.0))],
         axis=-1,
     )
-    # Orthonormal basis around the normal.
     n = normal
     sign = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
     a = -1.0 / (sign + n[:, 2])
     b = n[:, 0] * n[:, 1] * a
     t = jnp.stack([1.0 + sign * n[:, 0] ** 2 * a, sign * b, -sign * n[:, 0]], axis=-1)
     bt = jnp.stack([b, sign + n[:, 1] ** 2 * a, -n[:, 1]], axis=-1)
-    return (
-        t * local[:, 0:1] + bt * local[:, 1:2] + n * local[:, 2:3]
+    return t * local[:, 0:1] + bt * local[:, 1:2] + n * local[:, 2:3]
+
+
+@partial(jax.jit, static_argnames=("compaction",))
+def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
+                  alive, pixel, u_frame, max_t, compaction: bool = True):
+    """Shading + NEE + next-ray sampling + compaction for one bounce."""
+    miss = alive & ~rec.hit
+    radiance = radiance + jnp.where(
+        miss[:, None], throughput * _sky(rays.direction), 0.0
+    )
+    alive = alive & rec.hit
+
+    ctx = _gather_hit_context(scene, pairs, rec)
+    albedo = ctx["mat_diffuse"]
+    normal = shade.interpolate(ctx["normals3"], rec.bary_u, rec.bary_v)
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
+    normal = jnp.where(
+        (jnp.sum(normal * rays.direction, axis=-1) > 0.0)[:, None], -normal, normal
+    )
+    hit_pos = rays.origin + rays.direction * rec.t[:, None]
+
+    # Next-event estimation using the caller-provided shadow trace.
+    srays_dir = _shadow_rays(scene, rays, rec).direction
+    ndotl = jnp.maximum(jnp.sum(normal * srays_dir, axis=-1), 0.0)
+    radiance = radiance + jnp.where(
+        (alive & ~srec_hit)[:, None],
+        throughput * albedo * ndotl[:, None] * shade.light_colour()[None, :],
+        0.0,
     )
 
+    throughput = throughput * albedo
+    num = pixel.shape[0]
+    new_dir = _cosine_sample(normal, u_frame[pixel])
+    new_rays = Rays(
+        origin=hit_pos + normal * 1e-4,
+        direction=new_dir,
+        tmin=jnp.full((num,), SHADOW_TMIN, jnp.float32),
+        tmax=jnp.full((num,), max_t, jnp.float32),
+    )
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "num_bounces", "compaction", "tracer"),
-)
+    if compaction:
+        perm = jnp.argsort((~alive).astype(jnp.int32), stable=True)
+        new_rays = jax.tree.map(lambda a: a[perm], new_rays)
+        throughput = throughput[perm]
+        radiance = radiance[perm]
+        alive = alive[perm]
+        pixel = pixel[perm]
+
+    return radiance, throughput, alive, pixel, new_rays
+
+
+@jax.jit
+def _finalize(radiance, pixel):
+    num = pixel.shape[0]
+    return jnp.zeros((num, 3), jnp.float32).at[pixel].set(radiance)
+
+
 def path_trace(
-    trav: TraversalBVH,
-    pairs: PackedPairs,
+    trav,
+    pairs,
     scene: DeviceScene,
     camera: dict,
     width: int,
     height: int,
     num_bounces: int = 4,
-    key: jnp.ndarray = None,
+    key=None,
     compaction: bool = True,
     tracer=trace_rays,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns ([H, W, 3] float32 radiance, total rays traced)."""
+    """Returns ([H, W, 3] float32 radiance, total rays traced).
+
+    Python-level bounce loop over two jitted stages (trace, shade); the
+    tracer is jit-cached by identity so every pass reuses one compiled
+    traversal program.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
-    rays = generate_primary_rays(camera, width, height)
+    traced = _jitted_tracer(tracer)
+
+    rays = jax.jit(generate_primary_rays, static_argnames=("width", "height"))(
+        camera, width, height
+    )
     num = width * height
     pixel = jnp.arange(num, dtype=jnp.int32)
     throughput = jnp.ones((num, 3), jnp.float32)
     radiance = jnp.zeros((num, 3), jnp.float32)
     alive = jnp.ones((num,), bool)
-    rays_traced = jnp.int32(0)
+    rays_traced = 0
     max_t = camera["max_depth"]
-    light_colour = shade.LIGHT_COLOUR
 
     for bounce in range(num_bounces + 1):
         key, k_dir = jax.random.split(key)
-        rec, stats = tracer(trav, pairs, rays, active=alive)
-        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
+        rec, _stats = traced(trav, pairs, rays, alive)
+        srec, _ = traced(trav, pairs, _jit_shadow(scene, rays, rec), alive)
+        rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))
 
-        miss = alive & ~rec.hit
-        radiance = radiance + jnp.where(
-            miss[:, None], throughput * _sky(rays.direction), 0.0
-        )
-        alive = alive & rec.hit
-
-        ctx = _gather_hit_context(scene, pairs, rec)
-        albedo = ctx["mat_diffuse"]
-        normal = shade.interpolate(ctx["normals3"], rec.bary_u, rec.bary_v)
-        norm_len = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-        normal = normal / jnp.maximum(norm_len, 1e-20)
-        # Face-forward against the incoming ray.
-        normal = jnp.where(
-            (jnp.sum(normal * rays.direction, axis=-1) > 0.0)[:, None], -normal, normal
-        )
-        hit_pos = rays.origin + rays.direction * rec.t[:, None]
-
-        # Next-event estimation: one shadow ray toward the point light.
-        srays = _shadow_rays(scene, rays, rec)
-        srec, _ = tracer(trav, pairs, srays, active=alive)
-        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
-        ndotl = jnp.maximum(jnp.sum(normal * srays.direction, axis=-1), 0.0)
-        direct = jnp.where(
-            (alive & ~srec.hit)[:, None],
-            throughput * albedo * ndotl[:, None] * light_colour[None, :],
-            0.0,
-        )
-        radiance = radiance + direct
-
-        if bounce == num_bounces:
-            break
-
-        throughput = throughput * albedo
         u_frame = jax.random.uniform(k_dir, (num, 2))
-        new_dir = _cosine_sample(normal, u_frame[pixel])
-        rays = Rays(
-            origin=hit_pos + normal * 1e-4,
-            direction=new_dir,
-            tmin=jnp.full((num,), SHADOW_TMIN, jnp.float32),
-            tmax=jnp.full((num,), max_t, jnp.float32),
+        radiance, throughput, alive, pixel, rays = _bounce_stage(
+            scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
+            pixel, u_frame, max_t, compaction=compaction,
         )
 
-        if compaction:
-            # Stable sort: live rays to the front so the traversal batch
-            # drains coherently; pixel ids ride along for the final scatter.
-            order_key = (~alive).astype(jnp.int32)
-            perm = jnp.argsort(order_key, stable=True)
-            rays = jax.tree.map(lambda a: a[perm], rays)
-            throughput = throughput[perm]
-            radiance = radiance[perm]
-            alive = alive[perm]
-            pixel = pixel[perm]
-
-    img = jnp.zeros((num, 3), jnp.float32).at[pixel].set(radiance)
+    img = _finalize(radiance, pixel)
     return img.reshape(height, width, 3), rays_traced
+
+
+_TRACER_CACHE = {}
+
+
+def _jitted_tracer(tracer):
+    fn = _TRACER_CACHE.get(id(tracer))
+    if fn is None:
+        fn = jax.jit(lambda trav, pairs, rays, act: tracer(trav, pairs, rays, active=act))
+        _TRACER_CACHE[id(tracer)] = fn
+    return fn
+
+
+_jit_shadow = jax.jit(_shadow_rays)

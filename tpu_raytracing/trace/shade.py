@@ -266,7 +266,13 @@ def bump_to_normal(pool, tex, tbn, uv, lod):
 # Phong ambient shader
 # ---------------------------------------------------------------------------
 
-LIGHT_COLOUR = jnp.array([1.0, 0.9, 0.8], jnp.float32)
+# Tuple, not a module-level jnp array: device-resident captured constants
+# are re-staged per call on this backend.
+LIGHT_COLOUR_RGB = (1.0, 0.9, 0.8)
+
+
+def light_colour():
+    return jnp.array(LIGHT_COLOUR_RGB, jnp.float32)
 
 
 def ambient_shader(
@@ -302,6 +308,7 @@ def ambient_shader(
     """
     pool = scene.textures
     light_pos = scene.light
+    lc = light_colour()
     hit_pos = origin + direction * t[..., None]
     normal = interpolate(normals3, bary_u, bary_v)
 
@@ -328,15 +335,15 @@ def ambient_shader(
         )
 
     light_dir = _normalize(light_pos - hit_pos)
-    ambient = 0.2 * LIGHT_COLOUR
+    ambient = 0.2 * lc
     ndotl = jnp.maximum(_dot(normal, light_dir), 0.0)
-    diffuse = ndotl[..., None] * LIGHT_COLOUR
+    diffuse = ndotl[..., None] * lc
 
     def reflect(i, n):
         return i - 2.0 * n * _dot(n, i)[..., None]
 
     spec_base = jnp.maximum(_dot(-direction, reflect(-light_dir, normal)), 0.0)
-    specular = jnp.power(spec_base, mat_specular_exp)[..., None] * LIGHT_COLOUR
+    specular = jnp.power(spec_base, mat_specular_exp)[..., None] * lc
 
     object_diffuse = mat_diffuse
     if use_textures:

@@ -1,0 +1,265 @@
+"""Fat wide-packet traversal — flagship TPU tracer.
+
+Three backend-specific design rules shape this tracer, each measured on real
+hardware (see SURVEY.md §7's hard parts):
+
+* **One row gather per pop**: the 8-wide node row carries its Tri entries'
+  pair geometry inline (bvh/wide.py FatWideBVH) — gather count per step,
+  not gather size, is what costs on this backend.
+* **Shift-register stack**: D int32 registers of [P] (top = register 0);
+  pushes/pops are static-index selects. Dynamic take_along_axis/scatter on
+  a carried [P, 64] stack costs ~0.14 ms per step.
+
+Ordering matches the wide tracer: Box children sorted by packet-min entry
+distance (higher-id tie-break, src/Tracer.cu:346-347 at packet granularity)
+and pushed far-to-near. A push beyond D drops the farthest pending subtree
+(D = 48 covers the expected case by a wide margin).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_raytracing.bvh.types import CHILD_BOX, CHILD_NONE, CHILD_TRI
+from tpu_raytracing.bvh.wide import ENTRY_WORDS, WIDE, FatWideBVH
+from tpu_raytracing.trace.brute import HitRecord
+from tpu_raytracing.trace.ray import Rays
+from tpu_raytracing.trace.traverse import (
+    _META_CHILD_SHIFT,
+    _META_COUNT_MASK,
+    _META_COUNT_SHIFT,
+    _META_TYPE_MASK,
+    PackedPairs,
+    TraceStats,
+)
+from tpu_raytracing.trace.wide_packet import _NETWORK
+
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+_NEG = -float(jnp.finfo(jnp.float32).max)
+STACK_REGS = 48
+# Möller-Trumbore epsilon (src/Tracer.cu:260).
+_TRI_EPS = 1e-9
+
+
+def trace_rays_wide_fat(
+    wide: FatWideBVH,
+    pairs: PackedPairs,
+    rays: Rays,
+    active=None,
+    packet_size: int = 128,
+) -> Tuple[HitRecord, TraceStats]:
+    """Closest-hit trace of packets against the fat wide BVH (root = 0).
+
+    ``pairs`` is unused during traversal (pair data rides in the rows) but
+    kept for tracer-signature compatibility.
+    """
+    del pairs
+    num_rays = rays.origin.shape[0]
+    assert num_rays % packet_size == 0
+    num_p = num_rays // packet_size
+    k = packet_size
+    num_nodes = wide.rows.shape[0]
+
+    origin = rays.origin.reshape(num_p, k, 3)
+    direction = rays.direction.reshape(num_p, k, 3)
+    # Hoist the slab reciprocals out of the traversal loop.
+    inv_dir = 1.0 / direction
+    tmin = rays.tmin.reshape(num_p, k)
+    ray_on = (
+        jnp.ones((num_p, k), bool) if active is None else active.reshape(num_p, k)
+    )
+
+    if active is None:
+        top0 = jnp.zeros((num_p,), jnp.int32)
+    else:
+        top0 = jnp.where(jnp.any(ray_on, axis=1), 0, -1).astype(jnp.int32)
+    regs0 = (top0,) + tuple(
+        jnp.full((num_p,), -1, jnp.int32) for _ in range(STACK_REGS - 1)
+    )
+
+    state = dict(
+        regs=regs0,
+        tmax=rays.tmax.reshape(num_p, k),
+        hit=jnp.zeros((num_p, k), bool),
+        prim_id=jnp.zeros((num_p, k), jnp.int32),
+        tri_id=jnp.zeros((num_p, k), jnp.int32),
+        bary_u=jnp.zeros((num_p, k), jnp.float32),
+        bary_v=jnp.zeros((num_p, k), jnp.float32),
+        box_tests=jnp.zeros((num_p, k), jnp.int32),
+        tri_tests=jnp.zeros((num_p, k), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s["regs"][0] >= 0)
+
+    def body(s):
+        regs = s["regs"]
+        wid = regs[0]
+        active_p = wid >= 0
+        regs = tuple(
+            jnp.where(active_p, regs[i + 1] if i + 1 < STACK_REGS else -1, regs[i])
+            for i in range(STACK_REGS)
+        )
+
+        # Flat fat row: [64 node words][entry e's 16 pair words at 64+16e].
+        row = wide.rows[jnp.clip(wid, 0, num_nodes - 1)]  # [P, 192]
+        tmax = s["tmax"]
+        hit = s["hit"]
+        prim_id, tri_id = s["prim_id"], s["tri_id"]
+        bary_u, bary_v = s["bary_u"], s["bary_v"]
+        box_tests, tri_tests = s["box_tests"], s["tri_tests"]
+
+        cand_dist = []
+        cand_id = []
+
+        def i2f3(cols):
+            return jax.lax.bitcast_convert_type(cols, jnp.float32)
+
+        for e in range(WIDE):
+            node = row[:, e * 8 : e * 8 + 8]
+            pair = row[:, 64 + e * 16 : 64 + e * 16 + 16]
+            meta = node[:, 6]
+            ntype = meta & _META_TYPE_MASK
+            child = meta >> _META_CHILD_SHIFT
+            ccount = (meta >> _META_COUNT_SHIFT) & _META_COUNT_MASK
+            valid = active_p & (ntype != CHILD_NONE)
+
+            # --- slab test (src/Tracer.cu:187-200) ---
+            nmin = i2f3(node[:, 0:3])[:, None, :]
+            nmax = i2f3(node[:, 3:6])[:, None, :]
+            t1 = (nmin - origin) * inv_dir
+            t2 = (nmax - origin) * inv_dir
+            front = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            back = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            box_hit = (back >= front) & (front <= tmax) & (back >= tmin)
+            box_hit = box_hit & ray_on & valid[:, None]
+            box_tests = box_tests + (valid[:, None] & ray_on).astype(jnp.int32)
+            any_hit = jnp.any(box_hit, axis=1)
+
+            # --- leaf: both pair triangles, component-unrolled MT ---
+            do_leaf = any_hit & (ntype == CHILD_TRI)
+            v0 = i2f3(pair[:, 0:3])[:, None, :]
+            v1 = i2f3(pair[:, 3:6])[:, None, :]
+            v2 = i2f3(pair[:, 6:9])[:, None, :]
+            v3 = i2f3(pair[:, 9:12])[:, None, :]
+            tri_tests = tri_tests + (do_leaf[:, None] & box_hit).astype(jnp.int32)
+
+            def mt(a, b, c):
+                """Möller-Trumbore (src/Tracer.cu:256-291)."""
+                e1 = b - a
+                e2 = c - a
+                h = jnp.cross(direction, e2)
+                det = jnp.sum(e1 * h, axis=-1)
+                degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
+                f = 1.0 / det
+                sv = origin - a
+                u = f * jnp.sum(sv * h, axis=-1)
+                q = jnp.cross(sv, e1)
+                v = f * jnp.sum(direction * q, axis=-1)
+                t = f * jnp.sum(e2 * q, axis=-1)
+                acc = (
+                    ~degen
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= tmin)
+                    & (t <= tmax)
+                )
+                return acc, t, u, v
+
+            acc_a, t_a, u_a, v_a = mt(v0, v1, v2)
+            take = do_leaf[:, None] & box_hit & acc_a
+            tmax = jnp.where(take, t_a, tmax)
+            hit = hit | take
+            prim_id = jnp.where(take, pair[:, 12][:, None], prim_id)
+            tri_id = jnp.where(take, (child << 1)[:, None], tri_id)
+            bary_u = jnp.where(take, u_a, bary_u)
+            bary_v = jnp.where(take, v_a, bary_v)
+
+            acc_b, t_b, u_b, v_b = mt(v2, v1, v3)
+            take = do_leaf[:, None] & box_hit & (ccount > 0)[:, None] & acc_b
+            tmax = jnp.where(take, t_b, tmax)
+            hit = hit | take
+            prim_id = jnp.where(take, pair[:, 13][:, None], prim_id)
+            tri_id = jnp.where(take, ((child << 1) + 1)[:, None], tri_id)
+            bary_u = jnp.where(take, u_b, bary_u)
+            bary_v = jnp.where(take, v_b, bary_v)
+
+            do_box = any_hit & (ntype == CHILD_BOX)
+            dist_p = jnp.min(jnp.where(box_hit, front, _F32_MAX), axis=1)
+            cand_dist.append(jnp.where(do_box, dist_p, _NEG))
+            cand_id.append(jnp.where(do_box, child, -1))
+
+        # Distance sort (descending; ties -> higher id nearer).
+        d = list(cand_dist)
+        c = list(cand_id)
+        for a, b in _NETWORK:
+            swap = (d[a] < d[b]) | ((d[a] == d[b]) & (c[a] > c[b]))
+            da = jnp.where(swap, d[b], d[a])
+            db = jnp.where(swap, d[a], d[b])
+            ca = jnp.where(swap, c[b], c[a])
+            cb = jnp.where(swap, c[a], c[b])
+            d[a], d[b], c[a], c[b] = da, db, ca, cb
+
+        # Far-to-near pushes: shift down + insert at the top.
+        for e in range(WIDE):
+            mask = c[e] >= 0
+            shifted = (c[e],) + regs[:-1]
+            regs = tuple(
+                jnp.where(mask, shifted[i], regs[i]) for i in range(STACK_REGS)
+            )
+
+        return dict(
+            regs=regs,
+            tmax=tmax,
+            hit=hit,
+            prim_id=prim_id,
+            tri_id=tri_id,
+            bary_u=bary_u,
+            bary_v=bary_v,
+            box_tests=box_tests,
+            tri_tests=tri_tests,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+
+    def unpk(a):
+        return a.reshape(num_rays, *a.shape[2:])
+
+    rec = HitRecord(
+        hit=unpk(out["hit"]),
+        t=unpk(out["tmax"]),
+        prim_id=unpk(out["prim_id"]),
+        tri_id=unpk(out["tri_id"]),
+        bary_u=unpk(out["bary_u"]),
+        bary_v=unpk(out["bary_v"]),
+    )
+    stats = TraceStats(
+        box_tests=unpk(out["box_tests"]), tri_tests=unpk(out["tri_tests"])
+    )
+    return rec, stats
+
+
+def make_tiled_fat_tracer(wide: FatWideBVH, width: int, height: int,
+                          tile_w: int = 16, tile_h: int = 8):
+    """Drop-in tracer closure over screen-tile packets (trav arg ignored)."""
+    from tpu_raytracing.trace.packet import tile_permutation
+
+    perm, inv = tile_permutation(width, height, tile_w, tile_h)
+
+    def tracer(trav, pairs, rays, max_width=2, active=None):
+        del trav, max_width
+        tiled = jax.tree.map(lambda a: a[perm], rays)
+        act = None if active is None else active[perm]
+        rec, stats = trace_rays_wide_fat(
+            wide, pairs, tiled, active=act, packet_size=tile_w * tile_h
+        )
+        rec = jax.tree.map(lambda a: a[inv], rec)
+        stats = jax.tree.map(lambda a: a[inv], stats)
+        return rec, stats
+
+    return tracer
