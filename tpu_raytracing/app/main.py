@@ -135,25 +135,31 @@ def main(argv=None):
     trav = pack_bvh(bvh)
     packed = pack_pairs(pairs)
 
-    def make_tracer(bvh, packed):
-        """Select the traversal kernel (--tracer)."""
-        if args.tracer == "wide":
-            from tpu_raytracing.bvh.wide import build_wide_fat
-            from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
-
-            fat = jax.jit(build_wide_fat)(bvh, packed.rows)
-            return make_tiled_fat_tracer(fat, args.width, args.height, 8, 8)
-        if args.tracer == "packet":
-            from tpu_raytracing.trace.packet import make_tiled_packet_tracer
-
-            return make_tiled_packet_tracer(args.width, args.height, 8, 8)
-        from tpu_raytracing.trace.traverse import trace_rays
-
-        return trace_rays
-
     if args.width % 8 or args.height % 8:
         args.tracer = "scalar"  # packet tiling needs 8-divisible frames
-    tracer = make_tracer(bvh, packed)
+
+    if args.tracer == "wide":
+        from tpu_raytracing.bvh.wide import build_wide_fat
+        from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
+
+        # wide=None: the fat structure rides in the trav argument, so one
+        # compiled tracer serves every animated-rebuild frame.
+        tracer = make_tiled_fat_tracer(None, args.width, args.height, 8, 8)
+        _fat_build = jax.jit(build_wide_fat)
+
+        def make_trav(bvh, packed):
+            return _fat_build(bvh, packed.rows)
+    elif args.tracer == "packet":
+        from tpu_raytracing.trace.packet import make_tiled_packet_tracer
+
+        tracer = make_tiled_packet_tracer(args.width, args.height, 8, 8)
+        make_trav = lambda bvh, packed: pack_bvh(bvh)  # noqa: E731
+    else:
+        from tpu_raytracing.trace.traverse import trace_rays
+
+        tracer = trace_rays
+        make_trav = lambda bvh, packed: pack_bvh(bvh)  # noqa: E731
+    trav = make_trav(bvh, packed)
 
     modes = list(RenderType)[:-1] if args.cycle_modes else [args.render_type]
     key = jax.random.PRNGKey(0)
@@ -167,9 +173,8 @@ def main(argv=None):
             )
             quiet = StageTimer(should_print=False)
             bvh, pairs = build_accel(triangles, args, quiet)
-            trav = pack_bvh(bvh)
             packed = pack_pairs(pairs)
-            tracer = make_tracer(bvh, packed)
+            trav = make_trav(bvh, packed)
         cam_dev = cam.camera_to_device(camera)
 
         for mode in modes:

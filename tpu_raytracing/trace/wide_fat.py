@@ -244,19 +244,25 @@ def trace_rays_wide_fat(
     return rec, stats
 
 
-def make_tiled_fat_tracer(wide: FatWideBVH, width: int, height: int,
+def make_tiled_fat_tracer(wide, width: int, height: int,
                           tile_w: int = 16, tile_h: int = 8):
-    """Drop-in tracer closure over screen-tile packets (trav arg ignored)."""
+    """Drop-in tracer closure over screen-tile packets.
+
+    With ``wide=None`` the FatWideBVH is taken from the tracer's ``trav``
+    argument instead — use that form for per-frame rebuilds so one closure
+    (and one compiled program) serves every frame.
+    """
     from tpu_raytracing.trace.packet import tile_permutation
 
     perm, inv = tile_permutation(width, height, tile_w, tile_h)
 
     def tracer(trav, pairs, rays, max_width=2, active=None):
-        del trav, max_width
+        del max_width
+        w = wide if wide is not None else trav
         tiled = jax.tree.map(lambda a: a[perm], rays)
         act = None if active is None else active[perm]
         rec, stats = trace_rays_wide_fat(
-            wide, pairs, tiled, active=act, packet_size=tile_w * tile_h
+            w, pairs, tiled, active=act, packet_size=tile_w * tile_h
         )
         rec = jax.tree.map(lambda a: a[inv], rec)
         stats = jax.tree.map(lambda a: a[inv], stats)
