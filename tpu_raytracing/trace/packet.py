@@ -69,6 +69,24 @@ def tile_permutation(width: int, height: int, tile_w: int = 16, tile_h: int = 8)
     return jnp.asarray(perm), jnp.asarray(inv)
 
 
+def tile_reorder(a, width: int, height: int, tile_w: int = 16, tile_h: int = 8):
+    """Row-major -> tile-major via reshape/transpose (no index constants:
+    gather permutations embed megabytes of literals in the compiled module,
+    which overflows this backend's remote-compile payload limit)."""
+    lead = a.shape[1:]
+    x = a.reshape(height // tile_h, tile_h, width // tile_w, tile_w, *lead)
+    perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(lead)))
+    return x.transpose(*perm).reshape(width * height, *lead)
+
+
+def tile_restore(a, width: int, height: int, tile_w: int = 16, tile_h: int = 8):
+    """Inverse of tile_reorder."""
+    lead = a.shape[1:]
+    x = a.reshape(height // tile_h, width // tile_w, tile_h, tile_w, *lead)
+    perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(lead)))
+    return x.transpose(*perm).reshape(width * height, *lead)
+
+
 def trace_rays_packet(
     trav: TraversalBVH,
     pairs: PackedPairs,
@@ -260,17 +278,21 @@ def make_tiled_packet_tracer(width: int, height: int, tile_w: int = 16,
                              tile_h: int = 8):
     """Tracer closure that re-orders rays into screen tiles, traces packets,
     and restores row-major order — drop-in for render_frame's tracer arg."""
-    perm, inv = tile_permutation(width, height, tile_w, tile_h)
 
     def tracer(trav, pairs, rays, max_width=2, active=None):
-        tiled = jax.tree.map(lambda a: a[perm], rays)
-        act = None if active is None else active[perm]
+        tiled = jax.tree.map(
+            lambda a: tile_reorder(a, width, height, tile_w, tile_h), rays
+        )
+        act = None if active is None else tile_reorder(active, width, height,
+                                                       tile_w, tile_h)
         rec, stats = trace_rays_packet(
             trav, pairs, tiled, max_width=max_width, active=act,
             packet_size=tile_w * tile_h,
         )
-        rec = jax.tree.map(lambda a: a[inv], rec)
-        stats = jax.tree.map(lambda a: a[inv], stats)
+        rec = jax.tree.map(lambda a: tile_restore(a, width, height, tile_w, tile_h), rec)
+        stats = jax.tree.map(
+            lambda a: tile_restore(a, width, height, tile_w, tile_h), stats
+        )
         return rec, stats
 
     return tracer

@@ -252,20 +252,26 @@ def make_tiled_fat_tracer(wide, width: int, height: int,
     argument instead — use that form for per-frame rebuilds so one closure
     (and one compiled program) serves every frame.
     """
-    from tpu_raytracing.trace.packet import tile_permutation
-
-    perm, inv = tile_permutation(width, height, tile_w, tile_h)
+    from tpu_raytracing.trace.packet import tile_reorder, tile_restore
 
     def tracer(trav, pairs, rays, max_width=2, active=None):
         del max_width
         w = wide if wide is not None else trav
-        tiled = jax.tree.map(lambda a: a[perm], rays)
-        act = None if active is None else active[perm]
+        tiled = jax.tree.map(
+            lambda a: tile_reorder(a, width, height, tile_w, tile_h), rays
+        )
+        act = None if active is None else tile_reorder(
+            active, width, height, tile_w, tile_h
+        )
         rec, stats = trace_rays_wide_fat(
             w, pairs, tiled, active=act, packet_size=tile_w * tile_h
         )
-        rec = jax.tree.map(lambda a: a[inv], rec)
-        stats = jax.tree.map(lambda a: a[inv], stats)
+        rec = jax.tree.map(
+            lambda a: tile_restore(a, width, height, tile_w, tile_h), rec
+        )
+        stats = jax.tree.map(
+            lambda a: tile_restore(a, width, height, tile_w, tile_h), stats
+        )
         return rec, stats
 
     return tracer

@@ -222,19 +222,25 @@ def make_tiled_wide_tracer(wide: WideBVH, width: int, height: int,
                            tile_w: int = 16, tile_h: int = 8):
     """Drop-in tracer closure: rays tiled into packets, wide traversal,
     row-major results. Ignores the trav argument (the wide BVH is bound)."""
-    from tpu_raytracing.trace.packet import tile_permutation
-
-    perm, inv = tile_permutation(width, height, tile_w, tile_h)
+    from tpu_raytracing.trace.packet import tile_reorder, tile_restore
 
     def tracer(trav, pairs, rays, max_width=2, active=None):
         del trav, max_width
-        tiled = jax.tree.map(lambda a: a[perm], rays)
-        act = None if active is None else active[perm]
+        tiled = jax.tree.map(
+            lambda a: tile_reorder(a, width, height, tile_w, tile_h), rays
+        )
+        act = None if active is None else tile_reorder(
+            active, width, height, tile_w, tile_h
+        )
         rec, stats = trace_rays_wide(
             wide, pairs, tiled, active=act, packet_size=tile_w * tile_h
         )
-        rec = jax.tree.map(lambda a: a[inv], rec)
-        stats = jax.tree.map(lambda a: a[inv], stats)
+        rec = jax.tree.map(
+            lambda a: tile_restore(a, width, height, tile_w, tile_h), rec
+        )
+        stats = jax.tree.map(
+            lambda a: tile_restore(a, width, height, tile_w, tile_h), stats
+        )
         return rec, stats
 
     return tracer
