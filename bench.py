@@ -28,12 +28,12 @@ def main():
     iters = int(os.environ.get("TPURT_BENCH_ITERS", 5))
 
     from tpu_raytracing.bvh import lbvh, wide
+    from tpu_raytracing.ops.pallas_traverse import make_pallas_tracer, pad_rows_256
     from tpu_raytracing.scene import camera as cam
     from tpu_raytracing.scene import procedural
     from tpu_raytracing.scene.types import scene_to_device
     from tpu_raytracing.trace.pathtrace import path_trace
     from tpu_raytracing.trace.traverse import pack_pairs
-    from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
 
     log(f"bench: {num_tris} tris, {res}x{res}, {bounces} bounce(s), "
         f"device={jax.devices()[0]}")
@@ -59,7 +59,8 @@ def main():
     log(f"LBVH + wide rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
 
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
-    tracer = make_tiled_fat_tracer(fat, res, res, tile_w=8, tile_h=8)
+    rows256 = jax.jit(pad_rows_256)(fat.rows)
+    tracer = make_pallas_tracer(rows256, res, res)
 
     def frame(key):
         return path_trace(

@@ -13,9 +13,9 @@ sum of per-packet traversal lengths instead of packets x max-trip:
 * the traversal stack is an SMEM int32 array driven by scalar ops, and the
   pop/push loop is a lax.while_loop with genuinely dynamic trip count.
 
-v1 pushes hit children in entry order (no near-child distance sort), which
-changes traversal order but not closest-hit results (tmax pruning keeps
-correctness; see trace/packet.py for the argument).
+Box children are sorted by packet-min entry distance with a scalar
+compare-swap network and pushed far-to-near, so the nearest child pops
+first (the reference's ordering rule at packet granularity).
 """
 
 from __future__ import annotations
@@ -40,6 +40,17 @@ from tpu_raytracing.trace.traverse import (
 )
 
 K = 128  # rays per packet = lane width
+
+# Optimal 8-input sorting network (19 comparators).
+_PUSH_NETWORK = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6),
+    (1, 4), (3, 6),
+    (2, 4), (3, 5),
+    (3, 4),
+]
 STACK = 64
 _TRI_EPS = 1e-9
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
@@ -96,6 +107,8 @@ def _kernel(rows_i_hbm, rows_f_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx0,
 
         t = t_o[:]
         hit = hit_o[:] != 0
+        cand_d = []
+        cand_c = []
         for e in range(WIDE):
             meta = word(e * 8 + 6)
             ntype = meta & _META_TYPE_MASK
@@ -172,14 +185,33 @@ def _kernel(rows_i_hbm, rows_f_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx0,
             u_o[:] = jnp.where(take, uu, u_o[:])
             v_o[:] = jnp.where(take, vv, v_o[:])
 
-            # Push interior children that any lane hit.
-            do_push = any_hit & (ntype == CHILD_BOX) & (sp < STACK - 1)
+            # Collect interior candidates with their packet-min distance.
+            do_push = any_hit & (ntype == CHILD_BOX)
+            dist_e = jnp.min(jnp.where(box_hit, front, _F32_MAX))
+            cand_d.append(jnp.where(do_push, dist_e, -_F32_MAX))
+            cand_c.append(jnp.where(do_push, child, -1))
 
-            @pl.when(do_push)
+        # Scalar sort network, descending by distance (ties: higher id
+        # nearer, src/Tracer.cu:346-347), then push far-to-near.
+        for a, b in _PUSH_NETWORK:
+            swap = (cand_d[a] < cand_d[b]) | (
+                (cand_d[a] == cand_d[b]) & (cand_c[a] > cand_c[b])
+            )
+            da = jnp.where(swap, cand_d[b], cand_d[a])
+            db = jnp.where(swap, cand_d[a], cand_d[b])
+            ca = jnp.where(swap, cand_c[b], cand_c[a])
+            cb = jnp.where(swap, cand_c[a], cand_c[b])
+            cand_d[a], cand_d[b] = da, db
+            cand_c[a], cand_c[b] = ca, cb
+
+        for e in range(WIDE):
+            ok = (cand_c[e] >= 0) & (sp < STACK - 1)
+
+            @pl.when(ok)
             def _():
-                stack[sp] = child
+                stack[sp] = cand_c[e]
 
-            sp = sp + do_push.astype(jnp.int32)
+            sp = sp + ok.astype(jnp.int32)
 
         t_o[:] = t
         hit_o[:] = hit.astype(jnp.int32)
