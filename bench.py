@@ -60,11 +60,13 @@ def main():
 
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
     rows256 = jax.jit(pad_rows_256)(fat.rows)
-    tracer = make_pallas_tracer(rows256, res, res)
+    # rows ride in the trav argument (a closure would embed them as
+    # compile-time constants — gigabytes at 1M triangles).
+    tracer = make_pallas_tracer(None, res, res)
 
     def frame(key):
         return path_trace(
-            fat, packed, dev_scene, camera, res, res, num_bounces=bounces,
+            rows256, packed, dev_scene, camera, res, res, num_bounces=bounces,
             key=key, tracer=tracer,
         )
 

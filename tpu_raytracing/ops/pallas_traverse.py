@@ -287,15 +287,22 @@ def trace_rays_pallas(
     return rec, TraceStats(box_tests=zeros, tri_tests=zeros)
 
 
-def make_pallas_tracer(rows256: jnp.ndarray, width: int, height: int):
-    """Tiled drop-in tracer using the Pallas kernel (128-ray screen tiles)."""
+def make_pallas_tracer(rows256, width: int, height: int):
+    """Tiled drop-in tracer using the Pallas kernel (128-ray screen tiles).
+
+    With rows256=None the (int, float) row views ride in the tracer's
+    ``trav`` argument — REQUIRED for jitted callers at scale, otherwise the
+    closure embeds the row arrays as compile-time constants (gigabytes in
+    the compiled module).
+    """
     from tpu_raytracing.trace.packet import tile_reorder, tile_restore
 
     def tracer(trav, pairs, rays, max_width=2, active=None):
-        del trav, pairs, max_width
+        del pairs, max_width
+        rows = rows256 if rows256 is not None else trav
         tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, 16, 8), rays)
         act = None if active is None else tile_reorder(active, width, height, 16, 8)
-        rec, stats = trace_rays_pallas(rows256, tiled, active=act)
+        rec, stats = trace_rays_pallas(rows, tiled, active=act)
         rec = jax.tree.map(lambda a: tile_restore(a, width, height, 16, 8), rec)
         return rec, stats
 
