@@ -1,5 +1,6 @@
 """Headline benchmark: Mrays/s/chip (primary + bounce) on a 1M-triangle
-scene, plus per-frame LBVH rebuild time (targets in BASELINE.md).
+scene (tessellated terrain: a surface mesh, the realistic 1M-tri case),
+plus per-frame LBVH rebuild time (targets in BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}; supporting
 numbers go to stderr. Scale via TPURT_BENCH_TRIS / TPURT_BENCH_RES for smoke
@@ -38,7 +39,7 @@ def main():
     log(f"bench: {num_tris} tris, {res}x{res}, {bounces} bounce(s), "
         f"device={jax.devices()[0]}")
 
-    scene = procedural.random_triangle_soup(num_tris, seed=0)
+    scene = procedural.terrain(num_tris)
     dev_scene = scene_to_device(scene)
     camera = cam.camera_to_device(cam.initialise_camera(scene.aabb_min, scene.aabb_max))
     triangles = jnp.asarray(scene.triangles)

@@ -3,7 +3,7 @@
 1. Cornell box 256^2, primary + flat shading, PSNR vs the brute-force CPU
    reference oracle.
 2. Bunny-scale mesh (~82k tris) 512^2, LBVH build + primary + shadow rays.
-3. Sponza-scale soup (262k tris) 1080p, 4-bounce path trace with compaction.
+3. Sponza-scale terrain mesh (262k tris) 1080p, 4-bounce path trace with compaction.
 4. 1k-instance two-level TLAS/BLAS rebuilt per frame.
 5. Animated 1M-tri scene, per-frame LBVH rebuild + 8-bounce path trace.
 
@@ -118,7 +118,7 @@ def config3_sponza():
     w, h = 1920 // SCALE, 1080 // SCALE
     w -= w % 8
     h -= h % 8
-    scene = procedural.random_triangle_soup(262_000 // SCALE, seed=2)
+    scene = procedural.terrain(262_000 // SCALE)
     dev, fat, packed, camera, tracer = _setup(scene, w, h)
 
     def frame():
@@ -188,7 +188,7 @@ def config5_animated():
 
     num = 1_000_000 // SCALE
     res = 512 // SCALE
-    scene = procedural.random_triangle_soup(num, seed=0)
+    scene = procedural.terrain(num)
     dev = scene_to_device(scene)
     camera = cam.camera_to_device(cam.initialise_camera(scene.aabb_min, scene.aabb_max))
 

@@ -178,6 +178,44 @@ def random_triangle_soup(num_triangles: int, seed: int = 0, extent: float = 10.0
     return _finish(tris, mats, lib)
 
 
+def terrain(num_triangles: int, extent: float = 100.0, height: float = 8.0,
+            seed: int = 0) -> Scene:
+    """Tessellated heightfield with ~num_triangles triangles.
+
+    The structured-mesh counterpart to random_triangle_soup for the 1M-tri
+    benchmarks: real scenes are surfaces, and BVH traversal depth on a
+    surface is logarithmic where a volumetric soup degenerates to near-linear
+    (every ray overlaps thousands of boxes).
+    """
+    n = max(int(np.sqrt(num_triangles / 2)), 2)
+    xs = np.linspace(-extent / 2, extent / 2, n + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, xs)
+    rng = np.random.default_rng(seed)
+    gy = (
+        height * np.sin(gx * 0.11) * np.cos(gz * 0.13)
+        + 0.3 * height * np.sin(gx * 0.71 + 1.3) * np.sin(gz * 0.53)
+        + rng.normal(0, 0.05 * height, gx.shape)
+    ).astype(np.float32)
+    verts = np.stack([gx, gy, gz], axis=-1)  # [n+1, n+1, 3]
+
+    v00 = verts[:-1, :-1].reshape(-1, 3)
+    v01 = verts[:-1, 1:].reshape(-1, 3)
+    v10 = verts[1:, :-1].reshape(-1, 3)
+    v11 = verts[1:, 1:].reshape(-1, 3)
+    tris = np.concatenate(
+        [np.stack([v00, v01, v11], axis=1), np.stack([v00, v11, v10], axis=1)],
+        axis=0,
+    ).astype(np.float32)
+
+    lib = Library()
+    lib.add_material("ground")
+    lib.materials[-1].diffuse = np.array([0.55, 0.5, 0.45], np.float32)
+    lib.materials[-1].ambient = np.array([0.55, 0.5, 0.45], np.float32)
+    mats = np.zeros(tris.shape[0], np.int32)
+    light = np.array([0.0, 3.0 * height + 10.0, 0.0], np.float32)
+    return _finish(tris, mats, lib, light)
+
+
 def animate_triangles(triangles: np.ndarray, time: float, amplitude: float = 0.05) -> np.ndarray:
     """Per-frame vertex animation for the animated-rebuild benchmark:
     a smooth positional wobble that forces a full LBVH rebuild each frame."""
