@@ -57,10 +57,12 @@ def _setup(scene, width, height, tracer_kind="wide"):
 
 
 def _time(fn, iters=3):
-    out = jax.block_until_ready(fn())
+    """fn(i) must vary its input with i: this backend memoizes executions
+    with identical inputs, turning naive repeat timing into cache hits."""
+    out = jax.block_until_ready(fn(0))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
+    for i in range(iters):
+        out = fn(i + 1)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, out
 
@@ -77,8 +79,12 @@ def config1_cornell():
     res = 256 // SCALE
     scene = procedural.cornell_box()
     dev, fat, packed, camera, tracer = _setup(scene, res, res)
-    dt, (img, _) = _time(lambda: render_frame(
-        fat, packed, dev, camera, res, res, RenderType.DIFFUSE, tracer=tracer))
+    def _frame(i):
+        cam_j = dict(camera, position=camera["position"] + i * 1e-4)
+        return render_frame(fat, packed, dev, cam_j, res, res,
+                            RenderType.DIFFUSE, tracer=tracer)
+
+    dt, (img, _) = _time(_frame)
     tris = jnp.asarray(scene.triangles)
     ref_img, _ = render_frame(
         fat, pack_pairs(identity_pairs(tris)), dev, camera, res, res,
@@ -101,10 +107,14 @@ def config2_bunny():
     dev, fat, packed, camera, tracer = _setup(scene, res, res)
     tris = jnp.asarray(scene.triangles)
     build = jax.jit(lbvh.build_lbvh)
-    bt, _ = _time(lambda: build(tris)[0])
-    dt, (img, tests) = _time(lambda: render_frame(
-        fat, packed, dev, camera, res, res,
-        RenderType.TEXTURE_LIT_SHADOWS, tracer=tracer))
+    bt, _ = _time(lambda i: build(tris + i * 1e-5)[0])
+
+    def _frame(i):
+        cam_j = dict(camera, position=camera["position"] + i * 1e-4)
+        return render_frame(fat, packed, dev, cam_j, res, res,
+                            RenderType.TEXTURE_LIT_SHADOWS, tracer=tracer)
+
+    dt, (img, tests) = _time(_frame)
     # primary + shadow: 2 rays per pixel
     emit("2-bunny-512-shadows", num_tris=scene.num_triangles,
          build_ms=round(bt * 1000, 3), ms_per_frame=round(dt * 1000, 2),
@@ -121,9 +131,10 @@ def config3_sponza():
     scene = procedural.terrain(262_000 // SCALE)
     dev, fat, packed, camera, tracer = _setup(scene, w, h)
 
-    def frame():
-        return path_trace(fat, packed, dev, camera, w, h, num_bounces=4,
-                          key=jax.random.PRNGKey(0), tracer=tracer)
+    def frame(i):
+        cam_j = dict(camera, position=camera["position"] + i * 1e-4)
+        return path_trace(fat, packed, dev, cam_j, w, h, num_bounces=4,
+                          key=jax.random.PRNGKey(i), tracer=tracer)
 
     dt, (img, rays) = _time(frame)
     emit("3-sponza-1080p-4bounce", num_tris=scene.num_triangles,
@@ -157,8 +168,7 @@ def config4_instances():
         return jnp.asarray(out)
 
     build = jax.jit(tlas.build_instanced)
-    tf = transforms(0.0)
-    bt, inst_as = _time(lambda: build(blas, tf))
+    bt, inst_as = _time(lambda i: build(blas, transforms(i * 0.1)))
 
     xs = np.linspace(-8, 8, res, dtype=np.float32)
     gx, gy = np.meshgrid(xs, xs)
@@ -170,7 +180,13 @@ def config4_instances():
         tmax=jnp.full((res * res,), 100.0),
     )
     trace = jax.jit(trace_rays_instanced)
-    dt, (rec, inst_id, _) = _time(lambda: trace(inst_as, packed, rays))
+
+    def _trace(i):
+        r = Rays(origin=rays.origin + i * 1e-4, direction=rays.direction,
+                 tmin=rays.tmin, tmax=rays.tmax)
+        return trace(inst_as, packed, r)
+
+    dt, (rec, inst_id, _) = _time(_trace)
     emit("4-tlas-1k-instances", num_instances=num_inst,
          tlas_rebuild_ms=round(bt * 1000, 3), ms_per_frame=round(dt * 1000, 2),
          mrays_per_s=round(res * res / dt / 1e6, 2),
