@@ -26,7 +26,7 @@ def main():
     num_tris = int(os.environ.get("TPURT_BENCH_TRIS", 1_000_000))
     res = int(os.environ.get("TPURT_BENCH_RES", 1024))
     bounces = int(os.environ.get("TPURT_BENCH_BOUNCES", 1))
-    iters = int(os.environ.get("TPURT_BENCH_ITERS", 5))
+    iters = int(os.environ.get("TPURT_BENCH_ITERS", 3))
 
     from tpu_raytracing.bvh.implicit import build_implicit_wide_fat
     from tpu_raytracing.scene import camera as cam

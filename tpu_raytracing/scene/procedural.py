@@ -212,7 +212,9 @@ def terrain(num_triangles: int, extent: float = 100.0, height: float = 8.0,
     lib.materials[-1].diffuse = np.array([0.55, 0.5, 0.45], np.float32)
     lib.materials[-1].ambient = np.array([0.55, 0.5, 0.45], np.float32)
     mats = np.zeros(tris.shape[0], np.int32)
-    light = np.array([0.0, 3.0 * height + 10.0, 0.0], np.float32)
+    # Sun-like light high above: near-vertical shadow rays (a low light
+    # makes every shadow ray graze the whole heightfield).
+    light = np.array([0.0, 2.0 * extent, 0.0], np.float32)
     return _finish(tris, mats, lib, light)
 
 
