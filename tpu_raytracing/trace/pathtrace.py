@@ -89,7 +89,9 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
 
     throughput = throughput * albedo
     num = pixel.shape[0]
-    new_dir = _cosine_sample(normal, u_frame[pixel])
+    from tpu_raytracing.ops.gather import take_rows as _tr
+
+    new_dir = _cosine_sample(normal, _tr(u_frame, pixel))
     new_rays = Rays(
         origin=hit_pos + normal * 1e-4,
         direction=new_dir,
@@ -98,10 +100,12 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
     )
 
     if compaction:
+        from tpu_raytracing.ops.gather import take_rows
+
         perm = jnp.argsort((~alive).astype(jnp.int32), stable=True)
-        new_rays = jax.tree.map(lambda a: a[perm], new_rays)
-        throughput = throughput[perm]
-        radiance = radiance[perm]
+        new_rays = jax.tree.map(lambda a: take_rows(a, perm), new_rays)
+        throughput = take_rows(throughput, perm)
+        radiance = take_rows(radiance, perm)
         alive = alive[perm]
         pixel = pixel[perm]
 

@@ -30,9 +30,11 @@ def _gather_hit_context(scene: DeviceScene, pairs: PackedPairs, rec):
     """Per-ray gathers of attributes, rotations and triangle vertices for the
     hit pair (reference: src/Tracer.cu:505-509 and the per-mode pair reads).
     """
+    from tpu_raytracing.ops.gather import take_rows
+
     second = (rec.tri_id & 1).astype(bool)
     pair_idx = jnp.clip(rec.tri_id >> 1, 0, pairs.rows.shape[0] - 1)
-    prow = pairs.rows[pair_idx]
+    prow = take_rows(pairs.rows, pair_idx)
     i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)  # noqa: E731
     v0, v1, v2, v3 = (
         i2f(prow[:, 0:3]),
@@ -49,7 +51,7 @@ def _gather_hit_context(scene: DeviceScene, pairs: PackedPairs, rec):
 
     prim = jnp.clip(rec.prim_id, 0, scene.normals.shape[0] - 1)
     normals3, uvs3 = shade.rotate_attributes(
-        scene.normals[prim], scene.uvs[prim], rot
+        take_rows(scene.normals, prim), take_rows(scene.uvs, prim), rot
     )
     material_id = scene.material_ids[prim]
     num_mats = scene.materials.ambient.shape[0]  # includes default slot
