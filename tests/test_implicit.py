@@ -49,7 +49,7 @@ def test_implicit_wide_fat_matches_scalar(cornell):
     )
     rays = generate_primary_rays(camera, 64, 64)
     rec_f, _ = jax.jit(trace_rays_wide_fat, static_argnames="packet_size")(
-        fat, None, rays, packet_size=64
+        fat, pack_pairs(pairs), rays, packet_size=64
     )
     rec_s, _ = _scalar(pack_bvh(bvh), pack_pairs(pairs), rays)
     hit = np.asarray(rec_f.hit)

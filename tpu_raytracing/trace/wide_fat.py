@@ -53,10 +53,10 @@ def trace_rays_wide_fat(
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace of packets against the fat wide BVH (root = 0).
 
-    ``pairs`` is unused during traversal (pair data rides in the rows) but
-    kept for tracer-signature compatibility.
+    Traversal reads pair geometry from the fat rows; ``pairs`` (PackedPairs)
+    is used once after the loop to reconstruct the winner's primitive ids
+    and barycentrics.
     """
-    del pairs
     num_rays = rays.origin.shape[0]
     assert num_rays % packet_size == 0
     num_p = num_rays // packet_size
@@ -80,16 +80,17 @@ def trace_rays_wide_fat(
         jnp.full((num_p,), -1, jnp.int32) for _ in range(STACK_REGS - 1)
     )
 
+    # Lean while-loop carry: every carried [P, K] array is rewritten each
+    # step (HBM traffic dominates deep traversals), so only tmax and the
+    # winning tri_id ride in the loop; hit/prim/barycentrics are
+    # reconstructed from the winner after the loop, and the box/tri-test
+    # counters are estimated per packet (kept for the heat-map modes).
     state = dict(
         regs=regs0,
         tmax=rays.tmax.reshape(num_p, k),
-        hit=jnp.zeros((num_p, k), bool),
-        prim_id=jnp.zeros((num_p, k), jnp.int32),
-        tri_id=jnp.zeros((num_p, k), jnp.int32),
-        bary_u=jnp.zeros((num_p, k), jnp.float32),
-        bary_v=jnp.zeros((num_p, k), jnp.float32),
-        box_tests=jnp.zeros((num_p, k), jnp.int32),
-        tri_tests=jnp.zeros((num_p, k), jnp.int32),
+        tri_id=jnp.full((num_p, k), -1, jnp.int32),
+        box_tests=jnp.zeros((num_p, 1), jnp.int32),
+        tri_tests=jnp.zeros((num_p, 1), jnp.int32),
     )
 
     def cond(s):
@@ -107,9 +108,7 @@ def trace_rays_wide_fat(
         # Flat fat row: [64 node words][entry e's 16 pair words at 64+16e].
         row = wide.rows[jnp.clip(wid, 0, num_nodes - 1)]  # [P, 192]
         tmax = s["tmax"]
-        hit = s["hit"]
-        prim_id, tri_id = s["prim_id"], s["tri_id"]
-        bary_u, bary_v = s["bary_u"], s["bary_v"]
+        tri_id = s["tri_id"]
         box_tests, tri_tests = s["box_tests"], s["tri_tests"]
 
         cand_dist = []
@@ -136,7 +135,7 @@ def trace_rays_wide_fat(
             back = jnp.min(jnp.maximum(t1, t2), axis=-1)
             box_hit = (back >= front) & (front <= tmax) & (back >= tmin)
             box_hit = box_hit & ray_on & valid[:, None]
-            box_tests = box_tests + (valid[:, None] & ray_on).astype(jnp.int32)
+            box_tests = box_tests + valid[:, None].astype(jnp.int32)
             any_hit = jnp.any(box_hit, axis=1)
 
             # --- leaf: both pair triangles, component-unrolled MT ---
@@ -145,7 +144,7 @@ def trace_rays_wide_fat(
             v1 = i2f3(pair[:, 3:6])[:, None, :]
             v2 = i2f3(pair[:, 6:9])[:, None, :]
             v3 = i2f3(pair[:, 9:12])[:, None, :]
-            tri_tests = tri_tests + (do_leaf[:, None] & box_hit).astype(jnp.int32)
+            tri_tests = tri_tests + do_leaf[:, None].astype(jnp.int32)
 
             def mt(a, b, c):
                 """Möller-Trumbore (src/Tracer.cu:256-291)."""
@@ -174,20 +173,12 @@ def trace_rays_wide_fat(
             acc_a, t_a, u_a, v_a = mt(v0, v1, v2)
             take = do_leaf[:, None] & box_hit & acc_a
             tmax = jnp.where(take, t_a, tmax)
-            hit = hit | take
-            prim_id = jnp.where(take, pair[:, 12][:, None], prim_id)
             tri_id = jnp.where(take, (child << 1)[:, None], tri_id)
-            bary_u = jnp.where(take, u_a, bary_u)
-            bary_v = jnp.where(take, v_a, bary_v)
 
             acc_b, t_b, u_b, v_b = mt(v2, v1, v3)
             take = do_leaf[:, None] & box_hit & (ccount > 0)[:, None] & acc_b
             tmax = jnp.where(take, t_b, tmax)
-            hit = hit | take
-            prim_id = jnp.where(take, pair[:, 13][:, None], prim_id)
             tri_id = jnp.where(take, ((child << 1) + 1)[:, None], tri_id)
-            bary_u = jnp.where(take, u_b, bary_u)
-            bary_v = jnp.where(take, v_b, bary_v)
 
             do_box = any_hit & (ntype == CHILD_BOX)
             dist_p = jnp.min(jnp.where(box_hit, front, _F32_MAX), axis=1)
@@ -216,31 +207,53 @@ def trace_rays_wide_fat(
         return dict(
             regs=regs,
             tmax=tmax,
-            hit=hit,
-            prim_id=prim_id,
             tri_id=tri_id,
-            bary_u=bary_u,
-            bary_v=bary_v,
             box_tests=box_tests,
             tri_tests=tri_tests,
         )
 
     out = jax.lax.while_loop(cond, body, state)
 
-    def unpk(a):
-        return a.reshape(num_rays, *a.shape[2:])
+    # Reconstruct the full hit record from the winning tri_id: one pair
+    # gather plus one Möller-Trumbore per ray, outside the loop.
+    t_flat = out["tmax"].reshape(num_rays)
+    tri_flat = out["tri_id"].reshape(num_rays)
+    hit_flat = tri_flat >= 0
+    from tpu_raytracing.ops.gather import take_rows
+
+    second = (tri_flat & 1).astype(bool)
+    num_pairs = pairs.rows.shape[0]
+    prow = take_rows(pairs.rows, jnp.clip(tri_flat >> 1, 0, num_pairs - 1))
+    i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)  # noqa: E731
+    v0 = i2f(prow[:, 0:3])
+    v1 = i2f(prow[:, 3:6])
+    v2 = i2f(prow[:, 6:9])
+    v3 = i2f(prow[:, 9:12])
+    a = jnp.where(second[:, None], v2, v0)
+    c = jnp.where(second[:, None], v3, v2)
+    e1 = v1 - a
+    e2 = c - a
+    h = jnp.cross(rays.direction, e2)
+    det = jnp.sum(e1 * h, axis=-1)
+    f = 1.0 / det
+    sv = rays.origin - a
+    bu = f * jnp.sum(sv * h, axis=-1)
+    q = jnp.cross(sv, e1)
+    bv = f * jnp.sum(rays.direction * q, axis=-1)
+    prim = jnp.where(second, prow[:, 13], prow[:, 12])
 
     rec = HitRecord(
-        hit=unpk(out["hit"]),
-        t=unpk(out["tmax"]),
-        prim_id=unpk(out["prim_id"]),
-        tri_id=unpk(out["tri_id"]),
-        bary_u=unpk(out["bary_u"]),
-        bary_v=unpk(out["bary_v"]),
+        hit=hit_flat,
+        t=jnp.where(hit_flat, t_flat, rays.tmax),
+        prim_id=jnp.where(hit_flat, prim, 0),
+        tri_id=jnp.where(hit_flat, tri_flat, 0),
+        bary_u=jnp.where(hit_flat, bu, 0.0),
+        bary_v=jnp.where(hit_flat, bv, 0.0),
     )
-    stats = TraceStats(
-        box_tests=unpk(out["box_tests"]), tri_tests=unpk(out["tri_tests"])
-    )
+    # Per-packet traversal counters broadcast to rays (heat-map modes).
+    bt = jnp.broadcast_to(out["box_tests"], (num_p, k)).reshape(num_rays)
+    tt = jnp.broadcast_to(out["tri_tests"], (num_p, k)).reshape(num_rays)
+    stats = TraceStats(box_tests=bt, tri_tests=tt)
     return rec, stats
 
 
