@@ -26,9 +26,9 @@ def main():
     num_tris = int(os.environ.get("TPURT_BENCH_TRIS", 1_000_000))
     res = int(os.environ.get("TPURT_BENCH_RES", 1024))
     bounces = int(os.environ.get("TPURT_BENCH_BOUNCES", 1))
-    iters = int(os.environ.get("TPURT_BENCH_ITERS", 3))
+    iters = int(os.environ.get("TPURT_BENCH_ITERS", 2))
 
-    from tpu_raytracing.bvh.implicit import build_implicit_wide_fat
+    from tpu_raytracing.bvh import lbvh, wide
     from tpu_raytracing.scene import camera as cam
     from tpu_raytracing.scene import procedural
     from tpu_raytracing.scene.types import scene_to_device
@@ -53,12 +53,14 @@ def main():
     camera = cam.camera_to_device(cam.update_camera(host_cam))
     triangles = jnp.asarray(scene.triangles)
 
-    # --- per-frame rebuild: implicit LBVH collapsed straight to wide rows
-    # (the gather-free fast path; the Karras builder is the parity default
-    # but is gather-bound at ~2.3 s for 1M on this chip) ---
+    # --- per-frame rebuild: Karras LBVH + wide collapse. The gather-free
+    # implicit builder (bvh/implicit.py) rebuilds in ~140 ms but its
+    # median-split tree quality collapses traversal throughput ~30x on
+    # terrain, so Karras wins end-to-end despite the gather-bound build. ---
     def full_build(tris):
-        fat, pairs, _ = build_implicit_wide_fat(tris)
-        return fat, pack_pairs(pairs)
+        bvh, pairs = lbvh.build_lbvh(tris)
+        packed = pack_pairs(pairs)
+        return wide.build_wide_fat(bvh, packed.rows), packed
 
     build = jax.jit(full_build)
     fat, packed = build(triangles)
