@@ -72,7 +72,7 @@ def main():
         fat, packed = build(triangles + (i + 1) * 1e-5)
     float(jnp.sum(fat.rows[0]))
     build_ms = (time.perf_counter() - t0) / iters * 1000.0
-    log(f"implicit LBVH + wide rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
+    log(f"LBVH + wide rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
 
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
     # XLA wide-fat tracer: beats the Pallas kernel at 1M tris (the Pallas

@@ -91,6 +91,10 @@ def build_hybrid(triangles: jnp.ndarray, enable_pairs: bool = False) -> Tuple[BV
         child=jnp.concatenate([base.child, jnp.zeros((extra,), jnp.int32)]),
         count=jnp.concatenate([base.count, jnp.zeros((extra,), jnp.int32)]),
         type=jnp.concatenate([base.type, jnp.zeros((extra,), jnp.int32)]),
+        parent=jnp.concatenate(
+            [base.parent,
+             num_base + jnp.arange(extra, dtype=jnp.int32)]
+        ),
         wptr=jnp.int32(num_base + 1),
     )
 
@@ -114,7 +118,6 @@ def build_hybrid(triangles: jnp.ndarray, enable_pairs: bool = False) -> Tuple[BV
         jnp.int32(1),
     )
 
-    parent = jnp.arange(arena.child.shape[0], dtype=jnp.int32)
     return (
         BVH(
             node_min=arena.node_min,
@@ -122,7 +125,7 @@ def build_hybrid(triangles: jnp.ndarray, enable_pairs: bool = False) -> Tuple[BV
             child=arena.child,
             count=arena.count,
             type=arena.type,
-            parent=parent,
+            parent=arena.parent,
             root=root_slot,
             root_count=jnp.int32(1),
         ),

@@ -171,6 +171,7 @@ class Arena:
     child: jnp.ndarray
     count: jnp.ndarray
     type: jnp.ndarray
+    parent: jnp.ndarray  # [N] int32 — parent slot (roots/self elsewhere)
     wptr: jnp.ndarray  # [] int32 — next free slot
 
 
@@ -181,20 +182,25 @@ def make_arena(num_slots: int) -> Arena:
         child=jnp.zeros((num_slots,), jnp.int32),
         count=jnp.zeros((num_slots,), jnp.int32),
         type=jnp.full((num_slots,), CHILD_NONE, jnp.int32),
+        parent=jnp.arange(num_slots, dtype=jnp.int32),
         wptr=jnp.int32(0),
     )
 
 
-def _write_nodes(arena: Arena, slots, nmin, nmax, child, count, ntype, mask) -> Arena:
+def _write_nodes(arena: Arena, slots, nmin, nmax, child, count, ntype, mask,
+                 parent=None) -> Arena:
     oob = jnp.int32(arena.child.shape[0])
     idx = jnp.where(mask, slots, oob)
-    return arena.replace(
+    out = arena.replace(
         node_min=arena.node_min.at[idx].set(nmin, mode="drop"),
         node_max=arena.node_max.at[idx].set(nmax, mode="drop"),
         child=arena.child.at[idx].set(child, mode="drop"),
         count=arena.count.at[idx].set(count, mode="drop"),
         type=arena.type.at[idx].set(ntype, mode="drop"),
     )
+    if parent is not None:
+        out = out.replace(parent=out.parent.at[idx].set(parent, mode="drop"))
+    return out
 
 
 def frontier_build(
@@ -309,6 +315,25 @@ def frontier_build(
             leaves.type[lid1],
             is_leaf1,
         )
+        oob_slot = jnp.int32(arena.child.shape[0])
+
+        def graft_parents(arena, lid, slot, mask):
+            """Box-type grafted leaves adopt their target group's slots so
+            parent-pointer depth stays continuous across the graft (the wide
+            collapse's anchor rule is depth arithmetic)."""
+            is_graft = mask & (leaves.type[lid] == CHILD_BOX)
+            for j in range(2):
+                tgt = jnp.where(
+                    is_graft & (j < leaves.count[lid]),
+                    leaves.child[lid] + j,
+                    oob_slot,
+                )
+                arena = arena.replace(
+                    parent=arena.parent.at[tgt].set(slot, mode="drop")
+                )
+            return arena
+
+        arena = graft_parents(arena, lid1, tparent, is_leaf1)
         n_leaf2 = jnp.sum(is_leaf2.astype(jnp.int32))
         rank2 = jnp.cumsum(is_leaf2.astype(jnp.int32)) - is_leaf2.astype(jnp.int32)
         base2 = arena.wptr + 2 * rank2
@@ -323,7 +348,9 @@ def frontier_build(
                 leaves.count[lidj],
                 leaves.type[lidj],
                 is_leaf2,
+                parent=tparent,
             )
+            arena = graft_parents(arena, lidj, base2 + j, is_leaf2)
         arena = _write_nodes(
             arena, tparent, tpmin, tpmax, base2,
             jnp.full((tcap,), 2, jnp.int32),
@@ -340,6 +367,14 @@ def frontier_build(
             jnp.full((tcap,), 2, jnp.int32),
             jnp.full((tcap,), CHILD_BOX, jnp.int32), is_split,
         )
+        # Children slots record their parent for the wide collapse's depth
+        # arithmetic.
+        oob = jnp.int32(arena.child.shape[0])
+        for j in range(2):
+            pidx = jnp.where(is_split, child_idx + j, oob)
+            arena = arena.replace(
+                parent=arena.parent.at[pidx].set(tparent, mode="drop")
+            )
         arena = arena.replace(wptr=arena.wptr + 2 * n_split)
 
         # ---- per-primitive task/bin assignment ----
@@ -564,15 +599,13 @@ def build_sah(triangles: jnp.ndarray, enable_pairs: bool = False,
         jnp.int32(1),
     )
 
-    num_slots = arena.child.shape[0]
-    parent = jnp.arange(num_slots, dtype=jnp.int32)
     bvh = BVH(
         node_min=arena.node_min,
         node_max=arena.node_max,
         child=arena.child,
         count=arena.count,
         type=arena.type,
-        parent=parent,
+        parent=arena.parent,
         root=jnp.int32(0),
         root_count=jnp.int32(1),
     )

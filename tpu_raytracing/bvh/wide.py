@@ -74,27 +74,33 @@ def build_wide(bvh: BVH, max_iters: int = 24) -> WideBVH:
     root_entries = jnp.where(
         jnp.arange(WIDE) < rc, root + jnp.arange(WIDE, dtype=jnp.int32), -1
     )
-    root_frontier = _expand_group(bvh, root_entries, levels=2)
+    # Pair roots (rc=2) reach 8 entries after 2 expansions (2->4->8); single
+    # roots need 3 (1->2->4->8). Levels must match `base` below exactly —
+    # over-expanding a pair root with shallow leaves would go ragged (budget
+    # stops mid-level), breaking the uniform-depth invariant.
+    root_frontier = jnp.where(
+        rc == 2,
+        _expand_group(bvh, root_entries, levels=2),
+        _expand_group(bvh, root_entries, levels=3),
+    )
 
-    # Anchors: Box slots reachable as frontier entries from the root.
-    anchor = jnp.zeros((n,), bool)
-    safe = jnp.clip(root_frontier, 0, n - 1)
-    seed = (root_frontier >= 0) & (bvh.type[safe] == CHILD_BOX)
-    anchor = anchor.at[jnp.where(seed, safe, n)].set(True, mode="drop")
-
-    def body(state):
-        anchor, changed, it = state
-        # Frontier entries of all current anchors.
-        f = jnp.where(anchor[:, None], frontier_slot, -1)
-        fs = jnp.clip(f, 0, n - 1)
-        mark = (f >= 0) & (bvh.type[fs] == CHILD_BOX)
-        new = anchor.at[jnp.where(mark, fs, n)].set(True, mode="drop")
-        changed = jnp.any(new != anchor)
-        return new, changed, it + 1
-
-    anchor, _, _ = jax.lax.while_loop(
-        lambda s: s[1] & (s[2] < max_iters), body,
-        (anchor, jnp.bool_(True), jnp.int32(0)),
+    # Anchors are the Box slots whose depth is (root-frontier depth) + 3k.
+    # The root row expands the root group to full levels (2 -> 4 -> 8 slots,
+    # depth 2 for a pair root, depth 3 for a single root), and every deeper
+    # anchor sits exactly 3 levels below one, so anchor membership is pure
+    # depth arithmetic — no reachability fixed point (whose carried
+    # gather/scatter costs seconds at 1M on this backend).
+    slots_i = jnp.arange(n, dtype=jnp.int32)
+    anc = bvh.parent
+    depth = (anc != slots_i).astype(jnp.int32)
+    for _ in range(7):  # tree depth <= 64 -> 7 doublings saturate
+        depth = depth + depth[anc]
+        anc = anc[anc]
+    base = jnp.where(rc == 2, 2, 3)
+    anchor = (
+        (bvh.type == CHILD_BOX)
+        & (depth >= base)
+        & ((depth - base) % 3 == 0)
     )
 
     # Wide ids: 0 = virtual root, anchors get 1 + rank.
