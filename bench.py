@@ -76,8 +76,11 @@ def main():
 
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
     # XLA wide-fat tracer: beats the Pallas kernel at 1M tris (the Pallas
-    # grid is sequential per packet; lockstep parallelism wins on deep trees)
-    tracer = make_tiled_fat_tracer(None, res, res, 8, 8)
+    # grid is sequential per packet; lockstep parallelism wins on deep trees).
+    # phased=True: host-staged packet compaction — per-step cost tracks the
+    # active packet count instead of paying all packets until the slowest
+    # drains.
+    tracer = make_tiled_fat_tracer(None, res, res, 8, 8, phased=True)
 
     def frame(key, jitter):
         cam_j = dict(camera)

@@ -171,6 +171,10 @@ _TRACER_CACHE = {}
 
 
 def _jitted_tracer(tracer):
+    if getattr(tracer, "host_staged", False):
+        # Host-staged tracers (phased compaction) run their own jitted
+        # stages; wrapping them in one jit would inline every stage.
+        return lambda trav, pairs, rays, act: tracer(trav, pairs, rays, active=act)
     fn = _TRACER_CACHE.get(id(tracer))
     if fn is None:
         fn = jax.jit(lambda trav, pairs, rays, act: tracer(trav, pairs, rays, active=act))
