@@ -300,15 +300,27 @@ def trace_rays_wide_fat(
 # --- phased variant: host-staged loop with packet compaction ---
 
 
-@partial(jax.jit, static_argnames=("stop_count",))
-def _run_phase(rows, rd, state, stop_count: int):
-    """Run the traversal loop until <= stop_count packets stay active."""
+@partial(jax.jit, static_argnames=("stop_count", "reps"))
+def _run_phase(rows, rd, state, stop_count: int, reps: int = 1):
+    """Run the traversal loop until <= stop_count packets stay active.
+
+    ``reps`` pops per while-step: at small compacted sizes the per-step cost
+    is dominated by fixed per-op overhead, not width, so the tail phases run
+    several pops per step (the body is a no-op for drained packets, so
+    overshoot is harmless)."""
 
     def cond(s):
         active = jnp.sum((s["regs"][0] >= 0).astype(jnp.int32))
         return active > stop_count
 
-    return jax.lax.while_loop(cond, _make_body(rows, rd), state)
+    body = _make_body(rows, rd)
+
+    def body_n(s):
+        for _ in range(reps):
+            s = body(s)
+        return s
+
+    return jax.lax.while_loop(cond, body_n, state)
 
 
 @partial(jax.jit, static_argnames=("target",))
@@ -384,11 +396,13 @@ def trace_rays_wide_fat_phased(
         s = max(s // shrink, min_packets)
         schedule.append(s)
 
+    reps = 1
     for target in schedule:
-        state = _run_phase(wide.rows, rd, state, stop_count=target)
+        state = _run_phase(wide.rows, rd, state, stop_count=target, reps=reps)
         out = _scatter_back(out, state, orig_idx)
         state, rd, orig_idx = _compact(state, rd, orig_idx, target)
-    state = _run_phase(wide.rows, rd, state, stop_count=0)
+        reps = min(reps * 2, 8)
+    state = _run_phase(wide.rows, rd, state, stop_count=0, reps=reps)
     out = _scatter_back(out, state, orig_idx)
 
     rec = _finish_phased(pairs, rays, out, num_rays)
