@@ -1,0 +1,150 @@
+"""Split-BVH Pallas kernel (v2): brute-force equivalence + edge cases.
+
+Off-TPU the kernel runs in the Pallas interpreter (slow, semantically
+faithful), so scenes are small.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_raytracing.bvh import bucket
+from tpu_raytracing.scene import camera as cam
+from tpu_raytracing.scene import procedural
+from tpu_raytracing.trace.brute import brute_force_trace
+from tpu_raytracing.trace.ray import Rays, generate_primary_rays
+
+
+@pytest.fixture(scope="module")
+def sp():
+    from tpu_raytracing.trace import split_pallas as sp_mod
+
+    if jax.devices()[0].platform != "tpu":
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        orig = pl.pallas_call
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        yield sp_mod
+        pl.pallas_call = orig
+    else:
+        yield sp_mod
+
+
+def _trace(sp_mod, scene, enable_pairs, res=(16, 8), active=None):
+    camera = cam.camera_to_device(
+        cam.update_camera(cam.initialise_camera(scene.aabb_min, scene.aabb_max))
+    )
+    tris = jnp.asarray(scene.triangles)
+    split, packed = jax.jit(
+        lambda t: bucket.build_bucket_split(t, enable_pairs)
+    )(tris)
+    views = sp_mod.prep_split_views(split, packed)
+    rays = generate_primary_rays(camera, res[0], res[1])
+    rec, _ = sp_mod.trace_rays_split_pallas(views, packed, rays, active=active)
+    ref = brute_force_trace(tris, rays)
+    return rec, ref
+
+
+def _assert_matches(rec, ref):
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+    both = np.asarray(rec.hit) & np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(rec.t), 0.0),
+        np.where(both, np.asarray(ref.t), 0.0),
+        rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.where(both, np.asarray(rec.prim_id), 0),
+        np.where(both, np.asarray(ref.prim_id), 0),
+    )
+
+
+def test_split_pallas_sphere(sphere, sp):
+    rec, ref = _trace(sp, sphere, False)
+    _assert_matches(rec, ref)
+
+
+def test_split_pallas_sphere_pairs(sphere, sp):
+    rec, ref = _trace(sp, sphere, True)
+    _assert_matches(rec, ref)
+
+
+def test_split_pallas_cornell(cornell, sp):
+    rec, ref = _trace(sp, cornell, True)
+    _assert_matches(rec, ref)
+
+
+def test_split_pallas_soup(soup, sp):
+    rec, ref = _trace(sp, soup, False)
+    _assert_matches(rec, ref)
+
+
+def test_split_pallas_active_mask(cornell, sp):
+    active = (jnp.arange(128) % 2) == 0
+    rec, ref = _trace(sp, cornell, False, active=active)
+    hit = np.asarray(rec.hit)
+    assert not hit[1::2].any()
+    assert hit[0::2].any()
+
+
+def test_split_pallas_multi_packet(sphere, sp):
+    """More packets than slots exercises the refill path (C=4 < 8 packets)."""
+    rec, ref = _trace(sp, sphere, False, res=(32, 32))
+    _assert_matches(rec, ref)
+
+
+def test_split_pallas_duplicate_centroids(sp):
+    """Identical Morton codes: chunk levels + window clamping."""
+    rng = np.random.default_rng(0)
+    num = 100
+    offs = rng.normal(size=(num, 3, 3)).astype(np.float32) * 1e-7
+    base = np.array(
+        [[0.0, 0.0, 0.0], [1e-6, 0.0, 0.0], [0.0, 1e-6, 0.0]], np.float32
+    )
+    tris = jnp.asarray(base[None] + offs + np.array([5.0, 5.0, 5.0], np.float32))
+    big = jnp.asarray([[[0, 0, 0], [10, 0, 0], [0, 10, 0]]], jnp.float32)
+    tris = jnp.concatenate([tris, big], axis=0)
+    split, packed = jax.jit(bucket.build_bucket_split)(tris)
+    views = sp.prep_split_views(split, packed)
+    rays = Rays(
+        origin=jnp.asarray([[5.0, 5.0, 9.0]] * 128, jnp.float32),
+        direction=jnp.asarray([[0.0, 0.0, -1.0]] * 128, jnp.float32),
+        tmin=jnp.zeros((128,), jnp.float32),
+        tmax=jnp.full((128,), 100.0, jnp.float32),
+    )
+    rec, _ = sp.trace_rays_split_pallas(views, packed, rays)
+    ref = brute_force_trace(tris, rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+    np.testing.assert_allclose(np.asarray(rec.t), np.asarray(ref.t), rtol=1e-4)
+
+
+def test_split_pallas_tiny_scene(sp):
+    """A scene small enough that the root itself is one terminal bucket."""
+    tris = jnp.asarray(
+        np.array(
+            [
+                [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                [[0, 0, 1], [1, 0, 1], [0, 1, 1]],
+            ],
+            np.float32,
+        )
+    )
+    split, packed = jax.jit(bucket.build_bucket_split)(tris)
+    views = sp.prep_split_views(split, packed)
+    rays = Rays(
+        origin=jnp.asarray([[0.2, 0.2, 5.0]] * 128, jnp.float32),
+        direction=jnp.asarray([[0.0, 0.0, -1.0]] * 128, jnp.float32),
+        tmin=jnp.zeros((128,), jnp.float32),
+        tmax=jnp.full((128,), 100.0, jnp.float32),
+    )
+    rec, _ = sp.trace_rays_split_pallas(views, packed, rays)
+    ref = brute_force_trace(tris, rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+    np.testing.assert_allclose(
+        np.asarray(rec.t)[np.asarray(ref.hit)],
+        np.asarray(ref.t)[np.asarray(ref.hit)],
+        rtol=1e-5,
+    )

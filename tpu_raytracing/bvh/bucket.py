@@ -38,6 +38,7 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -71,25 +72,24 @@ def _segment_totals(x, heads, tails_pos, valid, op, init):
     positions; valid: [B] bool. Returns [B, C] (init where invalid).
     """
     f = heads
+    m = x.shape[0]
     for d in (1, 2, 4):
-        x_shift = jnp.concatenate(
-            [jnp.full((d,) + x.shape[1:], init, x.dtype), x[:-d]], axis=0
-        )
-        f_shift = jnp.concatenate([jnp.ones((d,), bool), f[:-d]])
+        if d >= m:  # tiny inputs: the shift falls entirely off the array
+            x_shift = jnp.full_like(x, init)
+            f_shift = jnp.ones((m,), bool)
+        else:
+            x_shift = jnp.concatenate(
+                [jnp.full((d,) + x.shape[1:], init, x.dtype), x[:-d]], axis=0
+            )
+            f_shift = jnp.concatenate([jnp.ones((d,), bool), f[:-d]])
         x = jnp.where(f[:, None], x, op(x_shift, x))
         f = f | f_shift
     out = x[jnp.clip(tails_pos, 0, x.shape[0] - 1)]
     return jnp.where(valid[:, None], out, init)
 
 
-def build_bucket_fat(
-    triangles: jnp.ndarray, enable_pairs: bool = False
-) -> Tuple[FatWideBVH, PackedPairs]:
-    """Build the fat wide BVH directly from Morton buckets.
-
-    Returns (FatWideBVH with root at row 0, PackedPairs in sorted-leaf
-    order — a leaf entry's pair id is its sorted position).
-    """
+def _sorted_leaves(triangles: jnp.ndarray, enable_pairs: bool):
+    """Shared front end: Morton sort + pair assembly + leaf AABBs."""
     num_tris = triangles.shape[0]
     aabb_min, aabb_max = scene_aabb(triangles)
     if enable_pairs:
@@ -100,14 +100,21 @@ def build_bucket_fat(
     else:
         codes, values = generate_morton_codes(triangles, aabb_min, aabb_max)
         num_leaves = jnp.int32(num_tris)
-    n = codes.shape[0]  # static leaf-slot capacity (== num_tris)
     sorted_codes, sorted_values = sort_codes(codes, values)
     pairs = generate_triangles(sorted_values, triangles)
     packed = pack_pairs(pairs)
     lo = jnp.minimum(jnp.minimum(pairs.v0, pairs.v1), jnp.minimum(pairs.v2, pairs.v3))
     hi = jnp.maximum(jnp.maximum(pairs.v0, pairs.v1), jnp.maximum(pairs.v2, pairs.v3))
     ccount_leaf = (sorted_values >> 31).astype(jnp.int32)  # second tri valid
+    return sorted_codes, packed, lo, hi, ccount_leaf, num_leaves
 
+
+def _bucket_tables(sorted_codes: jnp.ndarray, num_leaves, n: int):
+    """Per-level bucket tables shared by the fat and split emitters.
+
+    Returns (levels, caps, bids, poss, counts, child_starts, child_counts);
+    see build_bucket_fat's docstring for the level structure.
+    """
     iota = jnp.arange(n, dtype=jnp.int32)
     pad_boundary = iota == num_leaves  # padded sentinel region starts here
 
@@ -161,6 +168,45 @@ def build_bucket_fat(
         child_counts.append(cc)
     child_starts.append(jnp.zeros((caps[-1],), jnp.int32))
     child_counts.append(jnp.zeros((caps[-1],), jnp.int32))
+    return levels, caps, bids, poss, counts, child_starts, child_counts
+
+
+def _bucket_aabbs(levels, caps, poss, counts, child_starts, child_counts, lo, hi, n):
+    """Bottom-up per-level bucket AABBs via segmented scans."""
+    num_levels = len(levels)
+    a_los = [None] * num_levels
+    a_his = [None] * num_levels
+    tails = poss[-1] + counts[-1] - 1
+    valid = counts[-1] > 0
+    a_los[-1] = _segment_totals(lo, levels[-1], tails, valid, jnp.minimum, _F32_MAX)
+    a_his[-1] = _segment_totals(hi, levels[-1], tails, valid, jnp.maximum, -_F32_MAX)
+    for l in range(num_levels - 2, -1, -1):
+        # scan over level-(l+1) buckets; parent heads mark first children
+        heads = levels[l][jnp.clip(poss[l + 1], 0, n - 1)] | (counts[l + 1] <= 0)
+        tails = jnp.clip(child_starts[l] + child_counts[l] - 1, 0, caps[l + 1] - 1)
+        valid = counts[l] > 0
+        a_los[l] = _segment_totals(a_los[l + 1], heads, tails, valid,
+                                   jnp.minimum, _F32_MAX)
+        a_his[l] = _segment_totals(a_his[l + 1], heads, tails, valid,
+                                   jnp.maximum, -_F32_MAX)
+    return a_los, a_his
+
+
+def build_bucket_fat(
+    triangles: jnp.ndarray, enable_pairs: bool = False
+) -> Tuple[FatWideBVH, PackedPairs]:
+    """Build the fat wide BVH directly from Morton buckets.
+
+    Returns (FatWideBVH with root at row 0, PackedPairs in sorted-leaf
+    order — a leaf entry's pair id is its sorted position).
+    """
+    num_tris = triangles.shape[0]
+    n = num_tris  # static leaf-slot capacity
+    (sorted_codes, packed, lo, hi, ccount_leaf,
+     num_leaves) = _sorted_leaves(triangles, enable_pairs)
+    (levels, caps, bids, poss, counts,
+     child_starts, child_counts) = _bucket_tables(sorted_codes, num_leaves, n)
+    num_levels = len(levels)
 
     # --- classification ---
     # terminal (small): 2..8 leaves, listed inline in its own row
@@ -199,21 +245,9 @@ def build_bucket_fat(
         effs[l] = jnp.where(is_real[l], wids[l], effs[l + 1][cs])
 
     # --- bucket AABBs, bottom-up ---
-    a_los = [None] * num_levels
-    a_his = [None] * num_levels
-    tails = poss[-1] + counts[-1] - 1
-    valid = counts[-1] > 0
-    a_los[-1] = _segment_totals(lo, levels[-1], tails, valid, jnp.minimum, _F32_MAX)
-    a_his[-1] = _segment_totals(hi, levels[-1], tails, valid, jnp.maximum, -_F32_MAX)
-    for l in range(num_levels - 2, -1, -1):
-        # scan over level-(l+1) buckets; parent heads mark first children
-        heads = levels[l][jnp.clip(poss[l + 1], 0, n - 1)] | (counts[l + 1] <= 0)
-        tails = jnp.clip(child_starts[l] + child_counts[l] - 1, 0, caps[l + 1] - 1)
-        valid = counts[l] > 0
-        a_los[l] = _segment_totals(a_los[l + 1], heads, tails, valid,
-                                   jnp.minimum, _F32_MAX)
-        a_his[l] = _segment_totals(a_his[l + 1], heads, tails, valid,
-                                   jnp.maximum, -_F32_MAX)
+    a_los, a_his = _bucket_aabbs(
+        levels, caps, poss, counts, child_starts, child_counts, lo, hi, n
+    )
 
     # --- stage A: scatter compact per-row descriptors ---
     # Every row has >= 2 entries (leaves or child rows), all disjoint, so
@@ -301,3 +335,144 @@ def build_bucket_fat(
 
     rows = jnp.concatenate(node_words + pair_words, axis=1)  # [W, 192]
     return FatWideBVH(rows=rows, num_nodes=total_rows), packed
+
+
+# --- split emitter: homogeneous inner rows + leaf windows into sorted pairs ---
+
+
+@flax.struct.dataclass
+class SplitBVH:
+    """Wide BVH split for the Pallas traversal kernel.
+
+    ``inner``: [ICAP, 64] int32 — 8 entries x (min3, max3 bitcast f32, meta,
+    pad). Meta is child << 5 | type where type is CHILD_BOX (child = inner
+    row id) or CHILD_TRI (child = start position of the terminal bucket in
+    the *sorted pair array*; the tracer intersects the 8-pair window
+    [child, child+8), which covers the bucket — neighbouring pairs ride
+    along and are legal closest-hit candidates since they are real scene
+    geometry). Row 0 is the traversal root. Leaf rows therefore need no
+    storage at all: the pair array itself is the leaf data.
+
+    ``num_inner`` is traced; the static ICAP bound is num_tris // 4 + 2
+    (far above any real Morton tree; ``build_bucket_split`` raises on
+    overflow when the caller checks ``num_inner``).
+    """
+
+    inner: jnp.ndarray      # [ICAP, 64] int32
+    num_inner: jnp.ndarray  # [] int32
+    num_leaves: jnp.ndarray  # [] int32 — live sorted pairs (rest zeroed)
+
+
+def build_bucket_split(
+    triangles: jnp.ndarray, enable_pairs: bool = False
+) -> Tuple[SplitBVH, PackedPairs]:
+    """Morton-bucket build emitting the split (inner + pair-window) format.
+
+    Unlike ``build_bucket_fat``, every bucket with 1..8 leaves is a terminal
+    referenced by position (single-leaf buckets included), and inner rows
+    hold no pair geometry. Returned PackedPairs rows are zeroed in the
+    padded sentinel region so out-of-bucket window slots never intersect.
+    """
+    num_tris = triangles.shape[0]
+    n = num_tris
+    (sorted_codes, packed, lo, hi, _ccount,
+     num_leaves) = _sorted_leaves(triangles, enable_pairs)
+    (levels, caps, bids, poss, counts,
+     child_starts, child_counts) = _bucket_tables(sorted_codes, num_leaves, n)
+    num_levels = len(levels)
+
+    # Zero sentinel pairs: with pairing enabled the sorted arrays have a
+    # padded tail whose gathered "triangles" are junk duplicates; the leaf
+    # windows may overlap that tail, so it must be inert (zero vertices
+    # give det == 0 in Moller-Trumbore -> never accepted).
+    live = jnp.arange(n, dtype=jnp.int32) < num_leaves
+    packed = PackedPairs(rows=jnp.where(live[:, None], packed.rows, 0))
+
+    # --- classification: terminal = 1..8 leaves (singles included) ---
+    is_small, is_branch = [], []
+    alive = [jnp.ones((caps[0],), bool)]
+    for l in range(num_levels):
+        count, cc = counts[l], child_counts[l]
+        small = (count >= 1) & (count <= WIDE)
+        is_small.append(small)
+        is_branch.append((count > WIDE) & (cc >= 2))
+        if l < num_levels - 1:
+            par = bids[l][jnp.clip(poss[l + 1], 0, n - 1)]
+            par = jnp.clip(par, 0, caps[l] - 1)
+            alive.append(alive[l][par] & ~is_small[l][par])
+
+    # --- inner row ids (row 0 reserved for the root copy) ---
+    wids = []
+    offset = jnp.int32(1)
+    for l in range(num_levels):
+        r = (alive[l] & is_branch[l]).astype(jnp.int32)
+        wids.append(offset + jnp.cumsum(r) - r)
+        offset = offset + jnp.sum(r)
+    num_inner = offset  # traced
+
+    # --- effective tagged ids, bottom-up (skip single-child chains) ---
+    # tag = (id << 1) | is_leaf; leaf id = clamped window start position.
+    win_max = jnp.maximum(num_leaves - WIDE, 0)
+    effs = [None] * num_levels
+    for l in range(num_levels - 1, -1, -1):
+        win = jnp.minimum(jnp.minimum(poss[l], win_max), n - 1)
+        leaf_tag = (win << 1) | 1
+        inner_tag = wids[l] << 1
+        if l == num_levels - 1:
+            effs[l] = leaf_tag  # deepest chunk level: every bucket <= 8
+        else:
+            cs = jnp.clip(child_starts[l], 0, caps[l + 1] - 1)
+            effs[l] = jnp.where(
+                is_small[l], leaf_tag,
+                jnp.where(is_branch[l], inner_tag, effs[l + 1][cs]),
+            )
+
+    a_los, a_his = _bucket_aabbs(
+        levels, caps, poss, counts, child_starts, child_counts, lo, hi, n
+    )
+
+    # --- scatter inner rows ---
+    icap = n // 4 + 2
+    inner = jnp.zeros((icap, WIDE, 8), jnp.int32)
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    for l in range(num_levels - 1):
+        cap = caps[l]
+        real = alive[l] & is_branch[l]
+        words = []
+        for j in range(WIDE):
+            cb = jnp.clip(child_starts[l] + j, 0, caps[l + 1] - 1)
+            valid = real & (j < child_counts[l])
+            etag = effs[l + 1][cb]
+            is_leaf_c = (etag & 1) == 1
+            child = etag >> 1
+            etype = jnp.where(valid,
+                              jnp.where(is_leaf_c, CHILD_TRI, CHILD_BOX),
+                              CHILD_NONE)
+            meta = jnp.where(
+                etype == CHILD_NONE, 0, (child << _META_CHILD_SHIFT) | etype
+            ).astype(jnp.int32)
+            e_lo = jnp.where(valid[:, None], a_los[l + 1][cb], _F32_MAX)
+            e_hi = jnp.where(valid[:, None], a_his[l + 1][cb], -_F32_MAX)
+            words.append(jnp.concatenate(
+                [f2i(e_lo), f2i(e_hi), meta[:, None],
+                 jnp.zeros((cap, 1), jnp.int32)], axis=1))  # [cap, 8]
+        dest = jnp.where(real, wids[l], icap)
+        inner = inner.at[dest].set(jnp.stack(words, axis=1), mode="drop")
+
+    inner = inner.reshape(icap, WIDE * 8)
+
+    # --- root: copy the effective root's row into slot 0, or synthesize a
+    # single-Tri row when the whole scene is one terminal bucket ---
+    root_tag = effs[0][0]
+    root_is_leaf = (root_tag & 1) == 1
+    root_id = root_tag >> 1
+    copied = inner[jnp.clip(root_id, 0, icap - 1)]
+    smin, smax = a_los[0][0], a_his[0][0]
+    leaf_meta = ((root_id << _META_CHILD_SHIFT) | CHILD_TRI).astype(jnp.int32)
+    leaf_row = jnp.concatenate([
+        f2i(smin), f2i(smax), leaf_meta[None], jnp.zeros((1,), jnp.int32),
+        jnp.zeros((WIDE * 8 - 8,), jnp.int32),
+    ])
+    inner = inner.at[0].set(jnp.where(root_is_leaf, leaf_row, copied))
+    return SplitBVH(inner=inner, num_inner=num_inner,
+                    num_leaves=num_leaves), packed

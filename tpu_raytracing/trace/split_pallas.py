@@ -1,0 +1,430 @@
+"""Split-BVH Pallas traversal — multi-packet pipelined kernel (v2).
+
+The v1 kernel (ops/pallas_traverse.py) gives every packet genuinely dynamic
+trip counts but pays un-pipelined DMA latency and ~200 scalar SMEM reads per
+pop, and its sequential grid leaves the VPU idle during each DMA. This
+kernel keeps the work-efficiency (total pops == sum of per-packet trips, no
+lockstep waste) and attacks the latency:
+
+* **C packet slots in flight**: one program round-robins C packets; while
+  slot c computes its pop, the other slots' row DMAs are in flight, so HBM
+  latency hides behind compute. Drained slots refill from a cursor over the
+  packet queue (SMEM scalar), so utilization holds until the queue empties.
+* **Homogeneous pops** (SplitBVH, bvh/bucket.py): an inner pop DMAs a 64-word
+  8-entry box row and runs the sort/push logic; a leaf pop DMAs an 8-pair
+  window of the *sorted pair array* and intersects all 8 pairs with the
+  whole packet, sublane-mapped: pairs on the 8 sublanes, the packet's 128
+  rays on lanes, so each Moller-Trumbore step is a full (8, 128) VPU op.
+  Leaf windows need no leaf storage at all (see SplitBVH).
+* Per-ray state is two (1, 128) registers (t, winning tri id); hit position,
+  barycentrics and prim ids are reconstructed outside the kernel from the
+  winner (one gather per ray), exactly like trace/wide_fat.py.
+
+Ordering: box/leaf children are pushed far-to-near by packet-min entry
+distance (scalar sort network), reference near-child-first semantics at
+packet granularity (src/Tracer.cu:341-362). Within a leaf pop, later pair
+slots win distance ties, matching the fat tracers' entry order.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_raytracing.bvh.bucket import SplitBVH
+from tpu_raytracing.bvh.types import CHILD_TRI
+from tpu_raytracing.trace.brute import HitRecord
+from tpu_raytracing.trace.ray import Rays
+from tpu_raytracing.trace.traverse import PackedPairs, TraceStats
+from tpu_raytracing.trace.wide_fat import _reconstruct
+
+K = 128  # rays per packet = lane width
+C = 4  # packet slots in flight per program
+STACK = 160  # >= 7 * max wide depth + 1: no drops possible
+WIDE = 8
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+_TRI_EPS = 1e-9
+
+# Optimal 8-input sorting network (19 comparators).
+_NETWORK = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6),
+    (1, 4), (3, 6),
+    (2, 4), (3, 5),
+    (3, 4),
+]
+
+
+def prep_split_views(split: SplitBVH, packed: PackedPairs):
+    """Device-side views the kernel DMAs from.
+
+    Returns (inner_i [ICAP, 128] i32 — the 64 row words lane-padded to 128
+    (HBM row DMA slices must be 128-lane aligned), inner_f f32 bit view,
+    pairs_f [max(P,8), 128] f32: 16 pair words lane-padded to 128,
+    zero-padded to at least 8 rows so leaf windows never run off the end).
+    """
+    inner_i = jnp.pad(split.inner, ((0, 0), (0, 64)))
+    inner_f = jax.lax.bitcast_convert_type(inner_i, jnp.float32)
+    rows = packed.rows
+    n = rows.shape[0]
+    rows = jnp.pad(rows, ((0, max(8 - n, 0)), (0, 128 - rows.shape[1])))
+    pairs_f = jax.lax.bitcast_convert_type(rows, jnp.float32)
+    return inner_i, inner_f, pairs_f
+
+
+def _kernel(inner_i, inner_f, pairs_f, rays_hbm, out_hbm,
+            ray_scr, leaf_scr, st_t, st_tri, out_stage,
+            ii_s, if_s, stack, sps, tags, acts, fresh, outp, pkts, cursor,
+            sem_ii, sem_if, sem_leaf, sem_ray, sem_out):
+    num_p = rays_hbm.shape[0]
+
+    def start_inner(c, idx):
+        pltpu.make_async_copy(inner_i.at[idx], ii_s.at[c], sem_ii.at[c]).start()
+        pltpu.make_async_copy(inner_f.at[idx], if_s.at[c], sem_if.at[c]).start()
+
+    def start_leaf(c, idx):
+        pltpu.make_async_copy(
+            pairs_f.at[pl.ds(idx, 8), :], leaf_scr.at[c], sem_leaf.at[c]
+        ).start()
+
+    def start_ray(c, pkt):
+        pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+        ).start()
+
+    # --- init: prime slots 0..C-1 with the first packets ---
+    for c in range(C):
+        if c < num_p:
+            acts[c] = jnp.int32(1)
+            pkts[c] = jnp.int32(c)
+            fresh[c] = jnp.int32(1)
+            outp[c] = jnp.int32(0)
+            sps[c] = jnp.int32(0)
+            tags[c] = jnp.int32(0)  # root = inner row 0
+            start_ray(c, jnp.int32(c))
+            start_inner(c, jnp.int32(0))
+        else:
+            acts[c] = jnp.int32(0)
+            outp[c] = jnp.int32(0)
+            fresh[c] = jnp.int32(0)
+            sps[c] = jnp.int32(0)
+            tags[c] = jnp.int32(0)
+            pkts[c] = jnp.int32(0)
+    cursor[0] = jnp.int32(min(C, num_p))
+
+    def body(nd):
+        for c in range(C):
+            act = acts[c] == 1
+            tag = tags[c]
+            is_leaf = (tag & 1) == 1
+            fresh_v = fresh[c] == 1
+            outp_v = outp[c] == 1
+
+            # refill housekeeping: drain the previous packet's output DMA
+            # before its state registers are re-initialised.
+            @pl.when(act & fresh_v & outp_v)
+            def _():
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).wait()
+                outp[c] = jnp.int32(0)
+
+            @pl.when(act & fresh_v)
+            def _():
+                pltpu.make_async_copy(
+                    rays_hbm.at[pkts[c]], ray_scr.at[c, pl.ds(0, 8)],
+                    sem_ray.at[c],
+                ).wait()
+                ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+                st_t[c] = ray_scr[c, 7:8, :]
+                st_tri[c] = jnp.full((1, K), -1, jnp.int32)
+                fresh[c] = jnp.int32(0)
+
+            # --- interior pop: slab 8 entries, sort, push far-to-near ---
+            @pl.when(act & jnp.logical_not(is_leaf))
+            def _():
+                pltpu.make_async_copy(
+                    inner_i.at[tag >> 1], ii_s.at[c], sem_ii.at[c]
+                ).wait()
+                pltpu.make_async_copy(
+                    inner_f.at[tag >> 1], if_s.at[c], sem_if.at[c]
+                ).wait()
+                ox = ray_scr[c, 0:1, :]
+                oy = ray_scr[c, 1:2, :]
+                oz = ray_scr[c, 2:3, :]
+                invx = ray_scr[c, 8:9, :]
+                invy = ray_scr[c, 9:10, :]
+                invz = ray_scr[c, 10:11, :]
+                tmn = ray_scr[c, 6:7, :]
+                t_cur = st_t[c]
+                cand_d = []
+                cand_t = []
+                for e in range(WIDE):
+                    meta = ii_s[c, e * 8 + 6]
+                    ntype = meta & 3
+                    child = meta >> 5
+                    tx0 = (if_s[c, e * 8 + 0] - ox) * invx
+                    ty0 = (if_s[c, e * 8 + 1] - oy) * invy
+                    tz0 = (if_s[c, e * 8 + 2] - oz) * invz
+                    tx1 = (if_s[c, e * 8 + 3] - ox) * invx
+                    ty1 = (if_s[c, e * 8 + 4] - oy) * invy
+                    tz1 = (if_s[c, e * 8 + 5] - oz) * invz
+                    front = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    back = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    bh = (back >= front) & (front <= t_cur) & (back >= tmn)
+                    d_e = jnp.min(jnp.where(bh, front, _F32_MAX))
+                    push = (d_e < _F32_MAX) & (ntype != 0)
+                    tag_e = (child << 1) | (ntype == CHILD_TRI).astype(jnp.int32)
+                    cand_d.append(jnp.where(push, d_e, -_F32_MAX))
+                    cand_t.append(jnp.where(push, tag_e, -1))
+                # Descending distance; ties -> higher id nearer.
+                for a, b in _NETWORK:
+                    swap = (cand_d[a] < cand_d[b]) | (
+                        (cand_d[a] == cand_d[b]) & (cand_t[a] > cand_t[b])
+                    )
+                    da = jnp.where(swap, cand_d[b], cand_d[a])
+                    db = jnp.where(swap, cand_d[a], cand_d[b])
+                    ta = jnp.where(swap, cand_t[b], cand_t[a])
+                    tb = jnp.where(swap, cand_t[a], cand_t[b])
+                    cand_d[a], cand_d[b] = da, db
+                    cand_t[a], cand_t[b] = ta, tb
+                sp = sps[c]
+                for e in range(WIDE):
+                    ok = cand_t[e] >= 0
+                    # Unconditional write (avoids a nested pl.when): invalid
+                    # candidates land in the trash slot STACK.
+                    stack[c, jnp.where(ok, sp, STACK)] = cand_t[e]
+                    sp = sp + ok.astype(jnp.int32)
+                sps[c] = sp
+
+            # --- leaf pop: 8-pair window, sublane-mapped Moller-Trumbore ---
+            @pl.when(act & is_leaf)
+            def _():
+                pltpu.make_async_copy(
+                    pairs_f.at[pl.ds(tag >> 1, 8), :], leaf_scr.at[c],
+                    sem_leaf.at[c],
+                ).wait()
+                row = leaf_scr[c]
+                dx = ray_scr[c, 3:4, :]
+                dy = ray_scr[c, 4:5, :]
+                dz = ray_scr[c, 5:6, :]
+                ox = ray_scr[c, 0:1, :]
+                oy = ray_scr[c, 1:2, :]
+                oz = ray_scr[c, 2:3, :]
+                tmn = ray_scr[c, 6:7, :]
+                t_cur = st_t[c]
+
+                def col(w):
+                    return row[:, w : w + 1]  # (8, 1)
+
+                def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
+                    e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
+                    e2x, e2y, e2z = c0 - a0, c1 - a1, c2 - a2
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    det = e1x * hx + e1y * hy + e1z * hz
+                    degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
+                    f = 1.0 / det
+                    sx, sy, sz = ox - a0, oy - a1, oz - a2
+                    uu = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = f * (dx * qx + dy * qy + dz * qz)
+                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+                    acc = (
+                        ~degen & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
+                        & (uu + vv <= 1.0) & (tt >= tmn) & (tt <= t_cur)
+                    )
+                    return acc, tt
+
+                v0 = (col(0), col(1), col(2))
+                v1 = (col(3), col(4), col(5))
+                v2 = (col(6), col(7), col(8))
+                v3 = (col(9), col(10), col(11))
+                acc_a, tt_a = mt(*v0, *v1, *v2)
+                acc_b, tt_b = mt(*v2, *v1, *v3)
+                cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
+                cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
+                tm = jnp.min(
+                    jnp.minimum(cand_a, cand_b), axis=0, keepdims=True
+                )  # (1, K)
+                enc = jax.lax.broadcasted_iota(jnp.int32, (WIDE, K), 0) * 2
+                wa = jnp.max(
+                    jnp.where(cand_a == tm, enc, -1), axis=0, keepdims=True
+                )
+                wb = jnp.max(
+                    jnp.where(cand_b == tm, enc + 1, -1), axis=0, keepdims=True
+                )
+                wenc = jnp.maximum(wa, wb)
+                take = tm <= t_cur
+                tri_new = (tag >> 1) * 2 + wenc
+                st_tri[c] = jnp.where(take, tri_new, st_tri[c])
+                st_t[c] = jnp.where(take, tm, st_t[c])
+
+            # --- advance: finish/refill/retire or pop the next node ---
+            sp_v = sps[c]
+            finished = act & (sp_v == 0)
+            nxt = cursor[0]
+            refill = finished & (nxt < num_p)
+            retire = finished & (nxt >= num_p)
+            cont = act & (sp_v > 0)
+            nt = stack[c, jnp.maximum(sp_v - 1, 0)]
+            nt_leaf = (nt & 1) == 1
+
+            @pl.when(finished)
+            def _():
+                out_stage[c, 0:1, :] = st_t[c]
+                out_stage[c, 1:2, :] = pltpu.bitcast(st_tri[c], jnp.float32)
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).start()
+                outp[c] = jnp.int32(1)
+
+            @pl.when(refill)
+            def _():
+                pkts[c] = nxt
+                fresh[c] = jnp.int32(1)
+                tags[c] = jnp.int32(0)
+                start_ray(c, nxt)
+                cursor[0] = nxt + 1
+
+            @pl.when(retire)
+            def _():
+                acts[c] = jnp.int32(0)
+
+            @pl.when(cont)
+            def _():
+                tags[c] = nt
+                sps[c] = sp_v - 1
+
+            inner_idx = jnp.where(refill, 0, jnp.maximum(nt >> 1, 0))
+
+            @pl.when(refill | (cont & jnp.logical_not(nt_leaf)))
+            def _():
+                start_inner(c, inner_idx)
+
+            @pl.when(cont & nt_leaf)
+            def _():
+                start_leaf(c, nt >> 1)
+
+            nd = nd + finished.astype(jnp.int32)
+        return nd
+
+    jax.lax.while_loop(lambda nd: nd < num_p, body, jnp.int32(0))
+
+    # Drain the final output DMAs.
+    for c in range(C):
+        @pl.when(outp[c] == 1)
+        def _():
+            pltpu.make_async_copy(
+                out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+            ).wait()
+
+
+def trace_rays_split_pallas(
+    views, packed: PackedPairs, rays: Rays, active=None,
+) -> Tuple[HitRecord, TraceStats]:
+    """Closest-hit trace against a SplitBVH (views from prep_split_views).
+
+    Ray count must be a multiple of 128. Dead rays (active False) get an
+    empty interval (tmin=+max, tmax=-max) so no box or triangle ever
+    accepts and all-dead packets drain in one pop.
+    """
+    inner_i, inner_f, pairs_f = views
+    num_rays = rays.origin.shape[0]
+    assert num_rays % K == 0
+    num_p = num_rays // K
+
+    tmin, tmax = rays.tmin, rays.tmax
+    if active is not None:
+        tmin = jnp.where(active, tmin, _F32_MAX)
+        tmax = jnp.where(active, tmax, -_F32_MAX)
+    rays8 = jnp.stack(
+        [
+            rays.origin[:, 0].reshape(num_p, K),
+            rays.origin[:, 1].reshape(num_p, K),
+            rays.origin[:, 2].reshape(num_p, K),
+            rays.direction[:, 0].reshape(num_p, K),
+            rays.direction[:, 1].reshape(num_p, K),
+            rays.direction[:, 2].reshape(num_p, K),
+            tmin.reshape(num_p, K),
+            tmax.reshape(num_p, K),
+        ],
+        axis=1,
+    )  # [num_p, 8, K]
+
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    out = pl.pallas_call(
+        _kernel,
+        in_specs=[hbm] * 4,
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((num_p, 2, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, 16, K), jnp.float32),  # ray_scr (8 DMA + 3 inv)
+            pltpu.VMEM((C, 8, K), jnp.float32),   # leaf_scr
+            pltpu.VMEM((C, 1, K), jnp.float32),   # st_t
+            pltpu.VMEM((C, 1, K), jnp.int32),     # st_tri
+            pltpu.VMEM((C, 2, K), jnp.float32),   # out_stage
+            pltpu.SMEM((C, 128), jnp.int32),      # ii_s
+            pltpu.SMEM((C, 128), jnp.float32),    # if_s
+            pltpu.SMEM((C, STACK + 1), jnp.int32),  # stack (+1 trash slot)
+            pltpu.SMEM((C,), jnp.int32),          # sps
+            pltpu.SMEM((C,), jnp.int32),          # tags
+            pltpu.SMEM((C,), jnp.int32),          # acts
+            pltpu.SMEM((C,), jnp.int32),          # fresh
+            pltpu.SMEM((C,), jnp.int32),          # outp
+            pltpu.SMEM((C,), jnp.int32),          # pkts
+            pltpu.SMEM((1,), jnp.int32),          # cursor
+            pltpu.SemaphoreType.DMA((C,)),        # sem_ii
+            pltpu.SemaphoreType.DMA((C,)),        # sem_if
+            pltpu.SemaphoreType.DMA((C,)),        # sem_leaf
+            pltpu.SemaphoreType.DMA((C,)),        # sem_ray
+            pltpu.SemaphoreType.DMA((C,)),        # sem_out
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(inner_i, inner_f, pairs_f, rays8)
+
+    t_flat = out[:, 0, :].reshape(num_rays)
+    tri_flat = jax.lax.bitcast_convert_type(out[:, 1, :], jnp.int32).reshape(
+        num_rays
+    )
+    rec = _reconstruct(packed, rays, t_flat, tri_flat)
+    zeros = jnp.zeros((num_rays,), jnp.int32)
+    return rec, TraceStats(box_tests=zeros, tri_tests=zeros)
+
+
+def make_split_pallas_tracer(views, packed, width: int, height: int):
+    """Tiled drop-in tracer over 16x8 screen-tile packets.
+
+    With views=None the (inner_i, inner_f, pairs_f) triple rides in the
+    tracer's ``trav`` argument (required at scale: closure constants embed
+    in the compiled module).
+    """
+    from tpu_raytracing.trace.packet import tile_reorder, tile_restore
+
+    def tracer(trav, pairs, rays, max_width=2, active=None):
+        del max_width
+        v = views if views is not None else trav
+        p = packed if packed is not None else pairs
+        tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, 16, 8), rays)
+        act = None if active is None else tile_reorder(active, width, height, 16, 8)
+        rec, stats = trace_rays_split_pallas(v, p, tiled, active=act)
+        rec = jax.tree.map(lambda a: tile_restore(a, width, height, 16, 8), rec)
+        return rec, stats
+
+    tracer.host_staged = False
+    return tracer
