@@ -142,9 +142,14 @@ def _bucket_tables(sorted_codes: jnp.ndarray, num_leaves, n: int):
     num_levels = len(levels)
 
     # --- per-level bucket tables ---
+    # One batched cumsum for all levels' bucket ids (a [n] cumsum costs
+    # ~12 ms on v5e; 18 of them would dominate the table pass).
+    bids_all = jnp.cumsum(
+        jnp.stack(levels, axis=0).astype(jnp.int32), axis=1
+    ) - 1
     bids, poss, counts = [], [], []
-    for starts, cap in zip(levels, caps):
-        bid = jnp.cumsum(starts.astype(jnp.int32)) - 1  # [n]
+    for li, (starts, cap) in enumerate(zip(levels, caps)):
+        bid = bids_all[li]  # [n]
         pos = jnp.full((cap,), num_leaves, jnp.int32)
         pos = pos.at[jnp.where(starts, bid, cap)].set(iota, mode="drop")
         nxt = jnp.concatenate([pos[1:], jnp.full((1,), num_leaves, jnp.int32)])
@@ -431,33 +436,36 @@ def build_bucket_split(
         levels, caps, poss, counts, child_starts, child_counts, lo, hi, n
     )
 
-    # --- scatter inner rows ---
+    # --- scatter inner rows, child-side ---
+    # Each level-(l+1) bucket writes its own entry into its parent's row
+    # (one [cap] scatter + 4 gathers per level); the parent-side form needs
+    # 8 slot gathers x 3 arrays per level, which dominates build time on
+    # this backend (row-serialized gathers, docs/TPU_NOTES.md).
     icap = n // 4 + 2
-    inner = jnp.zeros((icap, WIDE, 8), jnp.int32)
     f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
-    for l in range(num_levels - 1):
-        cap = caps[l]
-        real = alive[l] & is_branch[l]
-        words = []
-        for j in range(WIDE):
-            cb = jnp.clip(child_starts[l] + j, 0, caps[l + 1] - 1)
-            valid = real & (j < child_counts[l])
-            etag = effs[l + 1][cb]
-            is_leaf_c = (etag & 1) == 1
-            child = etag >> 1
-            etype = jnp.where(valid,
-                              jnp.where(is_leaf_c, CHILD_TRI, CHILD_BOX),
-                              CHILD_NONE)
-            meta = jnp.where(
-                etype == CHILD_NONE, 0, (child << _META_CHILD_SHIFT) | etype
-            ).astype(jnp.int32)
-            e_lo = jnp.where(valid[:, None], a_los[l + 1][cb], _F32_MAX)
-            e_hi = jnp.where(valid[:, None], a_his[l + 1][cb], -_F32_MAX)
-            words.append(jnp.concatenate(
-                [f2i(e_lo), f2i(e_hi), meta[:, None],
-                 jnp.zeros((cap, 1), jnp.int32)], axis=1))  # [cap, 8]
-        dest = jnp.where(real, wids[l], icap)
-        inner = inner.at[dest].set(jnp.stack(words, axis=1), mode="drop")
+    empty_entry = jnp.concatenate([
+        f2i(jnp.full((3,), _F32_MAX, jnp.float32)),
+        f2i(jnp.full((3,), -_F32_MAX, jnp.float32)),
+        jnp.zeros((2,), jnp.int32),
+    ])  # NONE entry: inverted box so the slab test never hits
+    inner = jnp.broadcast_to(empty_entry, (icap * WIDE, 8))
+    for l in range(1, num_levels):
+        capc = caps[l]
+        parpos = jnp.clip(poss[l], 0, n - 1)
+        par = jnp.clip(bids[l - 1][parpos], 0, caps[l - 1] - 1)  # [capc]
+        preal = (alive[l - 1] & is_branch[l - 1])[par]
+        j = jnp.arange(capc, dtype=jnp.int32) - child_starts[l - 1][par]
+        valid = preal & (counts[l] > 0) & (j >= 0) & (j < WIDE)
+        etag = effs[l]
+        is_leaf_c = (etag & 1) == 1
+        child = etag >> 1
+        etype = jnp.where(is_leaf_c, CHILD_TRI, CHILD_BOX)
+        meta = ((child << _META_CHILD_SHIFT) | etype).astype(jnp.int32)
+        words = jnp.concatenate(
+            [f2i(a_los[l]), f2i(a_his[l]), meta[:, None],
+             jnp.zeros((capc, 1), jnp.int32)], axis=1)  # [capc, 8]
+        dest = jnp.where(valid, wids[l - 1][par] * WIDE + j, icap * WIDE)
+        inner = inner.at[dest].set(words, mode="drop")
 
     inner = inner.reshape(icap, WIDE * 8)
 

@@ -20,10 +20,13 @@ lockstep waste) and attacks the latency:
   barycentrics and prim ids are reconstructed outside the kernel from the
   winner (one gather per ray), exactly like trace/wide_fat.py.
 
-Ordering: box/leaf children are pushed far-to-near by packet-min entry
-distance (scalar sort network), reference near-child-first semantics at
-packet granularity (src/Tracer.cu:341-362). Within a leaf pop, later pair
-slots win distance ties, matching the fat tracers' entry order.
+Ordering: the nearest child (packet-min entry distance, higher entry id on
+ties — src/Tracer.cu:346-347) is pushed last so it pops first; the other
+children push in slot order. This keeps the reference's near-child-first
+semantics at packet granularity without a scalar sort network — the argmin
+and the validity mask cross from vector to scalar as just two packed
+reductions. Within a leaf pop, later pair slots win distance ties, matching
+the fat tracers' entry order.
 """
 
 from __future__ import annotations
@@ -42,51 +45,49 @@ from tpu_raytracing.trace.ray import Rays
 from tpu_raytracing.trace.traverse import PackedPairs, TraceStats
 from tpu_raytracing.trace.wide_fat import _reconstruct
 
+import os as _os
+
 K = 128  # rays per packet = lane width
-C = 4  # packet slots in flight per program
+# Packet slots in flight per program (TPURT_SPLIT_C: perf experiment knob).
+C = int(_os.environ.get("TPURT_SPLIT_C", "4"))
 STACK = 160  # >= 7 * max wide depth + 1: no drops possible
 WIDE = 8
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
 
-# Optimal 8-input sorting network (19 comparators).
-_NETWORK = [
-    (0, 1), (2, 3), (4, 5), (6, 7),
-    (0, 2), (1, 3), (4, 6), (5, 7),
-    (1, 2), (5, 6), (0, 4), (3, 7),
-    (1, 5), (2, 6),
-    (1, 4), (3, 6),
-    (2, 4), (3, 5),
-    (3, 4),
-]
-
-
 def prep_split_views(split: SplitBVH, packed: PackedPairs):
     """Device-side views the kernel DMAs from.
 
     Returns (inner_i [ICAP, 128] i32 — the 64 row words lane-padded to 128
-    (HBM row DMA slices must be 128-lane aligned), inner_f f32 bit view,
-    pairs_f [max(P,8), 128] f32: 16 pair words lane-padded to 128,
-    zero-padded to at least 8 rows so leaf windows never run off the end).
+    (HBM row DMA slices must be 128-lane aligned; scalar meta reads come
+    from here), inner_v [ICAP, 8, 128] f32 — the same row entry-major so an
+    (8, 128) DMA puts entry e's box on sublane e for the sublane-mapped
+    slab test, pairs_f [max(P,8), 128] f32: 16 pair words lane-padded to
+    128, zero-padded to at least 8 rows so leaf windows never run off the
+    end).
     """
     inner_i = jnp.pad(split.inner, ((0, 0), (0, 64)))
-    inner_f = jax.lax.bitcast_convert_type(inner_i, jnp.float32)
+    icap = split.inner.shape[0]
+    inner_v = jax.lax.bitcast_convert_type(
+        jnp.pad(split.inner.reshape(icap, 8, 8), ((0, 0), (0, 0), (0, 120))),
+        jnp.float32,
+    )
     rows = packed.rows
     n = rows.shape[0]
     rows = jnp.pad(rows, ((0, max(8 - n, 0)), (0, 128 - rows.shape[1])))
     pairs_f = jax.lax.bitcast_convert_type(rows, jnp.float32)
-    return inner_i, inner_f, pairs_f
+    return inner_i, inner_v, pairs_f
 
 
-def _kernel(inner_i, inner_f, pairs_f, rays_hbm, out_hbm,
-            ray_scr, leaf_scr, st_t, st_tri, out_stage,
-            ii_s, if_s, stack, sps, tags, acts, fresh, outp, pkts, cursor,
-            sem_ii, sem_if, sem_leaf, sem_ray, sem_out):
+def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
+            ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
+            ii_s, stack, sps, tags, acts, fresh, outp, pkts, cursor,
+            sem_ii, sem_iv, sem_leaf, sem_ray, sem_out):
     num_p = rays_hbm.shape[0]
 
     def start_inner(c, idx):
         pltpu.make_async_copy(inner_i.at[idx], ii_s.at[c], sem_ii.at[c]).start()
-        pltpu.make_async_copy(inner_f.at[idx], if_s.at[c], sem_if.at[c]).start()
+        pltpu.make_async_copy(inner_v.at[idx], iv_s.at[c], sem_iv.at[c]).start()
 
     def start_leaf(c, idx):
         pltpu.make_async_copy(
@@ -146,15 +147,17 @@ def _kernel(inner_i, inner_f, pairs_f, rays_hbm, out_hbm,
                 st_tri[c] = jnp.full((1, K), -1, jnp.int32)
                 fresh[c] = jnp.int32(0)
 
-            # --- interior pop: slab 8 entries, sort, push far-to-near ---
+            # --- interior pop: sublane-mapped slab (8 entries x 128 rays
+            # per VPU op), nearest child pushed last ---
             @pl.when(act & jnp.logical_not(is_leaf))
             def _():
                 pltpu.make_async_copy(
                     inner_i.at[tag >> 1], ii_s.at[c], sem_ii.at[c]
                 ).wait()
                 pltpu.make_async_copy(
-                    inner_f.at[tag >> 1], if_s.at[c], sem_if.at[c]
+                    inner_v.at[tag >> 1], iv_s.at[c], sem_iv.at[c]
                 ).wait()
+                row = iv_s[c]  # (8, 128): sublane e = entry e's box words
                 ox = ray_scr[c, 0:1, :]
                 oy = ray_scr[c, 1:2, :]
                 oz = ray_scr[c, 2:3, :]
@@ -163,51 +166,53 @@ def _kernel(inner_i, inner_f, pairs_f, rays_hbm, out_hbm,
                 invz = ray_scr[c, 10:11, :]
                 tmn = ray_scr[c, 6:7, :]
                 t_cur = st_t[c]
-                cand_d = []
-                cand_t = []
+                tx0 = (row[:, 0:1] - ox) * invx
+                ty0 = (row[:, 1:2] - oy) * invy
+                tz0 = (row[:, 2:3] - oz) * invz
+                tx1 = (row[:, 3:4] - ox) * invx
+                ty1 = (row[:, 4:5] - oy) * invy
+                tz1 = (row[:, 5:6] - oz) * invz
+                front = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                back = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                bh = (back >= front) & (front <= t_cur) & (back >= tmn)
+                d8 = jnp.min(
+                    jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX),
+                    axis=1, keepdims=True,
+                )  # (8, 1); negative fronts clamp to 0 (inside the box)
+                validv = d8 < _F32_MAX
+                # Two vector->scalar transfers replace eight per-entry
+                # reductions + the scalar sort network: a bit-packed argmin
+                # (low 3 bits = 7 - entry, so ties pick the higher entry id,
+                # src/Tracer.cu:346-347) and a validity bitmask.
+                e_iota = jax.lax.broadcasted_iota(jnp.int32, (WIDE, 1), 0)
+                key = (pltpu.bitcast(d8, jnp.int32) & ~7) | (7 - e_iota)
+                kmin = jnp.min(jnp.where(validv, key, 0x7FFFFFFF))
+                vmask = jnp.sum(jnp.where(validv, 1 << e_iota, 0))
+                emin = 7 - (kmin & 7)
+                sp = sps[c]
+                last_tag = jnp.int32(-1)
                 for e in range(WIDE):
                     meta = ii_s[c, e * 8 + 6]
                     ntype = meta & 3
-                    child = meta >> 5
-                    tx0 = (if_s[c, e * 8 + 0] - ox) * invx
-                    ty0 = (if_s[c, e * 8 + 1] - oy) * invy
-                    tz0 = (if_s[c, e * 8 + 2] - oz) * invz
-                    tx1 = (if_s[c, e * 8 + 3] - ox) * invx
-                    ty1 = (if_s[c, e * 8 + 4] - oy) * invy
-                    tz1 = (if_s[c, e * 8 + 5] - oz) * invz
-                    front = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                        jnp.minimum(tz0, tz1),
-                    )
-                    back = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1),
-                    )
-                    bh = (back >= front) & (front <= t_cur) & (back >= tmn)
-                    d_e = jnp.min(jnp.where(bh, front, _F32_MAX))
-                    push = (d_e < _F32_MAX) & (ntype != 0)
-                    tag_e = (child << 1) | (ntype == CHILD_TRI).astype(jnp.int32)
-                    cand_d.append(jnp.where(push, d_e, -_F32_MAX))
-                    cand_t.append(jnp.where(push, tag_e, -1))
-                # Descending distance; ties -> higher id nearer.
-                for a, b in _NETWORK:
-                    swap = (cand_d[a] < cand_d[b]) | (
-                        (cand_d[a] == cand_d[b]) & (cand_t[a] > cand_t[b])
-                    )
-                    da = jnp.where(swap, cand_d[b], cand_d[a])
-                    db = jnp.where(swap, cand_d[a], cand_d[b])
-                    ta = jnp.where(swap, cand_t[b], cand_t[a])
-                    tb = jnp.where(swap, cand_t[a], cand_t[b])
-                    cand_d[a], cand_d[b] = da, db
-                    cand_t[a], cand_t[b] = ta, tb
-                sp = sps[c]
-                for e in range(WIDE):
-                    ok = cand_t[e] >= 0
+                    tag_e = ((meta >> 5) << 1) | (
+                        ntype == CHILD_TRI
+                    ).astype(jnp.int32)
+                    ok = (((vmask >> e) & 1) == 1) & (ntype != 0)
+                    last_tag = jnp.where(ok & (e == emin), tag_e, last_tag)
+                    push = ok & (e != emin)
                     # Unconditional write (avoids a nested pl.when): invalid
                     # candidates land in the trash slot STACK.
-                    stack[c, jnp.where(ok, sp, STACK)] = cand_t[e]
-                    sp = sp + ok.astype(jnp.int32)
-                sps[c] = sp
+                    stack[c, jnp.where(push, sp, STACK)] = tag_e
+                    sp = sp + push.astype(jnp.int32)
+                ok_last = last_tag >= 0
+                stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
+                sps[c] = sp + ok_last.astype(jnp.int32)
 
             # --- leaf pop: 8-pair window, sublane-mapped Moller-Trumbore ---
             @pl.when(act & is_leaf)
@@ -344,7 +349,7 @@ def trace_rays_split_pallas(
     empty interval (tmin=+max, tmax=-max) so no box or triangle ever
     accepts and all-dead packets drain in one pop.
     """
-    inner_i, inner_f, pairs_f = views
+    inner_i, inner_v, pairs_f = views
     num_rays = rays.origin.shape[0]
     assert num_rays % K == 0
     num_p = num_rays // K
@@ -376,11 +381,11 @@ def trace_rays_split_pallas(
         scratch_shapes=[
             pltpu.VMEM((C, 16, K), jnp.float32),  # ray_scr (8 DMA + 3 inv)
             pltpu.VMEM((C, 8, K), jnp.float32),   # leaf_scr
+            pltpu.VMEM((C, 8, K), jnp.float32),   # iv_s (entry-major box row)
             pltpu.VMEM((C, 1, K), jnp.float32),   # st_t
             pltpu.VMEM((C, 1, K), jnp.int32),     # st_tri
             pltpu.VMEM((C, 2, K), jnp.float32),   # out_stage
             pltpu.SMEM((C, 128), jnp.int32),      # ii_s
-            pltpu.SMEM((C, 128), jnp.float32),    # if_s
             pltpu.SMEM((C, STACK + 1), jnp.int32),  # stack (+1 trash slot)
             pltpu.SMEM((C,), jnp.int32),          # sps
             pltpu.SMEM((C,), jnp.int32),          # tags
@@ -390,13 +395,13 @@ def trace_rays_split_pallas(
             pltpu.SMEM((C,), jnp.int32),          # pkts
             pltpu.SMEM((1,), jnp.int32),          # cursor
             pltpu.SemaphoreType.DMA((C,)),        # sem_ii
-            pltpu.SemaphoreType.DMA((C,)),        # sem_if
+            pltpu.SemaphoreType.DMA((C,)),        # sem_iv
             pltpu.SemaphoreType.DMA((C,)),        # sem_leaf
             pltpu.SemaphoreType.DMA((C,)),        # sem_ray
             pltpu.SemaphoreType.DMA((C,)),        # sem_out
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(inner_i, inner_f, pairs_f, rays8)
+    )(inner_i, inner_v, pairs_f, rays8)
 
     t_flat = out[:, 0, :].reshape(num_rays)
     tri_flat = jax.lax.bitcast_convert_type(out[:, 1, :], jnp.int32).reshape(
@@ -410,7 +415,7 @@ def trace_rays_split_pallas(
 def make_split_pallas_tracer(views, packed, width: int, height: int):
     """Tiled drop-in tracer over 16x8 screen-tile packets.
 
-    With views=None the (inner_i, inner_f, pairs_f) triple rides in the
+    With views=None the (inner_i, inner_v, pairs_f) triple rides in the
     tracer's ``trav`` argument (required at scale: closure constants embed
     in the compiled module).
     """
