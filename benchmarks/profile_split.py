@@ -39,11 +39,15 @@ def main():
     host_cam.pitch = 0.7
     camera = cam.camera_to_device(cam.update_camera(host_cam))
     triangles = jnp.asarray(scene.triangles)
-    log(f"device={jax.devices()[0]}, {num_tris} tris, {res}x{res}, C={sp.C}")
+    log(f"device={jax.devices()[0]}, {num_tris} tris, {res}x{res}, C={sp.C}, K={sp.K}, LEAFW={sp.LEAFW}")
+
+    inner_w = int(os.environ.get("TPURT_SPLIT_W", 8))
+    log(f"inner_width={inner_w}")
 
     @jax.jit
     def build(tris):
-        split, packed = bucket.build_bucket_split(tris)
+        split, packed = bucket.build_bucket_split(
+            tris, leaf_width=sp.LEAFW, inner_width=inner_w)
         return sp.prep_split_views(split, packed), packed, split.num_inner
 
     t0 = time.perf_counter()

@@ -148,3 +148,20 @@ def test_split_pallas_tiny_scene(sp):
         np.asarray(ref.t)[np.asarray(ref.hit)],
         rtol=1e-5,
     )
+
+
+def test_split_pallas_width_variants(sphere, sp):
+    """16-wide inner rows and 32-pair leaf windows vs brute force."""
+    tris = jnp.asarray(sphere.triangles)
+    camera = cam.camera_to_device(
+        cam.update_camera(cam.initialise_camera(sphere.aabb_min, sphere.aabb_max))
+    )
+    rays = generate_primary_rays(camera, 16, 8)
+    ref = brute_force_trace(tris, rays)
+    for w, lw in [(16, 16), (16, 32), (8, 32)]:
+        split, packed = jax.jit(
+            lambda t: bucket.build_bucket_split(t, inner_width=w, leaf_width=lw)
+        )(tris)
+        views = sp.prep_split_views(split, packed)
+        rec, _ = sp.trace_rays_split_pallas(views, packed, rays, leafw=lw)
+        _assert_matches(rec, ref)

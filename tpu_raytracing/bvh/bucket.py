@@ -64,16 +64,21 @@ _F32_MAX = float(jnp.finfo(jnp.float32).max)
 MORTON_LEVELS = 10  # 30 bits, 3 per level
 
 
-def _segment_totals(x, heads, tails_pos, valid, op, init):
-    """Per-segment reduction over segments of length <= 8: 3-pass
-    Hillis-Steele segmented inclusive scan + gather at segment tails.
+def _segment_totals(x, heads, tails_pos, valid, op, init, width=8):
+    """Per-segment reduction over segments of length <= width: log2(width)
+    Hillis-Steele segmented inclusive scan passes + gather at segment tails.
 
     x: [M, C]; heads: [M] bool start flags; tails_pos: [B] last-element
     positions; valid: [B] bool. Returns [B, C] (init where invalid).
     """
     f = heads
     m = x.shape[0]
-    for d in (1, 2, 4):
+    shifts = []
+    d = 1
+    while d < width:
+        shifts.append(d)
+        d *= 2
+    for d in shifts:
         if d >= m:  # tiny inputs: the shift falls entirely off the array
             x_shift = jnp.full_like(x, init)
             f_shift = jnp.ones((m,), bool)
@@ -109,33 +114,41 @@ def _sorted_leaves(triangles: jnp.ndarray, enable_pairs: bool):
     return sorted_codes, packed, lo, hi, ccount_leaf, num_leaves
 
 
-def _bucket_tables(sorted_codes: jnp.ndarray, num_leaves, n: int):
+def _bucket_tables(sorted_codes: jnp.ndarray, num_leaves, n: int,
+                   bits: int = 3):
     """Per-level bucket tables shared by the fat and split emitters.
 
+    ``bits`` Morton bits per level (3 = octree / 8-wide, 4 = 16-wide).
     Returns (levels, caps, bids, poss, counts, child_starts, child_counts);
     see build_bucket_fat's docstring for the level structure.
     """
+    width = 2 ** bits
     iota = jnp.arange(n, dtype=jnp.int32)
     pad_boundary = iota == num_leaves  # padded sentinel region starts here
 
     # --- level start masks ---
     levels = [(iota == 0) | pad_boundary]  # level 0: one live segment
-    caps = [8]
-    for lvl in range(1, MORTON_LEVELS + 1):
-        shift = 30 - 3 * lvl
+    caps = [width]
+    shifts_lv = []
+    sh = 30
+    while sh > 0:
+        sh = max(sh - bits, 0)
+        shifts_lv.append(sh)
+    for lvl, shift in enumerate(shifts_lv, start=1):
         pref = (sorted_codes >> shift).astype(jnp.uint32)
         prev = jnp.concatenate([pref[:1] ^ jnp.uint32(1), pref[:-1]])
         levels.append((pref != prev) | (iota == 0) | pad_boundary)
-        caps.append(min(8**lvl, n))
+        caps.append(min(width**lvl, n))
     # chunk levels: split runs inside the deepest Morton bucket at period
-    # 8^k so every segment bottoms out at <= 8 leaves whatever the input.
-    num_chunk = max(math.ceil(math.log(max(n, 2), 8)), 1)
+    # width^k so every segment bottoms out at <= width leaves whatever the
+    # input.
+    num_chunk = max(math.ceil(math.log(max(n, 2), width)), 1)
     m10 = levels[-1]
     seg_start = jax.lax.cummax(jnp.where(m10, iota, -1))
     idx_in_seg = iota - seg_start
     prev_starts = m10
     for k in range(num_chunk - 1, -1, -1):
-        s = prev_starts | (idx_in_seg % (8 ** (k + 1)) == 0)
+        s = prev_starts | (idx_in_seg % (width ** (k + 1)) == 0)
         levels.append(s)
         caps.append(n)
         prev_starts = s
@@ -176,24 +189,27 @@ def _bucket_tables(sorted_codes: jnp.ndarray, num_leaves, n: int):
     return levels, caps, bids, poss, counts, child_starts, child_counts
 
 
-def _bucket_aabbs(levels, caps, poss, counts, child_starts, child_counts, lo, hi, n):
+def _bucket_aabbs(levels, caps, poss, counts, child_starts, child_counts,
+                  lo, hi, n, width=8):
     """Bottom-up per-level bucket AABBs via segmented scans."""
     num_levels = len(levels)
     a_los = [None] * num_levels
     a_his = [None] * num_levels
     tails = poss[-1] + counts[-1] - 1
     valid = counts[-1] > 0
-    a_los[-1] = _segment_totals(lo, levels[-1], tails, valid, jnp.minimum, _F32_MAX)
-    a_his[-1] = _segment_totals(hi, levels[-1], tails, valid, jnp.maximum, -_F32_MAX)
+    a_los[-1] = _segment_totals(lo, levels[-1], tails, valid, jnp.minimum,
+                                _F32_MAX, width=width)
+    a_his[-1] = _segment_totals(hi, levels[-1], tails, valid, jnp.maximum,
+                                -_F32_MAX, width=width)
     for l in range(num_levels - 2, -1, -1):
         # scan over level-(l+1) buckets; parent heads mark first children
         heads = levels[l][jnp.clip(poss[l + 1], 0, n - 1)] | (counts[l + 1] <= 0)
         tails = jnp.clip(child_starts[l] + child_counts[l] - 1, 0, caps[l + 1] - 1)
         valid = counts[l] > 0
         a_los[l] = _segment_totals(a_los[l + 1], heads, tails, valid,
-                                   jnp.minimum, _F32_MAX)
+                                   jnp.minimum, _F32_MAX, width=width)
         a_his[l] = _segment_totals(a_his[l + 1], heads, tails, valid,
-                                   jnp.maximum, -_F32_MAX)
+                                   jnp.maximum, -_F32_MAX, width=width)
     return a_los, a_his
 
 
@@ -369,7 +385,8 @@ class SplitBVH:
 
 
 def build_bucket_split(
-    triangles: jnp.ndarray, enable_pairs: bool = False
+    triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 16,
+    inner_width: int = 8,
 ) -> Tuple[SplitBVH, PackedPairs]:
     """Morton-bucket build emitting the split (inner + pair-window) format.
 
@@ -378,12 +395,15 @@ def build_bucket_split(
     hold no pair geometry. Returned PackedPairs rows are zeroed in the
     padded sentinel region so out-of-bucket window slots never intersect.
     """
+    assert inner_width in (8, 16), inner_width
+    bits = inner_width.bit_length() - 1
     num_tris = triangles.shape[0]
     n = num_tris
     (sorted_codes, packed, lo, hi, _ccount,
      num_leaves) = _sorted_leaves(triangles, enable_pairs)
     (levels, caps, bids, poss, counts,
-     child_starts, child_counts) = _bucket_tables(sorted_codes, num_leaves, n)
+     child_starts, child_counts) = _bucket_tables(
+         sorted_codes, num_leaves, n, bits=bits)
     num_levels = len(levels)
 
     # Zero sentinel pairs: with pairing enabled the sorted arrays have a
@@ -398,9 +418,9 @@ def build_bucket_split(
     alive = [jnp.ones((caps[0],), bool)]
     for l in range(num_levels):
         count, cc = counts[l], child_counts[l]
-        small = (count >= 1) & (count <= WIDE)
+        small = (count >= 1) & (count <= leaf_width)
         is_small.append(small)
-        is_branch.append((count > WIDE) & (cc >= 2))
+        is_branch.append((count > leaf_width) & (cc >= 2))
         if l < num_levels - 1:
             par = bids[l][jnp.clip(poss[l + 1], 0, n - 1)]
             par = jnp.clip(par, 0, caps[l] - 1)
@@ -417,7 +437,7 @@ def build_bucket_split(
 
     # --- effective tagged ids, bottom-up (skip single-child chains) ---
     # tag = (id << 1) | is_leaf; leaf id = clamped window start position.
-    win_max = jnp.maximum(num_leaves - WIDE, 0)
+    win_max = jnp.maximum(num_leaves - leaf_width, 0)
     effs = [None] * num_levels
     for l in range(num_levels - 1, -1, -1):
         win = jnp.minimum(jnp.minimum(poss[l], win_max), n - 1)
@@ -433,7 +453,8 @@ def build_bucket_split(
             )
 
     a_los, a_his = _bucket_aabbs(
-        levels, caps, poss, counts, child_starts, child_counts, lo, hi, n
+        levels, caps, poss, counts, child_starts, child_counts, lo, hi, n,
+        width=inner_width,
     )
 
     # --- scatter inner rows, child-side ---
@@ -448,14 +469,14 @@ def build_bucket_split(
         f2i(jnp.full((3,), -_F32_MAX, jnp.float32)),
         jnp.zeros((2,), jnp.int32),
     ])  # NONE entry: inverted box so the slab test never hits
-    inner = jnp.broadcast_to(empty_entry, (icap * WIDE, 8))
+    inner = jnp.broadcast_to(empty_entry, (icap * inner_width, 8))
     for l in range(1, num_levels):
         capc = caps[l]
         parpos = jnp.clip(poss[l], 0, n - 1)
         par = jnp.clip(bids[l - 1][parpos], 0, caps[l - 1] - 1)  # [capc]
         preal = (alive[l - 1] & is_branch[l - 1])[par]
         j = jnp.arange(capc, dtype=jnp.int32) - child_starts[l - 1][par]
-        valid = preal & (counts[l] > 0) & (j >= 0) & (j < WIDE)
+        valid = preal & (counts[l] > 0) & (j >= 0) & (j < inner_width)
         etag = effs[l]
         is_leaf_c = (etag & 1) == 1
         child = etag >> 1
@@ -464,10 +485,11 @@ def build_bucket_split(
         words = jnp.concatenate(
             [f2i(a_los[l]), f2i(a_his[l]), meta[:, None],
              jnp.zeros((capc, 1), jnp.int32)], axis=1)  # [capc, 8]
-        dest = jnp.where(valid, wids[l - 1][par] * WIDE + j, icap * WIDE)
+        dest = jnp.where(valid, wids[l - 1][par] * inner_width + j,
+                         icap * inner_width)
         inner = inner.at[dest].set(words, mode="drop")
 
-    inner = inner.reshape(icap, WIDE * 8)
+    inner = inner.reshape(icap, inner_width * 8)
 
     # --- root: copy the effective root's row into slot 0, or synthesize a
     # single-Tri row when the whole scene is one terminal bucket ---
@@ -479,7 +501,7 @@ def build_bucket_split(
     leaf_meta = ((root_id << _META_CHILD_SHIFT) | CHILD_TRI).astype(jnp.int32)
     leaf_row = jnp.concatenate([
         f2i(smin), f2i(smax), leaf_meta[None], jnp.zeros((1,), jnp.int32),
-        jnp.zeros((WIDE * 8 - 8,), jnp.int32),
+        jnp.zeros((inner_width * 8 - 8,), jnp.int32),
     ])
     inner = inner.at[0].set(jnp.where(root_is_leaf, leaf_row, copied))
     return SplitBVH(inner=inner, num_inner=num_inner,

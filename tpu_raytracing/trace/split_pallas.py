@@ -31,6 +31,7 @@ the fat tracers' entry order.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -47,11 +48,13 @@ from tpu_raytracing.trace.wide_fat import _reconstruct
 
 import os as _os
 
-K = 128  # rays per packet = lane width
+# Rays per packet (TPURT_SPLIT_K: 128 = one lane tile, 256 = two).
+K = int(_os.environ.get("TPURT_SPLIT_K", "128"))
 # Packet slots in flight per program (TPURT_SPLIT_C: perf experiment knob).
 C = int(_os.environ.get("TPURT_SPLIT_C", "4"))
 STACK = 160  # >= 7 * max wide depth + 1: no drops possible
-WIDE = 8
+# Pairs per leaf window; build_bucket_split(leaf_width=...) must match.
+LEAFW = int(_os.environ.get("TPURT_SPLIT_LEAFW", "16"))
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
 
@@ -66,23 +69,25 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
     128, zero-padded to at least 8 rows so leaf windows never run off the
     end).
     """
-    inner_i = jnp.pad(split.inner, ((0, 0), (0, 64)))
-    icap = split.inner.shape[0]
+    icap, row_words = split.inner.shape
+    w = row_words // 8  # inner width (8 or 16 entries per row)
+    inner_i = jnp.pad(split.inner, ((0, 0), (0, 128 - row_words)))
     inner_v = jax.lax.bitcast_convert_type(
-        jnp.pad(split.inner.reshape(icap, 8, 8), ((0, 0), (0, 0), (0, 120))),
+        jnp.pad(split.inner.reshape(icap, w, 8), ((0, 0), (0, 0), (0, 120))),
         jnp.float32,
     )
     rows = packed.rows
     n = rows.shape[0]
-    rows = jnp.pad(rows, ((0, max(8 - n, 0)), (0, 128 - rows.shape[1])))
+    # pad to 32 rows: covers any supported leaf window width
+    rows = jnp.pad(rows, ((0, max(32 - n, 0)), (0, 128 - rows.shape[1])))
     pairs_f = jax.lax.bitcast_convert_type(rows, jnp.float32)
     return inner_i, inner_v, pairs_f
 
 
 def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
-            ii_s, stack, sps, tags, acts, fresh, outp, pkts, cursor,
-            sem_ii, sem_iv, sem_leaf, sem_ray, sem_out):
+            ii_s, stack, sps, tags, acts, outp, pkts, cursor,
+            sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w, leafw):
     num_p = rays_hbm.shape[0]
 
     def start_inner(c, idx):
@@ -91,7 +96,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
 
     def start_leaf(c, idx):
         pltpu.make_async_copy(
-            pairs_f.at[pl.ds(idx, 8), :], leaf_scr.at[c], sem_leaf.at[c]
+            pairs_f.at[pl.ds(idx, leafw), :], leaf_scr.at[c], sem_leaf.at[c]
         ).start()
 
     def start_ray(c, pkt):
@@ -99,21 +104,27 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
         ).start()
 
-    # --- init: prime slots 0..C-1 with the first packets ---
+    # --- init: prime slots 0..C-1 with the first packets (the per-packet
+    # ray fetch + state init happens here and in the refill block, so the
+    # pop hot path carries no fresh-packet branch) ---
     for c in range(C):
         if c < num_p:
             acts[c] = jnp.int32(1)
             pkts[c] = jnp.int32(c)
-            fresh[c] = jnp.int32(1)
             outp[c] = jnp.int32(0)
             sps[c] = jnp.int32(0)
             tags[c] = jnp.int32(0)  # root = inner row 0
             start_ray(c, jnp.int32(c))
             start_inner(c, jnp.int32(0))
+            pltpu.make_async_copy(
+                rays_hbm.at[c], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+            ).wait()
+            ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+            st_t[c] = ray_scr[c, 7:8, :]
+            st_tri[c] = jnp.full((1, K), -1, jnp.int32)
         else:
             acts[c] = jnp.int32(0)
             outp[c] = jnp.int32(0)
-            fresh[c] = jnp.int32(0)
             sps[c] = jnp.int32(0)
             tags[c] = jnp.int32(0)
             pkts[c] = jnp.int32(0)
@@ -124,28 +135,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             act = acts[c] == 1
             tag = tags[c]
             is_leaf = (tag & 1) == 1
-            fresh_v = fresh[c] == 1
             outp_v = outp[c] == 1
-
-            # refill housekeeping: drain the previous packet's output DMA
-            # before its state registers are re-initialised.
-            @pl.when(act & fresh_v & outp_v)
-            def _():
-                pltpu.make_async_copy(
-                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
-                ).wait()
-                outp[c] = jnp.int32(0)
-
-            @pl.when(act & fresh_v)
-            def _():
-                pltpu.make_async_copy(
-                    rays_hbm.at[pkts[c]], ray_scr.at[c, pl.ds(0, 8)],
-                    sem_ray.at[c],
-                ).wait()
-                ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
-                st_t[c] = ray_scr[c, 7:8, :]
-                st_tri[c] = jnp.full((1, K), -1, jnp.int32)
-                fresh[c] = jnp.int32(0)
 
             # --- interior pop: sublane-mapped slab (8 entries x 128 rays
             # per VPU op), nearest child pushed last ---
@@ -157,7 +147,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 pltpu.make_async_copy(
                     inner_v.at[tag >> 1], iv_s.at[c], sem_iv.at[c]
                 ).wait()
-                row = iv_s[c]  # (8, 128): sublane e = entry e's box words
+                row = iv_s[c]  # (w, 128): sublane e = entry e's box words
                 ox = ray_scr[c, 0:1, :]
                 oy = ray_scr[c, 1:2, :]
                 oz = ray_scr[c, 2:3, :]
@@ -184,20 +174,22 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 d8 = jnp.min(
                     jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX),
                     axis=1, keepdims=True,
-                )  # (8, 1); negative fronts clamp to 0 (inside the box)
+                )  # (w, 1); negative fronts clamp to 0 (inside the box)
                 validv = d8 < _F32_MAX
                 # Two vector->scalar transfers replace eight per-entry
                 # reductions + the scalar sort network: a bit-packed argmin
                 # (low 3 bits = 7 - entry, so ties pick the higher entry id,
                 # src/Tracer.cu:346-347) and a validity bitmask.
-                e_iota = jax.lax.broadcasted_iota(jnp.int32, (WIDE, 1), 0)
-                key = (pltpu.bitcast(d8, jnp.int32) & ~7) | (7 - e_iota)
+                e_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+                key = (pltpu.bitcast(d8, jnp.int32) & ~(w - 1)) | (
+                    w - 1 - e_iota
+                )
                 kmin = jnp.min(jnp.where(validv, key, 0x7FFFFFFF))
                 vmask = jnp.sum(jnp.where(validv, 1 << e_iota, 0))
-                emin = 7 - (kmin & 7)
+                emin = (w - 1) - (kmin & (w - 1))
                 sp = sps[c]
                 last_tag = jnp.int32(-1)
-                for e in range(WIDE):
+                for e in range(w):
                     meta = ii_s[c, e * 8 + 6]
                     ntype = meta & 3
                     tag_e = ((meta >> 5) << 1) | (
@@ -218,10 +210,10 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             @pl.when(act & is_leaf)
             def _():
                 pltpu.make_async_copy(
-                    pairs_f.at[pl.ds(tag >> 1, 8), :], leaf_scr.at[c],
+                    pairs_f.at[pl.ds(tag >> 1, leafw), :], leaf_scr.at[c],
                     sem_leaf.at[c],
                 ).wait()
-                row = leaf_scr[c]
+                row = leaf_scr[c]  # (LEAFW, 128): sublane = pair slot
                 dx = ray_scr[c, 3:4, :]
                 dy = ray_scr[c, 4:5, :]
                 dz = ray_scr[c, 5:6, :]
@@ -232,7 +224,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 t_cur = st_t[c]
 
                 def col(w):
-                    return row[:, w : w + 1]  # (8, 1)
+                    return row[:, w : w + 1]  # (LEAFW, 1)
 
                 def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
                     e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
@@ -267,7 +259,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 tm = jnp.min(
                     jnp.minimum(cand_a, cand_b), axis=0, keepdims=True
                 )  # (1, K)
-                enc = jax.lax.broadcasted_iota(jnp.int32, (WIDE, K), 0) * 2
+                enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, K), 0) * 2
                 wa = jnp.max(
                     jnp.where(cand_a == tm, enc, -1), axis=0, keepdims=True
                 )
@@ -285,10 +277,17 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             finished = act & (sp_v == 0)
             nxt = cursor[0]
             refill = finished & (nxt < num_p)
-            retire = finished & (nxt >= num_p)
             cont = act & (sp_v > 0)
             nt = stack[c, jnp.maximum(sp_v - 1, 0)]
             nt_leaf = (nt & 1) == 1
+
+            # Drain the slot's previous output DMA before restaging (rare:
+            # once per finished packet).
+            @pl.when(finished & outp_v)
+            def _():
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).wait()
 
             @pl.when(finished)
             def _():
@@ -298,29 +297,32 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                     out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
                 ).start()
                 outp[c] = jnp.int32(1)
+                acts[c] = refill.astype(jnp.int32)
 
+            # Refill = the whole next-packet init (ray fetch blocks ~one DMA
+            # latency once per packet): no per-visit fresh branch needed.
             @pl.when(refill)
             def _():
                 pkts[c] = nxt
-                fresh[c] = jnp.int32(1)
                 tags[c] = jnp.int32(0)
-                start_ray(c, nxt)
                 cursor[0] = nxt + 1
-
-            @pl.when(retire)
-            def _():
-                acts[c] = jnp.int32(0)
+                start_ray(c, nxt)
+                start_inner(c, jnp.int32(0))
+                pltpu.make_async_copy(
+                    rays_hbm.at[nxt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+                ).wait()
+                ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+                st_t[c] = ray_scr[c, 7:8, :]
+                st_tri[c] = jnp.full((1, K), -1, jnp.int32)
 
             @pl.when(cont)
             def _():
                 tags[c] = nt
                 sps[c] = sp_v - 1
 
-            inner_idx = jnp.where(refill, 0, jnp.maximum(nt >> 1, 0))
-
-            @pl.when(refill | (cont & jnp.logical_not(nt_leaf)))
+            @pl.when(cont & jnp.logical_not(nt_leaf))
             def _():
-                start_inner(c, inner_idx)
+                start_inner(c, jnp.maximum(nt >> 1, 0))
 
             @pl.when(cont & nt_leaf)
             def _():
@@ -341,7 +343,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
 
 
 def trace_rays_split_pallas(
-    views, packed: PackedPairs, rays: Rays, active=None,
+    views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -372,16 +374,19 @@ def trace_rays_split_pallas(
         axis=1,
     )  # [num_p, 8, K]
 
+    if leafw is None:
+        leafw = LEAFW
+    w = views[1].shape[1]
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, w=w, leafw=leafw),
         in_specs=[hbm] * 4,
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((num_p, 2, K), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((C, 16, K), jnp.float32),  # ray_scr (8 DMA + 3 inv)
-            pltpu.VMEM((C, 8, K), jnp.float32),   # leaf_scr
-            pltpu.VMEM((C, 8, K), jnp.float32),   # iv_s (entry-major box row)
+            pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr
+            pltpu.VMEM((C, w, 128), jnp.float32),  # iv_s (entry-major box row)
             pltpu.VMEM((C, 1, K), jnp.float32),   # st_t
             pltpu.VMEM((C, 1, K), jnp.int32),     # st_tri
             pltpu.VMEM((C, 2, K), jnp.float32),   # out_stage
@@ -390,7 +395,6 @@ def trace_rays_split_pallas(
             pltpu.SMEM((C,), jnp.int32),          # sps
             pltpu.SMEM((C,), jnp.int32),          # tags
             pltpu.SMEM((C,), jnp.int32),          # acts
-            pltpu.SMEM((C,), jnp.int32),          # fresh
             pltpu.SMEM((C,), jnp.int32),          # outp
             pltpu.SMEM((C,), jnp.int32),          # pkts
             pltpu.SMEM((1,), jnp.int32),          # cursor
