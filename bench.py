@@ -28,13 +28,12 @@ def main():
     bounces = int(os.environ.get("TPURT_BENCH_BOUNCES", 1))
     iters = int(os.environ.get("TPURT_BENCH_ITERS", 2))
 
-    from tpu_raytracing.bvh import lbvh, wide
+    from tpu_raytracing.bvh import bucket
     from tpu_raytracing.scene import camera as cam
     from tpu_raytracing.scene import procedural
     from tpu_raytracing.scene.types import scene_to_device
+    from tpu_raytracing.trace import split_pallas as sp
     from tpu_raytracing.trace.pathtrace import path_trace
-    from tpu_raytracing.trace.traverse import pack_pairs
-    from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
 
     log(f"bench: {num_tris} tris, {res}x{res}, {bounces} bounce(s), "
         f"device={jax.devices()[0]}")
@@ -53,40 +52,37 @@ def main():
     camera = cam.camera_to_device(cam.update_camera(host_cam))
     triangles = jnp.asarray(scene.triangles)
 
-    # --- per-frame rebuild: Karras LBVH + wide collapse. The gather-free
-    # implicit builder (bvh/implicit.py) rebuilds in ~140 ms but its
-    # median-split tree quality collapses traversal throughput ~30x on
-    # terrain, so Karras wins end-to-end despite the gather-bound build. ---
+    # --- per-frame rebuild: Morton-bucket split BVH (bvh/bucket.py) —
+    # dense sorted-order passes, no binary tree; Karras+collapse (the
+    # reference-parity path, ~4.2 s at 1M) and the gather-free implicit
+    # heap (~140 ms, but ~30x worse trees) remain available. ---
     def full_build(tris):
-        bvh, pairs = lbvh.build_lbvh(tris)
-        packed = pack_pairs(pairs)
-        return wide.build_wide_fat(bvh, packed.rows), packed
+        split, packed = bucket.build_bucket_split(tris, leaf_width=sp.LEAFW)
+        return sp.prep_split_views(split, packed), packed
 
     build = jax.jit(full_build)
-    fat, packed = build(triangles)
-    float(jnp.sum(fat.rows[0]))  # force completion (block_until_ready lies here)
+    views, packed = build(triangles)
+    float(jnp.sum(views[0][0]).astype(jnp.float32))  # force completion
     # Vary the input every frame (this backend memoizes identical executions)
     # and fetch at the end: throughput timing over pipelined frames.
     t0 = time.perf_counter()
     for i in range(iters):
-        fat, packed = build(triangles + (i + 1) * 1e-5)
-    float(jnp.sum(fat.rows[0]))
+        views, packed = build(triangles + (i + 1) * 1e-5)
+    float(jnp.sum(views[0][0]).astype(jnp.float32))
     build_ms = (time.perf_counter() - t0) / iters * 1000.0
-    log(f"LBVH + wide rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
+    log(f"split-BVH rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
 
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
-    # XLA wide-fat tracer: beats the Pallas kernel at 1M tris (the Pallas
-    # grid is sequential per packet; lockstep parallelism wins on deep trees).
-    # phased=True: host-staged packet compaction — per-step cost tracks the
-    # active packet count instead of paying all packets until the slowest
-    # drains.
-    tracer = make_tiled_fat_tracer(None, res, res, 8, 8, phased=True)
+    # Split-BVH Pallas kernel (trace/split_pallas.py): C packet slots with
+    # pipelined row DMAs, sublane-mapped slab and Moller-Trumbore; work =
+    # sum of per-packet trips (no lockstep waste).
+    tracer = sp.make_split_pallas_tracer(None, None, res, res)
 
     def frame(key, jitter):
         cam_j = dict(camera)
         cam_j["position"] = camera["position"] + jitter  # defeat exec memoization
         return path_trace(
-            fat, packed, dev_scene, cam_j, res, res, num_bounces=bounces,
+            views, packed, dev_scene, cam_j, res, res, num_bounces=bounces,
             key=key, tracer=tracer,
         )
 

@@ -42,12 +42,14 @@ def main():
     log(f"device={jax.devices()[0]}, {num_tris} tris, {res}x{res}, C={sp.C}, K={sp.K}, LEAFW={sp.LEAFW}")
 
     inner_w = int(os.environ.get("TPURT_SPLIT_W", 8))
-    log(f"inner_width={inner_w}")
+    use_pairs = bool(int(os.environ.get("TPURT_SPLIT_PAIRS", "0")))
+    log(f"inner_width={inner_w} pairs={use_pairs}")
 
     @jax.jit
     def build(tris):
         split, packed = bucket.build_bucket_split(
-            tris, leaf_width=sp.LEAFW, inner_width=inner_w)
+            tris, enable_pairs=use_pairs, leaf_width=sp.LEAFW,
+            inner_width=inner_w)
         return sp.prep_split_views(split, packed), packed, split.num_inner
 
     t0 = time.perf_counter()

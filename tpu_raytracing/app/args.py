@@ -43,7 +43,8 @@ def parse_cmd(argv=None) -> argparse.Namespace:
     p.add_argument("--bounces", type=int, default=0,
                    help="path-trace with N bounces instead of the megakernel modes")
     p.add_argument("--output", default="out", help="PNG output directory")
-    p.add_argument("--tracer", default="wide", choices=["scalar", "packet", "wide"],
+    p.add_argument("--tracer", default="wide",
+               choices=["scalar", "packet", "wide", "split"],
                    help="traversal kernel: scalar (reference-exact order), "
                         "packet, or wide (fastest)")
     p.add_argument("--profile-build", action="store_true",

@@ -137,8 +137,31 @@ def main(argv=None):
 
     if args.width % 8 or args.height % 8:
         args.tracer = "scalar"  # packet tiling needs 8-divisible frames
+    if args.tracer == "split" and (args.width % 16 or args.height % 8):
+        args.tracer = "wide"  # split kernel packets are 16-wide screen tiles
 
-    if args.tracer == "wide":
+    # make_trav(bvh, packed, triangles) -> (tracer's traversal structure,
+    # pair table in that structure's order).
+    if args.tracer == "split":
+        # Pallas split-BVH kernel: its own Morton-bucket build (the binary
+        # --type build above still provides frame-0 hierarchy validation).
+        from tpu_raytracing.bvh.bucket import build_bucket_split
+        from tpu_raytracing.trace import split_pallas as sp_mod
+
+        tracer = sp_mod.make_split_pallas_tracer(
+            None, None, args.width, args.height
+        )
+
+        @jax.jit
+        def _split_build(tris):
+            split, packed2 = build_bucket_split(
+                tris, enable_pairs=args.enable_pairs, leaf_width=sp_mod.LEAFW
+            )
+            return sp_mod.prep_split_views(split, packed2), packed2
+
+        def make_trav(bvh, packed, tris):
+            return _split_build(tris)
+    elif args.tracer == "wide":
         from tpu_raytracing.bvh.wide import build_wide_fat
         from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
 
@@ -147,19 +170,19 @@ def main(argv=None):
         tracer = make_tiled_fat_tracer(None, args.width, args.height, 8, 8)
         _fat_build = jax.jit(build_wide_fat)
 
-        def make_trav(bvh, packed):
-            return _fat_build(bvh, packed.rows)
+        def make_trav(bvh, packed, tris):
+            return _fat_build(bvh, packed.rows), packed
     elif args.tracer == "packet":
         from tpu_raytracing.trace.packet import make_tiled_packet_tracer
 
         tracer = make_tiled_packet_tracer(args.width, args.height, 8, 8)
-        make_trav = lambda bvh, packed: pack_bvh(bvh)  # noqa: E731
+        make_trav = lambda bvh, packed, tris: (pack_bvh(bvh), packed)  # noqa: E731
     else:
         from tpu_raytracing.trace.traverse import trace_rays
 
         tracer = trace_rays
-        make_trav = lambda bvh, packed: pack_bvh(bvh)  # noqa: E731
-    trav = make_trav(bvh, packed)
+        make_trav = lambda bvh, packed, tris: (pack_bvh(bvh), packed)  # noqa: E731
+    trav, packed = make_trav(bvh, packed, triangles)
 
     modes = list(RenderType)[:-1] if args.cycle_modes else [args.render_type]
     key = jax.random.PRNGKey(0)
@@ -174,7 +197,7 @@ def main(argv=None):
             quiet = StageTimer(should_print=False)
             bvh, pairs = build_accel(triangles, args, quiet)
             packed = pack_pairs(pairs)
-            trav = make_trav(bvh, packed)
+            trav, packed = make_trav(bvh, packed, triangles)
         cam_dev = cam.camera_to_device(camera)
 
         for mode in modes:

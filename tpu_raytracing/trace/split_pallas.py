@@ -54,7 +54,7 @@ K = int(_os.environ.get("TPURT_SPLIT_K", "128"))
 C = int(_os.environ.get("TPURT_SPLIT_C", "4"))
 STACK = 160  # >= 7 * max wide depth + 1: no drops possible
 # Pairs per leaf window; build_bucket_split(leaf_width=...) must match.
-LEAFW = int(_os.environ.get("TPURT_SPLIT_LEAFW", "16"))
+LEAFW = int(_os.environ.get("TPURT_SPLIT_LEAFW", "64"))
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
 
@@ -78,8 +78,8 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
     )
     rows = packed.rows
     n = rows.shape[0]
-    # pad to 32 rows: covers any supported leaf window width
-    rows = jnp.pad(rows, ((0, max(32 - n, 0)), (0, 128 - rows.shape[1])))
+    # pad to 128 rows: covers any supported leaf window width
+    rows = jnp.pad(rows, ((0, max(128 - n, 0)), (0, 128 - rows.shape[1])))
     pairs_f = jax.lax.bitcast_convert_type(rows, jnp.float32)
     return inner_i, inner_v, pairs_f
 
@@ -425,14 +425,16 @@ def make_split_pallas_tracer(views, packed, width: int, height: int):
     """
     from tpu_raytracing.trace.packet import tile_reorder, tile_restore
 
+    tw, th = 16, K // 16  # one packet per screen tile
+
     def tracer(trav, pairs, rays, max_width=2, active=None):
         del max_width
         v = views if views is not None else trav
         p = packed if packed is not None else pairs
-        tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, 16, 8), rays)
-        act = None if active is None else tile_reorder(active, width, height, 16, 8)
+        tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, tw, th), rays)
+        act = None if active is None else tile_reorder(active, width, height, tw, th)
         rec, stats = trace_rays_split_pallas(v, p, tiled, active=act)
-        rec = jax.tree.map(lambda a: tile_restore(a, width, height, 16, 8), rec)
+        rec = jax.tree.map(lambda a: tile_restore(a, width, height, tw, th), rec)
         return rec, stats
 
     tracer.host_staged = False
