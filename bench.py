@@ -57,7 +57,8 @@ def main():
     # reference-parity path, ~4.2 s at 1M) and the gather-free implicit
     # heap (~140 ms, but ~30x worse trees) remain available. ---
     def full_build(tris):
-        split, packed = bucket.build_bucket_split(tris, leaf_width=sp.LEAFW)
+        split, packed = bucket.build_bucket_split(
+            tris, enable_pairs=True, leaf_width=sp.LEAFW)
         return sp.prep_split_views(split, packed), packed
 
     build = jax.jit(full_build)
@@ -77,13 +78,15 @@ def main():
     # pipelined row DMAs, sublane-mapped slab and Moller-Trumbore; work =
     # sum of per-packet trips (no lockstep waste).
     tracer = sp.make_split_pallas_tracer(None, None, res, res)
+    shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
+                                                any_hit=True)
 
     def frame(key, jitter):
         cam_j = dict(camera)
         cam_j["position"] = camera["position"] + jitter  # defeat exec memoization
         return path_trace(
             views, packed, dev_scene, cam_j, res, res, num_bounces=bounces,
-            key=key, tracer=tracer,
+            key=key, tracer=tracer, shadow_tracer=shadow_tracer,
         )
 
     img, rays_traced = jax.block_until_ready(frame(jax.random.PRNGKey(0), 0.0))

@@ -165,3 +165,21 @@ def test_split_pallas_width_variants(sphere, sp):
         views = sp.prep_split_views(split, packed)
         rec, _ = sp.trace_rays_split_pallas(views, packed, rays, leafw=lw)
         _assert_matches(rec, ref)
+
+
+def test_split_pallas_any_hit(sphere, sp):
+    """Occlusion mode: .hit matches closest-hit's .hit exactly."""
+    camera = cam.camera_to_device(
+        cam.update_camera(cam.initialise_camera(sphere.aabb_min, sphere.aabb_max))
+    )
+    tris = jnp.asarray(sphere.triangles)
+    split, packed = jax.jit(bucket.build_bucket_split)(tris)
+    views = sp.prep_split_views(split, packed)
+    rays = generate_primary_rays(camera, 16, 8)
+    active = (jnp.arange(128) % 3) != 0
+    rec, _ = sp.trace_rays_split_pallas(
+        views, packed, rays, active=active, any_hit=True
+    )
+    ref, _ = sp.trace_rays_split_pallas(views, packed, rays, active=active)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+    assert not np.asarray(rec.hit)[~np.asarray(active)].any()

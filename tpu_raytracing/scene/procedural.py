@@ -202,10 +202,12 @@ def terrain(num_triangles: int, extent: float = 100.0, height: float = 8.0,
     v01 = verts[:-1, 1:].reshape(-1, 3)
     v10 = verts[1:, :-1].reshape(-1, 3)
     v11 = verts[1:, 1:].reshape(-1, 3)
-    tris = np.concatenate(
-        [np.stack([v00, v01, v11], axis=1), np.stack([v00, v11, v10], axis=1)],
-        axis=0,
-    ).astype(np.float32)
+    # Interleave each quad's two halves so triangles (2t, 2t+1) share the
+    # diagonal edge — the adjacency the reference's pairing probes
+    # (src/BottomUpBuilder.cu:117-164 pairs consecutive indices).
+    upper = np.stack([v00, v01, v11], axis=1)
+    lower = np.stack([v00, v11, v10], axis=1)
+    tris = np.stack([upper, lower], axis=1).reshape(-1, 3, 3).astype(np.float32)
 
     lib = Library()
     lib.add_material("ground")

@@ -129,6 +129,7 @@ def path_trace(
     key=None,
     compaction: bool = True,
     tracer=trace_rays,
+    shadow_tracer=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ([H, W, 3] float32 radiance, total rays traced).
 
@@ -139,6 +140,9 @@ def path_trace(
     if key is None:
         key = jax.random.PRNGKey(0)
     traced = _jitted_tracer(tracer)
+    # Occlusion-only tracer for the NEE shadow pass (e.g. the split
+    # kernel's any-hit mode); defaults to the closest-hit tracer.
+    shadow_traced = traced if shadow_tracer is None else _jitted_tracer(shadow_tracer)
 
     rays = jax.jit(generate_primary_rays, static_argnames=("width", "height"))(
         camera, width, height
@@ -154,7 +158,7 @@ def path_trace(
     for bounce in range(num_bounces + 1):
         key, k_dir = jax.random.split(key)
         rec, _stats = traced(trav, pairs, rays, alive)
-        srec, _ = traced(trav, pairs, _jit_shadow(scene, rays, rec), alive)
+        srec, _ = shadow_traced(trav, pairs, _jit_shadow(scene, rays, rec), alive)
         rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))
 
         u_frame = jax.random.uniform(k_dir, (num, 2))

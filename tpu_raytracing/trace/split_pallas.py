@@ -87,7 +87,8 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
 def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
             ii_s, stack, sps, tags, acts, outp, pkts, cursor,
-            sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w, leafw):
+            sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w, leafw,
+            any_hit):
     num_p = rays_hbm.shape[0]
 
     def start_inner(c, idx):
@@ -270,7 +271,15 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 take = tm <= t_cur
                 tri_new = (tag >> 1) * 2 + wenc
                 st_tri[c] = jnp.where(take, tri_new, st_tri[c])
-                st_t[c] = jnp.where(take, tm, st_t[c])
+                if any_hit:
+                    # Occlusion query: kill hit lanes (empty interval) and
+                    # finish the packet once every live lane has a hit.
+                    st_t[c] = jnp.where(take, -_F32_MAX, st_t[c])
+                    done = (st_tri[c] >= 0) | (ray_scr[c, 7:8, :] < 0.0)
+                    all_done = jnp.min(done.astype(jnp.int32)) == 1
+                    sps[c] = jnp.where(all_done, 0, sps[c])
+                else:
+                    st_t[c] = jnp.where(take, tm, st_t[c])
 
             # --- advance: finish/refill/retire or pop the next node ---
             sp_v = sps[c]
@@ -344,6 +353,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
 
 def trace_rays_split_pallas(
     views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
+    any_hit: bool = False,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -379,7 +389,7 @@ def trace_rays_split_pallas(
     w = views[1].shape[1]
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     out = pl.pallas_call(
-        functools.partial(_kernel, w=w, leafw=leafw),
+        functools.partial(_kernel, w=w, leafw=leafw, any_hit=any_hit),
         in_specs=[hbm] * 4,
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((num_p, 2, K), jnp.float32),
@@ -411,12 +421,17 @@ def trace_rays_split_pallas(
     tri_flat = jax.lax.bitcast_convert_type(out[:, 1, :], jnp.int32).reshape(
         num_rays
     )
+    if any_hit:
+        # Occlusion result: only .hit is meaningful (t was used as the
+        # lane-kill flag in the kernel).
+        t_flat = rays.tmax
     rec = _reconstruct(packed, rays, t_flat, tri_flat)
     zeros = jnp.zeros((num_rays,), jnp.int32)
     return rec, TraceStats(box_tests=zeros, tri_tests=zeros)
 
 
-def make_split_pallas_tracer(views, packed, width: int, height: int):
+def make_split_pallas_tracer(views, packed, width: int, height: int,
+                             any_hit: bool = False):
     """Tiled drop-in tracer over 16x8 screen-tile packets.
 
     With views=None the (inner_i, inner_v, pairs_f) triple rides in the
@@ -433,7 +448,8 @@ def make_split_pallas_tracer(views, packed, width: int, height: int):
         p = packed if packed is not None else pairs
         tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, tw, th), rays)
         act = None if active is None else tile_reorder(active, width, height, tw, th)
-        rec, stats = trace_rays_split_pallas(v, p, tiled, active=act)
+        rec, stats = trace_rays_split_pallas(v, p, tiled, active=act,
+                                             any_hit=any_hit)
         rec = jax.tree.map(lambda a: tile_restore(a, width, height, tw, th), rec)
         return rec, stats
 
