@@ -80,6 +80,9 @@ def main():
     tracer = sp.make_split_pallas_tracer(None, None, res, res)
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
                                                 any_hit=True)
+    shadow_tracer_b = sp.make_split_pallas_tracer(None, None, res, res,
+                                                  any_hit=True,
+                                                  sort_origin=True)
 
     def frame(key, jitter):
         cam_j = dict(camera)
@@ -87,6 +90,7 @@ def main():
         return path_trace(
             views, packed, dev_scene, cam_j, res, res, num_bounces=bounces,
             key=key, tracer=tracer, shadow_tracer=shadow_tracer,
+            shadow_tracer_bounce=shadow_tracer_b,
         )
 
     img, rays_traced = jax.block_until_ready(frame(jax.random.PRNGKey(0), 0.0))

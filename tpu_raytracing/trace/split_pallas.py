@@ -431,7 +431,8 @@ def trace_rays_split_pallas(
 
 
 def make_split_pallas_tracer(views, packed, width: int, height: int,
-                             any_hit: bool = False):
+                             any_hit: bool = False,
+                             sort_origin: bool = False):
     """Tiled drop-in tracer over 16x8 screen-tile packets.
 
     With views=None the (inner_i, inner_v, pairs_f) triple rides in the
@@ -446,6 +447,29 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
         del max_width
         v = views if views is not None else trav
         p = packed if packed is not None else pairs
+        if sort_origin:
+            # Occlusion rays whose origins are scattered (bounce hit
+            # points): sort by origin Morton cell so packets share
+            # subtrees; only .hit needs un-permuting (any-hit consumers
+            # ignore the rest of the record).
+            from tpu_raytracing.ops.gather import take_rows
+            from tpu_raytracing.ops.morton import morton3d
+
+            o = rays.origin
+            lo = jnp.min(o, axis=0)
+            hi = jnp.max(o, axis=0)
+            cell = (morton3d((o - lo) / jnp.maximum(hi - lo, 1e-20))
+                    >> jnp.uint32(2)).astype(jnp.int32)
+            dead = (jnp.zeros(cell.shape, jnp.int32) if active is None
+                    else (~active).astype(jnp.int32))
+            perm = jnp.argsort((dead << 28) | cell, stable=True)
+            inv = jnp.argsort(perm)
+            srt = jax.tree.map(lambda a: take_rows(a, perm), rays)
+            act = None if active is None else active[perm]
+            rec, stats = trace_rays_split_pallas(v, p, srt, active=act,
+                                                 any_hit=any_hit)
+            rec = rec.replace(hit=rec.hit[inv])
+            return rec, stats
         tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, tw, th), rays)
         act = None if active is None else tile_reorder(active, width, height, tw, th)
         rec, stats = trace_rays_split_pallas(v, p, tiled, active=act,
