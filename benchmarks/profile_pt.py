@@ -78,7 +78,8 @@ def main():
     max_t = camera["max_depth"]
 
     rec = timed("primary trace ", lambda: traced(views, packed, rays, alive)[0])
-    rec = traced(views, packed, rays, alive)[0]
+    rec, pstats = traced(views, packed, rays, alive)
+    log(f"  primary pops: {int(jnp.max(pstats.box_tests))}")
 
     srays = jax.jit(pt._jit_shadow)(dev_scene, rays, rec)
     timed("primary shadow (any-hit)", lambda: sh_traced(views, packed, srays, alive)[0])
@@ -101,6 +102,8 @@ def main():
 
     rec2 = timed("bounce trace (incoherent)",
                  lambda: traced(views, packed, rays2, alive2)[0])
+    rec2, bstats = traced(views, packed, rays2, alive2)
+    log(f"  bounce pops: {int(jnp.max(bstats.box_tests))}")
     rec2 = traced(views, packed, rays2, alive2)[0]
     srays2 = jax.jit(pt._jit_shadow)(dev_scene, rays2, rec2)
     timed("bounce shadow (any-hit)",

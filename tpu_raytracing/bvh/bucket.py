@@ -368,7 +368,7 @@ class SplitBVH:
     ``inner``: [ICAP, 64] int32 — 8 entries x (min3, max3 bitcast f32, meta,
     pad). Meta is child << 5 | type where type is CHILD_BOX (child = inner
     row id) or CHILD_TRI (child = start position of the terminal bucket in
-    the *sorted pair array*; the tracer intersects the 8-pair window
+    the *sorted pair array*; the tracer intersects the leaf_width-pair window
     [child, child+8), which covers the bucket — neighbouring pairs ride
     along and are legal closest-hit candidates since they are real scene
     geometry). Row 0 is the traversal root. Leaf rows therefore need no

@@ -10,12 +10,15 @@ lockstep waste) and attacks the latency:
   slot c computes its pop, the other slots' row DMAs are in flight, so HBM
   latency hides behind compute. Drained slots refill from a cursor over the
   packet queue (SMEM scalar), so utilization holds until the queue empties.
-* **Homogeneous pops** (SplitBVH, bvh/bucket.py): an inner pop DMAs a 64-word
-  8-entry box row and runs the sort/push logic; a leaf pop DMAs an 8-pair
-  window of the *sorted pair array* and intersects all 8 pairs with the
-  whole packet, sublane-mapped: pairs on the 8 sublanes, the packet's 128
-  rays on lanes, so each Moller-Trumbore step is a full (8, 128) VPU op.
-  Leaf windows need no leaf storage at all (see SplitBVH).
+* **Homogeneous pops** (SplitBVH, bvh/bucket.py): an inner pop DMAs an
+  8-entry box row (sublane-mapped: entries on sublanes, the packet's 128
+  rays on lanes) and runs the push logic; a leaf pop DMAs a LEAFW-pair
+  window of the *sorted pair array* and intersects every pair with the
+  whole packet as (LEAFW, 128) VPU ops. Leaf windows need no leaf storage
+  at all (see SplitBVH). Window width is the dominant knob: per-pop fixed
+  overhead (~550 ns measured) dwarfs the vector math, so fewer, fatter
+  pops win — 64 pairs is the 1M-terrain sweet spot for both coherent and
+  incoherent rays.
 * Per-ray state is two (1, 128) registers (t, winning tri id); hit position,
   barycentrics and prim ids are reconstructed outside the kernel from the
   winner (one gather per ray), exactly like trace/wide_fat.py.
@@ -84,9 +87,9 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
     return inner_i, inner_v, pairs_f
 
 
-def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
+def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
-            ii_s, stack, sps, tags, acts, outp, pkts, cursor,
+            ii_s, stack, sps, tags, acts, outp, pkts, cursor, pops,
             sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w, leafw,
             any_hit):
     num_p = rays_hbm.shape[0]
@@ -130,6 +133,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             tags[c] = jnp.int32(0)
             pkts[c] = jnp.int32(0)
     cursor[0] = jnp.int32(min(C, num_p))
+    pops[0] = jnp.int32(0)
 
     def body(nd):
         for c in range(C):
@@ -207,7 +211,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
                 sps[c] = sp + ok_last.astype(jnp.int32)
 
-            # --- leaf pop: 8-pair window, sublane-mapped Moller-Trumbore ---
+            # --- leaf pop: LEAFW-pair window, sublane-mapped Moller-Trumbore ---
             @pl.when(act & is_leaf)
             def _():
                 pltpu.make_async_copy(
@@ -257,17 +261,15 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 acc_b, tt_b = mt(*v2, *v1, *v3)
                 cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
                 cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
-                tm = jnp.min(
-                    jnp.minimum(cand_a, cand_b), axis=0, keepdims=True
-                )  # (1, K)
+                # Merge the A/B lanes before reducing: one (leafw, K) min
+                # and one masked max instead of three big reductions.
                 enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, K), 0) * 2
-                wa = jnp.max(
-                    jnp.where(cand_a == tm, enc, -1), axis=0, keepdims=True
+                cand = jnp.minimum(cand_a, cand_b)
+                encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
+                tm = jnp.min(cand, axis=0, keepdims=True)  # (1, K)
+                wenc = jnp.max(
+                    jnp.where(cand == tm, encab, -1), axis=0, keepdims=True
                 )
-                wb = jnp.max(
-                    jnp.where(cand_b == tm, enc + 1, -1), axis=0, keepdims=True
-                )
-                wenc = jnp.maximum(wa, wb)
                 take = tm <= t_cur
                 tri_new = (tag >> 1) * 2 + wenc
                 st_tri[c] = jnp.where(take, tri_new, st_tri[c])
@@ -337,11 +339,13 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             def _():
                 start_leaf(c, nt >> 1)
 
+            pops[0] = pops[0] + act.astype(jnp.int32)
             nd = nd + finished.astype(jnp.int32)
         return nd
 
     jax.lax.while_loop(lambda nd: nd < num_p, body, jnp.int32(0))
 
+    pops_out[0] = pops[0]
     # Drain the final output DMAs.
     for c in range(C):
         @pl.when(outp[c] == 1)
@@ -388,11 +392,14 @@ def trace_rays_split_pallas(
         leafw = LEAFW
     w = views[1].shape[1]
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    out = pl.pallas_call(
+    out, pops_total = pl.pallas_call(
         functools.partial(_kernel, w=w, leafw=leafw, any_hit=any_hit),
         in_specs=[hbm] * 4,
-        out_specs=hbm,
-        out_shape=jax.ShapeDtypeStruct((num_p, 2, K), jnp.float32),
+        out_specs=[hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_p, 2, K), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((C, 16, K), jnp.float32),  # ray_scr (8 DMA + 3 inv)
             pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr
@@ -408,6 +415,7 @@ def trace_rays_split_pallas(
             pltpu.SMEM((C,), jnp.int32),          # outp
             pltpu.SMEM((C,), jnp.int32),          # pkts
             pltpu.SMEM((1,), jnp.int32),          # cursor
+            pltpu.SMEM((1,), jnp.int32),          # pops
             pltpu.SemaphoreType.DMA((C,)),        # sem_ii
             pltpu.SemaphoreType.DMA((C,)),        # sem_iv
             pltpu.SemaphoreType.DMA((C,)),        # sem_leaf
@@ -426,8 +434,12 @@ def trace_rays_split_pallas(
         # lane-kill flag in the kernel).
         t_flat = rays.tmax
     rec = _reconstruct(packed, rays, t_flat, tri_flat)
+    # Diagnostics: total kernel pops ride in box_tests[0] (per-ray test
+    # counters live in the XLA tracers; the heat-map modes use those).
     zeros = jnp.zeros((num_rays,), jnp.int32)
-    return rec, TraceStats(box_tests=zeros, tri_tests=zeros)
+    stats = TraceStats(box_tests=zeros.at[0].set(pops_total[0]),
+                       tri_tests=zeros)
+    return rec, stats
 
 
 def make_split_pallas_tracer(views, packed, width: int, height: int,
