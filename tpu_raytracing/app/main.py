@@ -155,7 +155,7 @@ def main(argv=None):
         @jax.jit
         def _split_build(tris):
             split, packed2 = build_bucket_split(
-                tris, enable_pairs=args.enable_pairs, leaf_width=sp_mod.LEAFW
+                tris, enable_pairs=args.pairs, leaf_width=sp_mod.LEAFW
             )
             return sp_mod.prep_split_views(split, packed2), packed2
 

@@ -59,9 +59,10 @@ def _cosine_sample(normal, u):
     return t * local[:, 0:1] + bt * local[:, 1:2] + n * local[:, 2:3]
 
 
-@partial(jax.jit, static_argnames=("compaction",))
+@partial(jax.jit, static_argnames=("compaction", "sort_cells"))
 def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
-                  alive, pixel, u_frame, max_t, compaction: bool = True):
+                  alive, pixel, u_frame, max_t, compaction: bool = True,
+                  sort_cells: bool = False):
     """Shading + NEE + next-ray sampling + compaction for one bounce."""
     miss = alive & ~rec.hit
     radiance = radiance + jnp.where(
@@ -103,19 +104,23 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
         from tpu_raytracing.ops.gather import take_rows
         from tpu_raytracing.ops.morton import morton3d
 
-        # Compact AND sort by origin Morton cell: packet divergence is
-        # origin-driven (measured: origin-sorting occlusion rays with
-        # scattered origins is 7x; direction-major keys REGRESS by
-        # scattering origins). For bounce 1 this matches the inherited
-        # pixel order; for deeper bounces it restores locality the hit
-        # points lost. The permutation gathers were already being paid for
-        # compaction, so the sort is free.
-        o = new_rays.origin
-        lo = jnp.min(o, axis=0)
-        hi = jnp.max(o, axis=0)
-        norm = (o - lo) / jnp.maximum(hi - lo, 1e-20)
-        cell = morton3d(norm).astype(jnp.int32)  # 30 bits
-        key = ((~alive).astype(jnp.int32) << 30) | cell
+        # Packet divergence is origin-driven (measured: origin-sorting
+        # occlusion rays with scattered origins is 7x; direction-major
+        # keys REGRESS by scattering origins). First-bounce origins are
+        # primary hit points in scanline-continuous pixel order — BETTER
+        # than Morton cells (1752 vs 1942 ms measured) — so plain stable
+        # compaction keeps it; deeper bounces' origins lost locality and
+        # get the origin-Morton sort. The permutation gathers were already
+        # being paid for compaction, so the sort is free.
+        if sort_cells:
+            o = new_rays.origin
+            lo = jnp.min(o, axis=0)
+            hi = jnp.max(o, axis=0)
+            norm = (o - lo) / jnp.maximum(hi - lo, 1e-20)
+            cell = morton3d(norm).astype(jnp.int32)  # 30 bits
+            key = ((~alive).astype(jnp.int32) << 30) | cell
+        else:
+            key = (~alive).astype(jnp.int32)
         perm = jnp.argsort(key, stable=True)
         new_rays = jax.tree.map(lambda a: take_rows(a, perm), new_rays)
         throughput = take_rows(throughput, perm)
@@ -185,6 +190,7 @@ def path_trace(
         radiance, throughput, alive, pixel, rays = _bounce_stage(
             scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
             pixel, u_frame, max_t, compaction=compaction,
+            sort_cells=bounce > 0,
         )
 
     img = _finalize(radiance, pixel)
