@@ -374,14 +374,37 @@ class SplitBVH:
     geometry). Row 0 is the traversal root. Leaf rows therefore need no
     storage at all: the pair array itself is the leaf data.
 
-    ``num_inner`` is traced; the static ICAP bound is num_tris // 4 + 2
-    (far above any real Morton tree; ``build_bucket_split`` raises on
-    overflow when the caller checks ``num_inner``).
+    ``num_inner`` is traced; the static ICAP bound is
+    num_tris // (2 * leaf_width) * 4 + 64 (every branching bucket covers
+    > leaf_width leaves and the eff-DAG branches >= 2-way, so real trees
+    sit far below it). ``check_split_capacity`` validates a materialized
+    ``num_inner`` against the bound — call it wherever the build result is
+    fetched to the host.
     """
 
     inner: jnp.ndarray      # [ICAP, 64] int32
     num_inner: jnp.ndarray  # [] int32
     num_leaves: jnp.ndarray  # [] int32 — live sorted pairs (rest zeroed)
+
+
+def _inner_cap(n: int, leaf_width: int) -> int:
+    """Static inner-row bound: branching buckets each cover > leaf_width
+    leaves, are disjoint per level and branch >= 2-way in the eff-DAG, so
+    real counts are far below n / leaf_width; 4x headroom + slack covers
+    adversarial shapes (measured: 5.2k inner rows at 1M tris, width 64)."""
+    return max(n // (2 * leaf_width) * 4, 256) + 64
+
+
+def check_split_capacity(split: SplitBVH, num_tris: int,
+                         leaf_width: int = 16) -> None:
+    """Raise if the (host-fetched) inner count overflowed the static bound
+    — a silently truncated tree would drop geometry."""
+    cap = _inner_cap(num_tris, leaf_width)
+    ni = int(split.num_inner)
+    if ni > cap:
+        raise RuntimeError(
+            f"SplitBVH inner overflow: {ni} rows > static bound {cap}; "
+            f"rebuild with a larger bound (bvh/bucket.py:_inner_cap)")
 
 
 def build_bucket_split(
@@ -462,7 +485,7 @@ def build_bucket_split(
     # (one [cap] scatter + 4 gathers per level); the parent-side form needs
     # 8 slot gathers x 3 arrays per level, which dominates build time on
     # this backend (row-serialized gathers, docs/TPU_NOTES.md).
-    icap = n // 4 + 2
+    icap = _inner_cap(n, leaf_width)
     f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
     empty_entry = jnp.concatenate([
         f2i(jnp.full((3,), _F32_MAX, jnp.float32)),

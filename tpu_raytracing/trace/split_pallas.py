@@ -88,25 +88,152 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
 
 
 def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
-            ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
-            ii_s, stack, sps, tags, acts, outp, pkts, cursor, pops,
-            sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w, leafw,
-            any_hit):
+            ray_scr, leaf_scr, leaf_scr2, iv_s, st_t, st_tri, out_stage,
+            ii_s, stack, sps, tags, acts, outp, pkts, nxt2k, cursor, pops,
+            sem_ii, sem_iv, sem_leaf, sem_leaf2, sem_ray, sem_out, *, w,
+            leafw, any_hit):
     num_p = rays_hbm.shape[0]
 
     def start_inner(c, idx):
         pltpu.make_async_copy(inner_i.at[idx], ii_s.at[c], sem_ii.at[c]).start()
         pltpu.make_async_copy(inner_v.at[idx], iv_s.at[c], sem_iv.at[c]).start()
 
-    def start_leaf(c, idx):
+    def start_leaf(c, idx, scr, sem):
         pltpu.make_async_copy(
-            pairs_f.at[pl.ds(idx, leafw), :], leaf_scr.at[c], sem_leaf.at[c]
+            pairs_f.at[pl.ds(idx, leafw), :], scr.at[c], sem.at[c]
         ).start()
 
     def start_ray(c, pkt):
         pltpu.make_async_copy(
             rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
         ).start()
+
+    def interior_pop(c, tagv):
+        """Slab 8 entries of the (already-DMA'd) row, push children with
+        the nearest last. Pops tagv's row: the caller has already removed
+        it from the stack; pushes append at sps[c]."""
+        row = iv_s[c]  # (w, 128): sublane e = entry e's box words
+        ox = ray_scr[c, 0:1, :]
+        oy = ray_scr[c, 1:2, :]
+        oz = ray_scr[c, 2:3, :]
+        invx = ray_scr[c, 8:9, :]
+        invy = ray_scr[c, 9:10, :]
+        invz = ray_scr[c, 10:11, :]
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+        tx0 = (row[:, 0:1] - ox) * invx
+        ty0 = (row[:, 1:2] - oy) * invy
+        tz0 = (row[:, 2:3] - oz) * invz
+        tx1 = (row[:, 3:4] - ox) * invx
+        ty1 = (row[:, 4:5] - oy) * invy
+        tz1 = (row[:, 5:6] - oz) * invz
+        front = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        back = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        bh = (back >= front) & (front <= t_cur) & (back >= tmn)
+        d8 = jnp.min(
+            jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX),
+            axis=1, keepdims=True,
+        )  # (w, 1); negative fronts clamp to 0 (inside the box)
+        validv = d8 < _F32_MAX
+        # Two vector->scalar transfers replace eight per-entry reductions
+        # + a scalar sort network: a bit-packed argmin (low bits = w-1-e,
+        # so ties pick the higher entry id, src/Tracer.cu:346-347) and a
+        # validity bitmask.
+        e_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        key = (pltpu.bitcast(d8, jnp.int32) & ~(w - 1)) | (w - 1 - e_iota)
+        kmin = jnp.min(jnp.where(validv, key, 0x7FFFFFFF))
+        vmask = jnp.sum(jnp.where(validv, 1 << e_iota, 0))
+        emin = (w - 1) - (kmin & (w - 1))
+        sp = sps[c]
+        last_tag = jnp.int32(-1)
+        for e in range(w):
+            meta = ii_s[c, e * 8 + 6]
+            ntype = meta & 3
+            tag_e = ((meta >> 5) << 1) | (ntype == CHILD_TRI).astype(jnp.int32)
+            ok = (((vmask >> e) & 1) == 1) & (ntype != 0)
+            last_tag = jnp.where(ok & (e == emin), tag_e, last_tag)
+            push = ok & (e != emin)
+            # Unconditional write (avoids a nested pl.when): invalid
+            # candidates land in the trash slot STACK.
+            stack[c, jnp.where(push, sp, STACK)] = tag_e
+            sp = sp + push.astype(jnp.int32)
+        ok_last = last_tag >= 0
+        stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
+        sps[c] = sp + ok_last.astype(jnp.int32)
+
+    def leaf_pop(c, tagv, scr):
+        """Moller-Trumbore the leafw-pair window (already DMA'd into scr)
+        against the whole packet, sublane-mapped."""
+        row = scr[c]  # (leafw, 128): sublane = pair slot
+        dx = ray_scr[c, 3:4, :]
+        dy = ray_scr[c, 4:5, :]
+        dz = ray_scr[c, 5:6, :]
+        ox = ray_scr[c, 0:1, :]
+        oy = ray_scr[c, 1:2, :]
+        oz = ray_scr[c, 2:3, :]
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+
+        def col(word):
+            return row[:, word : word + 1]  # (leafw, 1)
+
+        def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
+            e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
+            e2x, e2y, e2z = c0 - a0, c1 - a1, c2 - a2
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
+            f = 1.0 / det
+            sx, sy, sz = ox - a0, oy - a1, oz - a2
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            acc = (
+                ~degen & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0) & (tt >= tmn) & (tt <= t_cur)
+            )
+            return acc, tt
+
+        v0 = (col(0), col(1), col(2))
+        v1 = (col(3), col(4), col(5))
+        v2 = (col(6), col(7), col(8))
+        v3 = (col(9), col(10), col(11))
+        acc_a, tt_a = mt(*v0, *v1, *v2)
+        acc_b, tt_b = mt(*v2, *v1, *v3)
+        cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
+        cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
+        # Merge the A/B lanes before reducing: one (leafw, K) min and one
+        # masked max instead of three big reductions.
+        enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, K), 0) * 2
+        cand = jnp.minimum(cand_a, cand_b)
+        encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
+        tm = jnp.min(cand, axis=0, keepdims=True)  # (1, K)
+        wenc = jnp.max(
+            jnp.where(cand == tm, encab, -1), axis=0, keepdims=True
+        )
+        take = tm <= t_cur
+        tri_new = (tagv >> 1) * 2 + wenc
+        st_tri[c] = jnp.where(take, tri_new, st_tri[c])
+        if any_hit:
+            # Occlusion query: kill hit lanes (empty interval) and finish
+            # the packet once every live lane has a hit.
+            st_t[c] = jnp.where(take, -_F32_MAX, st_t[c])
+            done = (st_tri[c] >= 0) | (ray_scr[c, 7:8, :] < 0.0)
+            all_done = jnp.min(done.astype(jnp.int32)) == 1
+            sps[c] = jnp.where(all_done, 0, sps[c])
+        else:
+            st_t[c] = jnp.where(take, tm, st_t[c])
 
     # --- init: prime slots 0..C-1 with the first packets (the per-packet
     # ray fetch + state init happens here and in the refill block, so the
@@ -118,6 +245,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             outp[c] = jnp.int32(0)
             sps[c] = jnp.int32(0)
             tags[c] = jnp.int32(0)  # root = inner row 0
+            nxt2k[c] = jnp.int32(-1)
             start_ray(c, jnp.int32(c))
             start_inner(c, jnp.int32(0))
             pltpu.make_async_copy(
@@ -132,6 +260,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             sps[c] = jnp.int32(0)
             tags[c] = jnp.int32(0)
             pkts[c] = jnp.int32(0)
+            nxt2k[c] = jnp.int32(-1)
     cursor[0] = jnp.int32(min(C, num_p))
     pops[0] = jnp.int32(0)
 
@@ -141,9 +270,9 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             tag = tags[c]
             is_leaf = (tag & 1) == 1
             outp_v = outp[c] == 1
+            k2 = nxt2k[c]
 
-            # --- interior pop: sublane-mapped slab (8 entries x 128 rays
-            # per VPU op), nearest child pushed last ---
+            # --- current pop ---
             @pl.when(act & jnp.logical_not(is_leaf))
             def _():
                 pltpu.make_async_copy(
@@ -152,136 +281,54 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
                 pltpu.make_async_copy(
                     inner_v.at[tag >> 1], iv_s.at[c], sem_iv.at[c]
                 ).wait()
-                row = iv_s[c]  # (w, 128): sublane e = entry e's box words
-                ox = ray_scr[c, 0:1, :]
-                oy = ray_scr[c, 1:2, :]
-                oz = ray_scr[c, 2:3, :]
-                invx = ray_scr[c, 8:9, :]
-                invy = ray_scr[c, 9:10, :]
-                invz = ray_scr[c, 10:11, :]
-                tmn = ray_scr[c, 6:7, :]
-                t_cur = st_t[c]
-                tx0 = (row[:, 0:1] - ox) * invx
-                ty0 = (row[:, 1:2] - oy) * invy
-                tz0 = (row[:, 2:3] - oz) * invz
-                tx1 = (row[:, 3:4] - ox) * invx
-                ty1 = (row[:, 4:5] - oy) * invy
-                tz1 = (row[:, 5:6] - oz) * invz
-                front = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.minimum(tz0, tz1),
-                )
-                back = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.maximum(tz0, tz1),
-                )
-                bh = (back >= front) & (front <= t_cur) & (back >= tmn)
-                d8 = jnp.min(
-                    jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX),
-                    axis=1, keepdims=True,
-                )  # (w, 1); negative fronts clamp to 0 (inside the box)
-                validv = d8 < _F32_MAX
-                # Two vector->scalar transfers replace eight per-entry
-                # reductions + the scalar sort network: a bit-packed argmin
-                # (low 3 bits = 7 - entry, so ties pick the higher entry id,
-                # src/Tracer.cu:346-347) and a validity bitmask.
-                e_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-                key = (pltpu.bitcast(d8, jnp.int32) & ~(w - 1)) | (
-                    w - 1 - e_iota
-                )
-                kmin = jnp.min(jnp.where(validv, key, 0x7FFFFFFF))
-                vmask = jnp.sum(jnp.where(validv, 1 << e_iota, 0))
-                emin = (w - 1) - (kmin & (w - 1))
-                sp = sps[c]
-                last_tag = jnp.int32(-1)
-                for e in range(w):
-                    meta = ii_s[c, e * 8 + 6]
-                    ntype = meta & 3
-                    tag_e = ((meta >> 5) << 1) | (
-                        ntype == CHILD_TRI
-                    ).astype(jnp.int32)
-                    ok = (((vmask >> e) & 1) == 1) & (ntype != 0)
-                    last_tag = jnp.where(ok & (e == emin), tag_e, last_tag)
-                    push = ok & (e != emin)
-                    # Unconditional write (avoids a nested pl.when): invalid
-                    # candidates land in the trash slot STACK.
-                    stack[c, jnp.where(push, sp, STACK)] = tag_e
-                    sp = sp + push.astype(jnp.int32)
-                ok_last = last_tag >= 0
-                stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
-                sps[c] = sp + ok_last.astype(jnp.int32)
+                interior_pop(c, tag)
 
-            # --- leaf pop: LEAFW-pair window, sublane-mapped Moller-Trumbore ---
             @pl.when(act & is_leaf)
             def _():
                 pltpu.make_async_copy(
                     pairs_f.at[pl.ds(tag >> 1, leafw), :], leaf_scr.at[c],
                     sem_leaf.at[c],
                 ).wait()
-                row = leaf_scr[c]  # (LEAFW, 128): sublane = pair slot
-                dx = ray_scr[c, 3:4, :]
-                dy = ray_scr[c, 4:5, :]
-                dz = ray_scr[c, 5:6, :]
-                ox = ray_scr[c, 0:1, :]
-                oy = ray_scr[c, 1:2, :]
-                oz = ray_scr[c, 2:3, :]
-                tmn = ray_scr[c, 6:7, :]
-                t_cur = st_t[c]
+                leaf_pop(c, tag, leaf_scr)
 
-                def col(w):
-                    return row[:, w : w + 1]  # (LEAFW, 1)
+            # --- fused successor pop: a leaf pop never pushes, so its
+            # successor (prefetched at the previous advance) runs in the
+            # SAME visit — one loop-visit's fixed overhead instead of two.
+            sp_mid = sps[c]
+            live2 = sp_mid > 0  # any-hit early finish empties the stack
+            nt2 = stack[c, jnp.maximum(sp_mid - 1, 0)]
+            f_i = act & is_leaf & (k2 == 0)
+            f_l = act & is_leaf & (k2 == 1)
 
-                def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
-                    e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
-                    e2x, e2y, e2z = c0 - a0, c1 - a1, c2 - a2
-                    hx = dy * e2z - dz * e2y
-                    hy = dz * e2x - dx * e2z
-                    hz = dx * e2y - dy * e2x
-                    det = e1x * hx + e1y * hy + e1z * hz
-                    degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
-                    f = 1.0 / det
-                    sx, sy, sz = ox - a0, oy - a1, oz - a2
-                    uu = f * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    vv = f * (dx * qx + dy * qy + dz * qz)
-                    tt = f * (e2x * qx + e2y * qy + e2z * qz)
-                    acc = (
-                        ~degen & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
-                        & (uu + vv <= 1.0) & (tt >= tmn) & (tt <= t_cur)
-                    )
-                    return acc, tt
+            @pl.when(f_i)  # balance the prefetch even when not processed
+            def _():
+                pltpu.make_async_copy(
+                    inner_i.at[jnp.maximum(nt2 >> 1, 0)], ii_s.at[c],
+                    sem_ii.at[c],
+                ).wait()
+                pltpu.make_async_copy(
+                    inner_v.at[jnp.maximum(nt2 >> 1, 0)], iv_s.at[c],
+                    sem_iv.at[c],
+                ).wait()
 
-                v0 = (col(0), col(1), col(2))
-                v1 = (col(3), col(4), col(5))
-                v2 = (col(6), col(7), col(8))
-                v3 = (col(9), col(10), col(11))
-                acc_a, tt_a = mt(*v0, *v1, *v2)
-                acc_b, tt_b = mt(*v2, *v1, *v3)
-                cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
-                cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
-                # Merge the A/B lanes before reducing: one (leafw, K) min
-                # and one masked max instead of three big reductions.
-                enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, K), 0) * 2
-                cand = jnp.minimum(cand_a, cand_b)
-                encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
-                tm = jnp.min(cand, axis=0, keepdims=True)  # (1, K)
-                wenc = jnp.max(
-                    jnp.where(cand == tm, encab, -1), axis=0, keepdims=True
-                )
-                take = tm <= t_cur
-                tri_new = (tag >> 1) * 2 + wenc
-                st_tri[c] = jnp.where(take, tri_new, st_tri[c])
-                if any_hit:
-                    # Occlusion query: kill hit lanes (empty interval) and
-                    # finish the packet once every live lane has a hit.
-                    st_t[c] = jnp.where(take, -_F32_MAX, st_t[c])
-                    done = (st_tri[c] >= 0) | (ray_scr[c, 7:8, :] < 0.0)
-                    all_done = jnp.min(done.astype(jnp.int32)) == 1
-                    sps[c] = jnp.where(all_done, 0, sps[c])
-                else:
-                    st_t[c] = jnp.where(take, tm, st_t[c])
+            @pl.when(f_i & live2)
+            def _():
+                sps[c] = sp_mid - 1
+                interior_pop(c, nt2)
+
+            @pl.when(f_l)
+            def _():
+                pltpu.make_async_copy(
+                    pairs_f.at[pl.ds(jnp.maximum(nt2 >> 1, 0), leafw), :],
+                    leaf_scr2.at[c], sem_leaf2.at[c],
+                ).wait()
+
+            @pl.when(f_l & live2)
+            def _():
+                sps[c] = sp_mid - 1
+                leaf_pop(c, nt2, leaf_scr2)
+
+            fused = (f_i | f_l) & live2
 
             # --- advance: finish/refill/retire or pop the next node ---
             sp_v = sps[c]
@@ -337,9 +384,25 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
 
             @pl.when(cont & nt_leaf)
             def _():
-                start_leaf(c, nt >> 1)
+                start_leaf(c, nt >> 1, leaf_scr, sem_leaf)
 
-            pops[0] = pops[0] + act.astype(jnp.int32)
+            # Prefetch the successor of a leaf pop (it cannot push, so the
+            # entry below it WILL be the next pop).
+            have2 = cont & nt_leaf & (sp_v >= 2)
+            nt2n = stack[c, jnp.maximum(sp_v - 2, 0)]
+            nt2n_leaf = (nt2n & 1) == 1
+
+            @pl.when(have2 & jnp.logical_not(nt2n_leaf))
+            def _():
+                start_inner(c, jnp.maximum(nt2n >> 1, 0))
+
+            @pl.when(have2 & nt2n_leaf)
+            def _():
+                start_leaf(c, nt2n >> 1, leaf_scr2, sem_leaf2)
+
+            nxt2k[c] = jnp.where(have2, nt2n_leaf.astype(jnp.int32), -1)
+
+            pops[0] = pops[0] + act.astype(jnp.int32) + fused.astype(jnp.int32)
             nd = nd + finished.astype(jnp.int32)
         return nd
 
@@ -403,6 +466,7 @@ def trace_rays_split_pallas(
         scratch_shapes=[
             pltpu.VMEM((C, 16, K), jnp.float32),  # ray_scr (8 DMA + 3 inv)
             pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr
+            pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr2 (successor)
             pltpu.VMEM((C, w, 128), jnp.float32),  # iv_s (entry-major box row)
             pltpu.VMEM((C, 1, K), jnp.float32),   # st_t
             pltpu.VMEM((C, 1, K), jnp.int32),     # st_tri
@@ -414,11 +478,13 @@ def trace_rays_split_pallas(
             pltpu.SMEM((C,), jnp.int32),          # acts
             pltpu.SMEM((C,), jnp.int32),          # outp
             pltpu.SMEM((C,), jnp.int32),          # pkts
+            pltpu.SMEM((C,), jnp.int32),          # nxt2k
             pltpu.SMEM((1,), jnp.int32),          # cursor
             pltpu.SMEM((1,), jnp.int32),          # pops
             pltpu.SemaphoreType.DMA((C,)),        # sem_ii
             pltpu.SemaphoreType.DMA((C,)),        # sem_iv
             pltpu.SemaphoreType.DMA((C,)),        # sem_leaf
+            pltpu.SemaphoreType.DMA((C,)),        # sem_leaf2
             pltpu.SemaphoreType.DMA((C,)),        # sem_ray
             pltpu.SemaphoreType.DMA((C,)),        # sem_out
         ],
