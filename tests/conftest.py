@@ -6,6 +6,9 @@ pjit/shard_map code paths over 8 virtual CPU devices instead.
 
 import os
 
+# Test batches are 128 rays; pin the split kernel's packet size to match
+# (the perf default is 256).
+os.environ.setdefault("TPURT_SPLIT_K", "128")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

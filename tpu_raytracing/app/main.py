@@ -137,8 +137,11 @@ def main(argv=None):
 
     if args.width % 8 or args.height % 8:
         args.tracer = "scalar"  # packet tiling needs 8-divisible frames
-    if args.tracer == "split" and (args.width % 16 or args.height % 8):
-        args.tracer = "wide"  # split kernel packets are 16-wide screen tiles
+    if args.tracer == "split":
+        from tpu_raytracing.trace import split_pallas as _sp
+
+        if args.width % 16 or args.height % (_sp.K // 16):
+            args.tracer = "wide"  # split packets are 16 x (K/16) screen tiles
 
     # make_trav(bvh, packed, triangles) -> (tracer's traversal structure,
     # pair table in that structure's order).

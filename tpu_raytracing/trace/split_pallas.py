@@ -51,8 +51,11 @@ from tpu_raytracing.trace.wide_fat import _reconstruct
 
 import os as _os
 
-# Rays per packet (TPURT_SPLIT_K: 128 = one lane tile, 256 = two).
-K = int(_os.environ.get("TPURT_SPLIT_K", "128"))
+# Rays per packet (TPURT_SPLIT_K). 256 (two lane tiles) wins for coherent
+# passes (primary 124 -> 100 ms at 1M: fewer packets amortize the per-pop
+# overhead); 512 and 128 are both slower. Incoherent bounce packets prefer
+# 128 but only by ~3% — 256 is the global default.
+K = int(_os.environ.get("TPURT_SPLIT_K", "256"))
 # Packet slots in flight per program (TPURT_SPLIT_C: perf experiment knob).
 C = int(_os.environ.get("TPURT_SPLIT_C", "4"))
 STACK = 160  # >= 7 * max wide depth + 1: no drops possible
