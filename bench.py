@@ -78,6 +78,9 @@ def main():
     # pipelined row DMAs, sublane-mapped slab and Moller-Trumbore; work =
     # sum of per-packet trips (no lockstep waste).
     tracer = sp.make_split_pallas_tracer(None, None, res, res)
+    # Incoherent bounce rays prefer 128-ray packets (~3% on the bounce
+    # pass); coherent passes use the 256-ray default.
+    bounce_tracer = sp.make_split_pallas_tracer(None, None, res, res, k=128)
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
                                                 any_hit=True)
     shadow_tracer_b = sp.make_split_pallas_tracer(None, None, res, res,
@@ -90,7 +93,7 @@ def main():
         return path_trace(
             views, packed, dev_scene, cam_j, res, res, num_bounces=bounces,
             key=key, tracer=tracer, shadow_tracer=shadow_tracer,
-            shadow_tracer_bounce=shadow_tracer_b,
+            shadow_tracer_bounce=shadow_tracer_b, bounce_tracer=bounce_tracer,
         )
 
     img, rays_traced = jax.block_until_ready(frame(jax.random.PRNGKey(0), 0.0))

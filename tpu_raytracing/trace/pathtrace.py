@@ -150,6 +150,7 @@ def path_trace(
     tracer=trace_rays,
     shadow_tracer=None,
     shadow_tracer_bounce=None,
+    bounce_tracer=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ([H, W, 3] float32 radiance, total rays traced).
 
@@ -167,6 +168,9 @@ def path_trace(
     shadow_traced = traced if shadow_tracer is None else _jitted_tracer(shadow_tracer)
     shadow_traced_b = (shadow_traced if shadow_tracer_bounce is None
                        else _jitted_tracer(shadow_tracer_bounce))
+    # Optional closest-hit tracer for bounce >= 1 (e.g. smaller packets:
+    # incoherent rays prefer 128-ray packets, coherent primaries 256).
+    traced_b = traced if bounce_tracer is None else _jitted_tracer(bounce_tracer)
 
     rays = jax.jit(generate_primary_rays, static_argnames=("width", "height"))(
         camera, width, height
@@ -181,7 +185,8 @@ def path_trace(
 
     for bounce in range(num_bounces + 1):
         key, k_dir = jax.random.split(key)
-        rec, _stats = traced(trav, pairs, rays, alive)
+        ct = traced if bounce == 0 else traced_b
+        rec, _stats = ct(trav, pairs, rays, alive)
         st = shadow_traced if bounce == 0 else shadow_traced_b
         srec, _ = st(trav, pairs, _jit_shadow(scene, rays, rec), alive)
         rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))

@@ -94,7 +94,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             ray_scr, leaf_scr, leaf_scr2, iv_s, st_t, st_tri, out_stage,
             ii_s, stack, sps, tags, acts, outp, pkts, nxt2k, cursor, pops,
             sem_ii, sem_iv, sem_leaf, sem_leaf2, sem_ray, sem_out, *, w,
-            leafw, any_hit):
+            leafw, any_hit, k):
     num_p = rays_hbm.shape[0]
 
     def start_inner(c, idx):
@@ -218,7 +218,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
         cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
         # Merge the A/B lanes before reducing: one (leafw, K) min and one
         # masked max instead of three big reductions.
-        enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, K), 0) * 2
+        enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, k), 0) * 2
         cand = jnp.minimum(cand_a, cand_b)
         encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
         tm = jnp.min(cand, axis=0, keepdims=True)  # (1, K)
@@ -256,7 +256,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             ).wait()
             ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
             st_t[c] = ray_scr[c, 7:8, :]
-            st_tri[c] = jnp.full((1, K), -1, jnp.int32)
+            st_tri[c] = jnp.full((1, k), -1, jnp.int32)
         else:
             acts[c] = jnp.int32(0)
             outp[c] = jnp.int32(0)
@@ -374,7 +374,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
                 ).wait()
                 ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
                 st_t[c] = ray_scr[c, 7:8, :]
-                st_tri[c] = jnp.full((1, K), -1, jnp.int32)
+                st_tri[c] = jnp.full((1, k), -1, jnp.int32)
 
             @pl.when(cont)
             def _():
@@ -423,7 +423,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
 
 def trace_rays_split_pallas(
     views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
-    any_hit: bool = False,
+    any_hit: bool = False, k: int = None,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -432,9 +432,11 @@ def trace_rays_split_pallas(
     accepts and all-dead packets drain in one pop.
     """
     inner_i, inner_v, pairs_f = views
+    if k is None:
+        k = K
     num_rays = rays.origin.shape[0]
-    assert num_rays % K == 0
-    num_p = num_rays // K
+    assert num_rays % k == 0
+    num_p = num_rays // k
 
     tmin, tmax = rays.tmin, rays.tmax
     if active is not None:
@@ -442,38 +444,38 @@ def trace_rays_split_pallas(
         tmax = jnp.where(active, tmax, -_F32_MAX)
     rays8 = jnp.stack(
         [
-            rays.origin[:, 0].reshape(num_p, K),
-            rays.origin[:, 1].reshape(num_p, K),
-            rays.origin[:, 2].reshape(num_p, K),
-            rays.direction[:, 0].reshape(num_p, K),
-            rays.direction[:, 1].reshape(num_p, K),
-            rays.direction[:, 2].reshape(num_p, K),
-            tmin.reshape(num_p, K),
-            tmax.reshape(num_p, K),
+            rays.origin[:, 0].reshape(num_p, k),
+            rays.origin[:, 1].reshape(num_p, k),
+            rays.origin[:, 2].reshape(num_p, k),
+            rays.direction[:, 0].reshape(num_p, k),
+            rays.direction[:, 1].reshape(num_p, k),
+            rays.direction[:, 2].reshape(num_p, k),
+            tmin.reshape(num_p, k),
+            tmax.reshape(num_p, k),
         ],
         axis=1,
-    )  # [num_p, 8, K]
+    )  # [num_p, 8, k]
 
     if leafw is None:
         leafw = LEAFW
     w = views[1].shape[1]
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     out, pops_total = pl.pallas_call(
-        functools.partial(_kernel, w=w, leafw=leafw, any_hit=any_hit),
+        functools.partial(_kernel, w=w, leafw=leafw, any_hit=any_hit, k=k),
         in_specs=[hbm] * 4,
         out_specs=[hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((num_p, 2, K), jnp.float32),
+            jax.ShapeDtypeStruct((num_p, 2, k), jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((C, 16, K), jnp.float32),  # ray_scr (8 DMA + 3 inv)
+            pltpu.VMEM((C, 16, k), jnp.float32),  # ray_scr (8 DMA + 3 inv)
             pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr
             pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr2 (successor)
             pltpu.VMEM((C, w, 128), jnp.float32),  # iv_s (entry-major box row)
-            pltpu.VMEM((C, 1, K), jnp.float32),   # st_t
-            pltpu.VMEM((C, 1, K), jnp.int32),     # st_tri
-            pltpu.VMEM((C, 2, K), jnp.float32),   # out_stage
+            pltpu.VMEM((C, 1, k), jnp.float32),   # st_t
+            pltpu.VMEM((C, 1, k), jnp.int32),     # st_tri
+            pltpu.VMEM((C, 2, k), jnp.float32),   # out_stage
             pltpu.SMEM((C, 128), jnp.int32),      # ii_s
             pltpu.SMEM((C, STACK + 1), jnp.int32),  # stack (+1 trash slot)
             pltpu.SMEM((C,), jnp.int32),          # sps
@@ -513,7 +515,7 @@ def trace_rays_split_pallas(
 
 def make_split_pallas_tracer(views, packed, width: int, height: int,
                              any_hit: bool = False,
-                             sort_origin: bool = False):
+                             sort_origin: bool = False, k: int = None):
     """Tiled drop-in tracer over 16x8 screen-tile packets.
 
     With views=None the (inner_i, inner_v, pairs_f) triple rides in the
@@ -522,7 +524,9 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
     """
     from tpu_raytracing.trace.packet import tile_reorder, tile_restore
 
-    tw, th = 16, K // 16  # one packet per screen tile
+    if k is None:
+        k = K
+    tw, th = 16, k // 16  # one packet per screen tile
 
     def tracer(trav, pairs, rays, max_width=2, active=None):
         del max_width
@@ -548,13 +552,13 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
             srt = jax.tree.map(lambda a: take_rows(a, perm), rays)
             act = None if active is None else active[perm]
             rec, stats = trace_rays_split_pallas(v, p, srt, active=act,
-                                                 any_hit=any_hit)
+                                                 any_hit=any_hit, k=k)
             rec = rec.replace(hit=rec.hit[inv])
             return rec, stats
         tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, tw, th), rays)
         act = None if active is None else tile_reorder(active, width, height, tw, th)
         rec, stats = trace_rays_split_pallas(v, p, tiled, active=act,
-                                             any_hit=any_hit)
+                                             any_hit=any_hit, k=k)
         rec = jax.tree.map(lambda a: tile_restore(a, width, height, tw, th), rec)
         return rec, stats
 
