@@ -437,17 +437,32 @@ def build_bucket_split(
     packed = PackedPairs(rows=jnp.where(live[:, None], packed.rows, 0))
 
     # --- classification: terminal = 1..8 leaves (singles included) ---
+    # One packed-flags gather per level (alive | small<<1 | branch<<2)
+    # serves both the alive recurrence here and the parent-validity test in
+    # the scatter pass below: gathers are row-serialized on this backend,
+    # so fold every per-level gather that shares indices.
     is_small, is_branch = [], []
     alive = [jnp.ones((caps[0],), bool)]
+    pars = [None] * num_levels  # parent bucket id per level-l bucket
+    pflags = [None] * num_levels  # parent's packed flags, gathered at par
     for l in range(num_levels):
         count, cc = counts[l], child_counts[l]
         small = (count >= 1) & (count <= leaf_width)
         is_small.append(small)
-        is_branch.append((count > leaf_width) & (cc >= 2))
+        branch = (count > leaf_width) & (cc >= 2)
+        is_branch.append(branch)
         if l < num_levels - 1:
             par = bids[l][jnp.clip(poss[l + 1], 0, n - 1)]
             par = jnp.clip(par, 0, caps[l] - 1)
-            alive.append(alive[l][par] & ~is_small[l][par])
+            flags = (
+                alive[l].astype(jnp.int32)
+                | (small.astype(jnp.int32) << 1)
+                | (branch.astype(jnp.int32) << 2)
+            )
+            fp = flags[par]
+            pars[l + 1] = par
+            pflags[l + 1] = fp
+            alive.append(((fp & 1) == 1) & ((fp & 2) == 0))
 
     # --- inner row ids (row 0 reserved for the root copy) ---
     wids = []
@@ -495,10 +510,12 @@ def build_bucket_split(
     inner = jnp.broadcast_to(empty_entry, (icap * inner_width, 8))
     for l in range(1, num_levels):
         capc = caps[l]
-        parpos = jnp.clip(poss[l], 0, n - 1)
-        par = jnp.clip(bids[l - 1][parpos], 0, caps[l - 1] - 1)  # [capc]
-        preal = (alive[l - 1] & is_branch[l - 1])[par]
-        j = jnp.arange(capc, dtype=jnp.int32) - child_starts[l - 1][par]
+        par = pars[l]  # [capc] (computed once in the classification pass)
+        fp = pflags[l]
+        preal = ((fp & 1) == 1) & ((fp & 4) == 4)
+        # one 2-wide row gather instead of two scalar-column gathers
+        pw = jnp.stack([child_starts[l - 1], wids[l - 1]], axis=1)[par]
+        j = jnp.arange(capc, dtype=jnp.int32) - pw[:, 0]
         valid = preal & (counts[l] > 0) & (j >= 0) & (j < inner_width)
         etag = effs[l]
         is_leaf_c = (etag & 1) == 1
@@ -508,7 +525,7 @@ def build_bucket_split(
         words = jnp.concatenate(
             [f2i(a_los[l]), f2i(a_his[l]), meta[:, None],
              jnp.zeros((capc, 1), jnp.int32)], axis=1)  # [capc, 8]
-        dest = jnp.where(valid, wids[l - 1][par] * inner_width + j,
+        dest = jnp.where(valid, pw[:, 1] * inner_width + j,
                          icap * inner_width)
         inner = inner.at[dest].set(words, mode="drop")
 
