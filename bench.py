@@ -59,10 +59,18 @@ def main():
     def full_build(tris):
         split, packed = bucket.build_bucket_split(
             tris, enable_pairs=True, leaf_width=sp.LEAFW)
-        return sp.prep_split_views(split, packed), packed
+        return sp.prep_split_views(split, packed), packed, split.num_inner
 
-    build = jax.jit(full_build)
-    views, packed = build(triangles)
+    _build3 = jax.jit(full_build)
+
+    def build(tris):
+        views, packed, _ = _build3(tris)
+        return views, packed
+
+    views, packed, num_inner = _build3(triangles)
+    # Frame-0 sync doubles as the overflow guard: a truncated tree would
+    # silently drop geometry (bvh/bucket.py:check_inner_capacity).
+    bucket.check_inner_capacity(int(num_inner), num_tris, sp.LEAFW)
     float(jnp.sum(views[0][0]).astype(jnp.float32))  # force completion
     # Vary the input every frame (this backend memoizes identical executions)
     # and fetch at the end: throughput timing over pipelined frames.

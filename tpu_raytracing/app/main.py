@@ -136,19 +136,29 @@ def main(argv=None):
     packed = pack_pairs(pairs)
 
     if args.width % 8 or args.height % 8:
+        if args.tracer != "scalar":
+            print(f"WARNING: {args.width}x{args.height} is not 8-divisible; "
+                  f"downgrading --tracer {args.tracer} -> scalar (slow path). "
+                  f"Use 8-divisible dimensions for the fast tracers.",
+                  file=sys.stderr)
         args.tracer = "scalar"  # packet tiling needs 8-divisible frames
     if args.tracer == "split":
         from tpu_raytracing.trace import split_pallas as _sp
 
         if args.width % 16 or args.height % (_sp.K // 16):
-            args.tracer = "wide"  # split packets are 16 x (K/16) screen tiles
+            print(f"WARNING: split packets are 16x{_sp.K // 16} screen tiles; "
+                  f"{args.width}x{args.height} does not tile — downgrading "
+                  f"--tracer split -> wide (slower). Use dimensions divisible "
+                  f"by 16x{_sp.K // 16} for the flagship kernel.",
+                  file=sys.stderr)
+            args.tracer = "wide"
 
     # make_trav(bvh, packed, triangles) -> (tracer's traversal structure,
     # pair table in that structure's order).
     if args.tracer == "split":
         # Pallas split-BVH kernel: its own Morton-bucket build (the binary
         # --type build above still provides frame-0 hierarchy validation).
-        from tpu_raytracing.bvh.bucket import build_bucket_split
+        from tpu_raytracing.bvh.bucket import build_bucket_split, check_inner_capacity
         from tpu_raytracing.trace import split_pallas as sp_mod
 
         tracer = sp_mod.make_split_pallas_tracer(
@@ -160,10 +170,18 @@ def main(argv=None):
             split, packed2 = build_bucket_split(
                 tris, enable_pairs=args.pairs, leaf_width=sp_mod.LEAFW
             )
-            return sp_mod.prep_split_views(split, packed2), packed2
+            return (sp_mod.prep_split_views(split, packed2), packed2,
+                    split.num_inner)
+
+        _checked = []
 
         def make_trav(bvh, packed, tris):
-            return _split_build(tris)
+            views, packed2, num_inner = _split_build(tris)
+            if not _checked:  # frame 0 only: the fetch is a host sync
+                check_inner_capacity(int(num_inner), tris.shape[0],
+                                     sp_mod.LEAFW)
+                _checked.append(True)
+            return views, packed2
     elif args.tracer == "wide":
         from tpu_raytracing.bvh.wide import build_wide_fat
         from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
@@ -197,10 +215,16 @@ def main(argv=None):
             triangles = jnp.asarray(
                 procedural.animate_triangles(np.asarray(scene.triangles), frame * 0.1)
             )
-            quiet = StageTimer(should_print=False)
-            bvh, pairs = build_accel(triangles, args, quiet)
-            packed = pack_pairs(pairs)
-            trav, packed = make_trav(bvh, packed, triangles)
+            if args.tracer == "split":
+                # The split tracer runs its own bucket build inside
+                # make_trav; the binary --type build only serves frame-0
+                # validation — skip it on animated frames.
+                trav, packed = make_trav(None, None, triangles)
+            else:
+                quiet = StageTimer(should_print=False)
+                bvh, pairs = build_accel(triangles, args, quiet)
+                packed = pack_pairs(pairs)
+                trav, packed = make_trav(bvh, packed, triangles)
         cam_dev = cam.camera_to_device(camera)
 
         for mode in modes:

@@ -385,6 +385,10 @@ class SplitBVH:
     inner: jnp.ndarray      # [ICAP, 64] int32
     num_inner: jnp.ndarray  # [] int32
     num_leaves: jnp.ndarray  # [] int32 — live sorted pairs (rest zeroed)
+    # Static build parameter: pairs per terminal window. The trace kernel's
+    # leafw must equal this (a larger trace window would DMA past the live
+    # bucket; smaller would miss geometry).
+    leaf_width: int = flax.struct.field(pytree_node=False, default=16)
 
 
 def _inner_cap(n: int, leaf_width: int) -> int:
@@ -395,23 +399,31 @@ def _inner_cap(n: int, leaf_width: int) -> int:
     return max(n // (2 * leaf_width) * 4, 256) + 64
 
 
-def check_split_capacity(split: SplitBVH, num_tris: int,
-                         leaf_width: int = 16) -> None:
-    """Raise if the (host-fetched) inner count overflowed the static bound
-    — a silently truncated tree would drop geometry."""
+def check_inner_capacity(num_inner: int, num_tris: int,
+                         leaf_width: int) -> None:
+    """Raise if a (host-fetched) inner-row count overflowed the static bound
+    — a silently truncated tree would drop geometry. Call wherever a build
+    result is synced to the host (bench frame 0, app frame 0)."""
     cap = _inner_cap(num_tris, leaf_width)
-    ni = int(split.num_inner)
+    ni = int(num_inner)
     if ni > cap:
         raise RuntimeError(
             f"SplitBVH inner overflow: {ni} rows > static bound {cap}; "
             f"rebuild with a larger bound (bvh/bucket.py:_inner_cap)")
 
 
-def build_bucket_split(
+def check_split_capacity(split: SplitBVH, num_tris: int) -> None:
+    """Host-fetch form of check_inner_capacity (uses the build's own
+    leaf_width carried on the SplitBVH)."""
+    check_inner_capacity(int(split.num_inner), num_tris, split.leaf_width)
+
+
+def build_bucket_split_v1(
     triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 16,
     inner_width: int = 8,
 ) -> Tuple[SplitBVH, PackedPairs]:
-    """Morton-bucket build emitting the split (inner + pair-window) format.
+    """Round-1 bucket-major split emitter (kept for A/B measurement; the
+    leaf-major ``build_bucket_split`` below replaces it as the default).
 
     Unlike ``build_bucket_fat``, every bucket with 1..8 leaves is a terminal
     referenced by position (single-leaf buckets included), and inner rows
@@ -419,6 +431,10 @@ def build_bucket_split(
     padded sentinel region so out-of-bucket window slots never intersect.
     """
     assert inner_width in (8, 16), inner_width
+    # The deepest chunk buckets hold up to inner_width leaves and must fit
+    # one terminal window — a narrower window would silently drop geometry.
+    assert leaf_width >= inner_width, (
+        f"leaf_width {leaf_width} < inner_width {inner_width}")
     bits = inner_width.bit_length() - 1
     num_tris = triangles.shape[0]
     n = num_tris
@@ -545,4 +561,208 @@ def build_bucket_split(
     ])
     inner = inner.at[0].set(jnp.where(root_is_leaf, leaf_row, copied))
     return SplitBVH(inner=inner, num_inner=num_inner,
-                    num_leaves=num_leaves), packed
+                    num_leaves=num_leaves, leaf_width=leaf_width), packed
+
+
+# --- leaf-major split emitter (the fast default) ---
+
+
+def build_bucket_split(
+    triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 16,
+    inner_width: int = 8,
+) -> Tuple[SplitBVH, PackedPairs]:
+    """Leaf-major Morton-bucket split build.
+
+    Emits exactly the same SplitBVH as ``build_bucket_split_v1`` but
+    replaces every bucket-major per-level table with dense leaf-major
+    arrays, exploiting three structural facts:
+
+    * level-l bucket boundaries are a SUBSET of level-(l+1) boundaries
+      (Morton prefixes nest), so "the bucket containing leaf i" is
+      well-defined per (level, leaf) and the alive/eff recurrences become
+      gather-free dense selects: ``eff[l][i] = small ? leaf : branch ?
+      inner : eff[l+1][i]`` — the chain case reads the SAME leaf position
+      one level down instead of gathering the single child's id;
+    * a chain (single-child) bucket is detected densely as
+      ``counts[l][i] == counts[l+1][i]`` (child ⊆ parent and equal size
+      ⟺ equal interval ⟺ one child) — no child tables at all;
+    * node AABBs are range-min queries over sorted leaf boxes, served by
+      one shared sparse table (log n dense shifted-min passes over an
+      [8, n] packed layout) instead of per-level segmented scans.
+
+    Per-entry work (AABB lookups, metas, destination slots) runs on a
+    COMPACTED entry list (≤ icap·inner_width entries, ~40k at 1M tris)
+    instead of 11 full-width per-level passes — the round-1 profile's
+    ~1.5 s of classification gathers and segmented AABB scans
+    (docs/TPU_NOTES.md split-build accounting) collapse into three
+    batched [L, n] scans plus a handful of small gathers.
+    """
+    assert inner_width in (8, 16), inner_width
+    assert leaf_width >= inner_width, (
+        f"leaf_width {leaf_width} < inner_width {inner_width}")
+    bits = inner_width.bit_length() - 1
+    width = inner_width
+    n = triangles.shape[0]
+    (sorted_codes, packed, lo, hi, _ccount,
+     num_leaves) = _sorted_leaves(triangles, enable_pairs)
+
+    # Zero sentinel pairs (same reasoning as v1: windows may overlap the
+    # padded tail; zero vertices never intersect).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    live = iota < num_leaves
+    packed = PackedPairs(rows=jnp.where(live[:, None], packed.rows, 0))
+
+    # --- level head masks, leaf-major [L, n] ---
+    pad_boundary = iota == num_leaves
+    heads = [(iota == 0) | pad_boundary]
+    sh = 30
+    while sh > 0:
+        sh = max(sh - bits, 0)
+        pref = (sorted_codes >> sh).astype(jnp.uint32)
+        prev = jnp.concatenate([pref[:1] ^ jnp.uint32(1), pref[:-1]])
+        heads.append((pref != prev) | (iota == 0) | pad_boundary)
+    num_chunk = max(math.ceil(math.log(max(n, 2), width)), 1)
+    seg_start_deep = jax.lax.cummax(jnp.where(heads[-1], iota, -1))
+    idx_in_seg = iota - seg_start_deep
+    prev_heads = heads[-1]
+    for kk in range(num_chunk - 1, -1, -1):
+        s = prev_heads | (idx_in_seg % (width ** (kk + 1)) == 0)
+        heads.append(s)
+        prev_heads = s
+    L = len(heads)
+    heads = jnp.stack(heads, axis=0)  # [L, n] bool
+
+    # --- three batched scans give every per-(level, leaf) quantity ---
+    bids = jnp.cumsum(heads.astype(jnp.int32), axis=1) - 1
+    iota_l = jnp.broadcast_to(iota[None, :], (L, n))
+    starts = jax.lax.cummax(jnp.where(heads, iota_l, -1), axis=1)
+    nxt_src = jnp.concatenate(
+        [jnp.where(heads[:, 1:], iota_l[:, 1:], n),
+         jnp.full((L, 1), n, jnp.int32)], axis=1)
+    nxts = jax.lax.cummin(nxt_src, axis=1, reverse=True)
+    counts = nxts - starts  # bucket extent containing leaf i at level l
+
+    # --- dense classification (no gathers) ---
+    small = (counts >= 1) & (counts <= leaf_width)
+    chain = jnp.concatenate(
+        [counts[:-1] == counts[1:], jnp.ones((1, n), bool)], axis=0)
+    branch = (counts > leaf_width) & ~chain
+    alive = jnp.cumprod(
+        jnp.concatenate([jnp.ones((1, n), bool), ~small[:-1]], axis=0)
+        .astype(jnp.int32), axis=0).astype(bool)
+    real = alive & branch
+
+    # --- inner row ids (row 0 reserved for the root copy) ---
+    rmask = (heads & real & live[None, :]).astype(jnp.int32)
+    rows_per_level = jnp.sum(rmask, axis=1)
+    offsets = jnp.int32(1) + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(rows_per_level)[:-1]])
+    wid_dense = offsets[:, None] + jnp.cumsum(rmask, axis=1) - 1
+    num_inner = offsets[-1] + rows_per_level[-1]
+
+    # --- effective tags, bottom-up dense (chains skipped for free) ---
+    win_max = jnp.maximum(num_leaves - leaf_width, 0)
+    win = jnp.minimum(jnp.minimum(starts, win_max), n - 1)
+    leaf_tag = (win << 1) | 1
+    inner_tag = wid_dense << 1
+    eff = leaf_tag[L - 1]
+    effs = [None] * L
+    effs[L - 1] = eff
+    for l in range(L - 2, -1, -1):
+        eff = jnp.where(small[l], leaf_tag[l],
+                        jnp.where(branch[l], inner_tag[l], eff))
+        effs[l] = eff
+    effs = jnp.stack(effs, axis=0)  # [L, n]
+
+    # --- compacted entry list: (level >= 1, head, parent real) ---
+    emask = heads[1:] & (alive[:-1] & branch[:-1]) & live[None, :]
+    icap = _inner_cap(n, leaf_width)
+    ecap = min(icap * inner_width, (L - 1) * n)
+    flat = emask.reshape(-1)
+    (fidx,) = jnp.nonzero(flat, size=ecap, fill_value=flat.shape[0])
+    valid_e = fidx < flat.shape[0]
+    fidx = jnp.minimum(fidx, flat.shape[0] - 1)
+    gidx = fidx + n  # index into the [L, n] arrays (emask dropped level 0)
+
+    e_start = starts.reshape(-1)[gidx]
+    e_count = counts.reshape(-1)[gidx]
+    e_eff = effs.reshape(-1)[gidx]
+    wid_parent = wid_dense.reshape(-1)[gidx - n]
+    par_start = starts.reshape(-1)[gidx - n]
+    lvl1 = gidx // n  # entry's own level
+    e_j = bids.reshape(-1)[gidx] - bids.reshape(
+        -1)[jnp.clip(lvl1 * n + par_start, 0, L * n - 1)]
+
+    # --- node AABBs: shared sparse range-min table over leaf boxes ---
+    # Packed [8, n]: rows 0-2 lo.xyz, rows 3-5 -hi.xyz (all min-reduced),
+    # rows 6-7 +inf pad.
+    base = jnp.concatenate(
+        [lo.T, -hi.T, jnp.full((2, n), _F32_MAX, jnp.float32)], axis=0)
+    K = max(int(math.floor(math.log2(max(n, 1)))) + 1, 1)
+    tbl = [base]
+    cur = base
+    for kk in range(1, K):
+        d = 1 << (kk - 1)
+        if d < n:
+            shifted = jnp.concatenate(
+                [cur[:, d:], jnp.full((8, d), _F32_MAX, jnp.float32)],
+                axis=1)
+            cur = jnp.minimum(cur, shifted)
+        tbl.append(cur)
+    tbl = jnp.stack(tbl, axis=0)  # [K, 8, n]
+
+    ln = jnp.maximum(e_count, 1)
+    klev = jnp.int32(31) - jax.lax.clz(ln)
+    klev = jnp.minimum(klev, K - 1)
+    pa = jnp.clip(e_start, 0, n - 1)
+    pb = jnp.clip(e_start + ln - (jnp.int32(1) << klev), 0, n - 1)
+    chans = []
+    flat_tbl = tbl.transpose(1, 0, 2).reshape(8, K * n)  # [8, K*n]
+    for r in range(6):
+        va = flat_tbl[r, :][klev * n + pa]
+        vb = flat_tbl[r, :][klev * n + pb]
+        chans.append(jnp.minimum(va, vb))
+    e_lo = jnp.stack(chans[0:3], axis=1)       # [E, 3]
+    e_hi = -jnp.stack(chans[3:6], axis=1)      # [E, 3]
+
+    # --- entry words + one scatter ---
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    is_leaf_e = (e_eff & 1) == 1
+    child = e_eff >> 1
+    etype = jnp.where(is_leaf_e, CHILD_TRI, CHILD_BOX)
+    meta = ((child << _META_CHILD_SHIFT) | etype).astype(jnp.int32)
+    ecnt = fidx.shape[0]
+    words = jnp.concatenate(
+        [f2i(e_lo), f2i(e_hi), meta[:, None],
+         jnp.zeros((ecnt, 1), jnp.int32)], axis=1)  # [E, 8]
+
+    empty_entry = jnp.concatenate([
+        f2i(jnp.full((3,), _F32_MAX, jnp.float32)),
+        f2i(jnp.full((3,), -_F32_MAX, jnp.float32)),
+        jnp.zeros((2,), jnp.int32),
+    ])  # NONE entry: inverted box so the slab test never hits
+    inner = jnp.broadcast_to(empty_entry, (icap * inner_width, 8))
+    ok = valid_e & (e_j >= 0) & (e_j < inner_width)
+    dest = jnp.where(ok, wid_parent * inner_width + e_j,
+                     icap * inner_width)  # out of range -> dropped
+    inner = inner.at[dest].set(words, mode="drop")
+    inner = inner.reshape(icap, inner_width * 8)
+
+    # --- root: copy the effective root's row into slot 0, or synthesize
+    # a single-Tri row when the whole scene is one terminal bucket ---
+    root_tag = effs[0, 0]
+    root_is_leaf = (root_tag & 1) == 1
+    root_id = root_tag >> 1
+    copied = inner[jnp.clip(root_id, 0, icap - 1)]
+    smin = jnp.stack([jnp.min(lo[:, c], where=live, initial=_F32_MAX)
+                      for c in range(3)])
+    smax = jnp.stack([jnp.max(hi[:, c], where=live, initial=-_F32_MAX)
+                      for c in range(3)])
+    leaf_meta = ((root_id << _META_CHILD_SHIFT) | CHILD_TRI).astype(jnp.int32)
+    leaf_row = jnp.concatenate([
+        f2i(smin), f2i(smax), leaf_meta[None], jnp.zeros((1,), jnp.int32),
+        jnp.zeros((inner_width * 8 - 8,), jnp.int32),
+    ])
+    inner = inner.at[0].set(jnp.where(root_is_leaf, leaf_row, copied))
+    return SplitBVH(inner=inner, num_inner=num_inner,
+                    num_leaves=num_leaves, leaf_width=leaf_width), packed

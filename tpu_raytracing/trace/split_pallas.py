@@ -58,9 +58,24 @@ import os as _os
 K = int(_os.environ.get("TPURT_SPLIT_K", "256"))
 # Packet slots in flight per program (TPURT_SPLIT_C: perf experiment knob).
 C = int(_os.environ.get("TPURT_SPLIT_C", "4"))
-STACK = 160  # >= 7 * max wide depth + 1: no drops possible
+def _stack_cap(w: int, num_pair_rows: int) -> int:
+    """Per-pop worst case pushes w-1 tags; depth is bounded by the build's
+    level count (1 root + ceil(30/bits) Morton levels + ceil(log_w n) chunk
+    levels, bvh/bucket.py:_bucket_tables). Oversizing costs SMEM only, so
+    derive the bound from the actual w / scene size instead of a constant
+    (a 16-wide tree at 1M tris needs ~210 slots; a fixed 160 would
+    silently corrupt SMEM past the trash slot)."""
+    import math as _math
+
+    bits = w.bit_length() - 1
+    max_levels = 2 + -(-30 // bits) + _math.ceil(
+        _math.log(max(num_pair_rows, 2), w))
+    return (w - 1) * max_levels + 8
 # Pairs per leaf window; build_bucket_split(leaf_width=...) must match.
 LEAFW = int(_os.environ.get("TPURT_SPLIT_LEAFW", "64"))
+# Kernel version (TPURT_SPLIT_V): 3 = latency-batched pops (default),
+# 2 = round-1 kernel (kept for A/B measurement).
+KERNEL_V = int(_os.environ.get("TPURT_SPLIT_V", "3"))
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
 
@@ -90,11 +105,340 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
     return inner_i, inner_v, pairs_f
 
 
+def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
+               ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
+               ii_s, stack, sps, tags, acts, outp, pkts, ipops, lpops,
+               cursor, sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w,
+               leafw, any_hit, k, stack_cap, c_slots):
+    """v3: latency-batched pops. micro_control.py measured that ONE
+    vector->scalar reduction exposes ~130-200 ns of latency but
+    back-to-back reductions pipeline (+12 ns each); v2 exposed two such
+    latencies per interior pop (its kmin argmin + vmask), the dominant
+    share of its ~550 ns/pop. v3 splits each loop iteration into:
+
+      phase A (all slots): wait the slot's row DMA, run the vector work
+        (slab or leaf Moller-Trumbore), and ISSUE every slot's
+        reductions — C argmin keys + ceil(C*w/32) bit-packed validity
+        masks (+ C any-hit done flags) — without consuming any;
+      phase B (all slots): consume the now-landed scalars, run the
+        scalar push loop / advance / refill, and start the next DMAs.
+
+    The same micro-kernel shape (batch4) measured 192 ns/pop vs 348 for
+    the consume-immediately order. Also new vs v2: per-packet interior/
+    leaf pop counters ride out in output rows 2/3 (real BOX_TESTS /
+    TRIANGLE_TESTS heatmaps under the flagship tracer, reference
+    src/Tracer.cu:499-525), and the measured-neutral fused-successor
+    machinery is dropped.
+    """
+    STACK = stack_cap
+    C = c_slots
+    num_p = rays_hbm.shape[0]
+    npack = (C * w + 31) // 32  # slots per packed-vmask reduction group
+    per = 32 // w               # slots per 32-bit group
+
+    def start_inner(c, idx):
+        pltpu.make_async_copy(inner_i.at[idx], ii_s.at[c], sem_ii.at[c]).start()
+        pltpu.make_async_copy(inner_v.at[idx], iv_s.at[c], sem_iv.at[c]).start()
+
+    def start_leaf(c, idx):
+        pltpu.make_async_copy(
+            pairs_f.at[pl.ds(idx, leafw), :], leaf_scr.at[c], sem_leaf.at[c]
+        ).start()
+
+    def start_ray(c, pkt):
+        pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+        ).start()
+
+    def init_slot(c, pkt):
+        pkts[c] = pkt
+        tags[c] = jnp.int32(0)  # root = inner row 0
+        sps[c] = jnp.int32(0)
+        ipops[c] = jnp.int32(0)
+        lpops[c] = jnp.int32(0)
+        start_ray(c, pkt)
+        start_inner(c, jnp.int32(0))
+        pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+        ).wait()
+        ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+        st_t[c] = ray_scr[c, 7:8, :]
+        st_tri[c] = jnp.full((1, k), -1, jnp.int32)
+
+    def slab_keys(c):
+        """(w, 1) bit-packed argmin keys over the slot's inner row
+        (garbage when the slot isn't doing an interior pop — the caller
+        never consumes those)."""
+        row = iv_s[c]  # (w, 128): sublane e = entry e's box words
+        ox, oy, oz = (ray_scr[c, i : i + 1, :] for i in range(3))
+        invx, invy, invz = (ray_scr[c, i : i + 1, :] for i in range(8, 11))
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+        tx0 = (row[:, 0:1] - ox) * invx
+        ty0 = (row[:, 1:2] - oy) * invy
+        tz0 = (row[:, 2:3] - oz) * invz
+        tx1 = (row[:, 3:4] - ox) * invx
+        ty1 = (row[:, 4:5] - oy) * invy
+        tz1 = (row[:, 5:6] - oz) * invz
+        front = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        back = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        bh = (back >= front) & (front <= t_cur) & (back >= tmn)
+        d8 = jnp.min(
+            jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX),
+            axis=1, keepdims=True,
+        )  # (w, 1); negative fronts clamp to 0 (inside the box)
+        validv = d8 < _F32_MAX
+        e_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        # low bits = w-1-e so distance ties pick the higher entry id
+        # (src/Tracer.cu:346-347)
+        key = (pltpu.bitcast(d8, jnp.int32) & ~(w - 1)) | (w - 1 - e_iota)
+        return jnp.where(validv, key, 0x7FFFFFFF), validv, e_iota
+
+    def leaf_mt(c, tagv):
+        """Moller-Trumbore the leafw-pair window against the packet;
+        vector-state updates only (no scalars cross out)."""
+        row = leaf_scr[c]  # (leafw, 128): sublane = pair slot
+        dx = ray_scr[c, 3:4, :]
+        dy = ray_scr[c, 4:5, :]
+        dz = ray_scr[c, 5:6, :]
+        ox = ray_scr[c, 0:1, :]
+        oy = ray_scr[c, 1:2, :]
+        oz = ray_scr[c, 2:3, :]
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+
+        def col(word):
+            return row[:, word : word + 1]  # (leafw, 1)
+
+        def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
+            e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
+            e2x, e2y, e2z = c0 - a0, c1 - a1, c2 - a2
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
+            f = 1.0 / det
+            sx, sy, sz = ox - a0, oy - a1, oz - a2
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            acc = (
+                ~degen & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0) & (tt >= tmn) & (tt <= t_cur)
+            )
+            return acc, tt
+
+        v0 = (col(0), col(1), col(2))
+        v1 = (col(3), col(4), col(5))
+        v2 = (col(6), col(7), col(8))
+        v3 = (col(9), col(10), col(11))
+        acc_a, tt_a = mt(*v0, *v1, *v2)
+        acc_b, tt_b = mt(*v2, *v1, *v3)
+        cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
+        cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
+        enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, k), 0) * 2
+        cand = jnp.minimum(cand_a, cand_b)
+        encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
+        tm = jnp.min(cand, axis=0, keepdims=True)  # (1, K)
+        wenc = jnp.max(jnp.where(cand == tm, encab, -1), axis=0, keepdims=True)
+        take = tm <= t_cur
+        tri_new = (tagv >> 1) * 2 + wenc
+        st_tri[c] = jnp.where(take, tri_new, st_tri[c])
+        if any_hit:
+            st_t[c] = jnp.where(take, -_F32_MAX, st_t[c])
+        else:
+            st_t[c] = jnp.where(take, tm, st_t[c])
+
+    # --- init: prime slots 0..C-1 with the first packets ---
+    for c in range(C):
+        outp[c] = jnp.int32(0)
+        if c < num_p:
+            acts[c] = jnp.int32(1)
+            init_slot(c, jnp.int32(c))
+        else:
+            acts[c] = jnp.int32(0)
+            sps[c] = jnp.int32(0)
+            tags[c] = jnp.int32(0)
+            pkts[c] = jnp.int32(0)
+            ipops[c] = jnp.int32(0)
+            lpops[c] = jnp.int32(0)
+    cursor[0] = jnp.int32(min(C, num_p))
+
+    def body(nd):
+        # ---- phase A: DMA waits + vector work + reduction ISSUE ----
+        acts_v = [acts[c] == 1 for c in range(C)]
+        tags_v = [tags[c] for c in range(C)]
+        leafs_v = [(tags_v[c] & 1) == 1 for c in range(C)]
+        keyvs = [None] * C
+        validvs = [None] * C
+        for c in range(C):
+            @pl.when(acts_v[c] & jnp.logical_not(leafs_v[c]))
+            def _(c=c):
+                pltpu.make_async_copy(
+                    inner_i.at[tags_v[c] >> 1], ii_s.at[c], sem_ii.at[c]
+                ).wait()
+                pltpu.make_async_copy(
+                    inner_v.at[tags_v[c] >> 1], iv_s.at[c], sem_iv.at[c]
+                ).wait()
+
+            @pl.when(acts_v[c] & leafs_v[c])
+            def _(c=c):
+                pltpu.make_async_copy(
+                    pairs_f.at[pl.ds(tags_v[c] >> 1, leafw), :],
+                    leaf_scr.at[c], sem_leaf.at[c],
+                ).wait()
+                leaf_mt(c, tags_v[c])
+
+            # Slab runs unconditionally (garbage keys when not interior:
+            # never consumed); it is ~30 cheap (w,128) VPU ops.
+            keyvs[c], validvs[c], _ = slab_keys(c)
+
+        # Issue ALL reductions back to back so their latencies overlap
+        # (packed masks first: slot 0 consumes pack[0] + kmin[0] at the
+        # top of phase B, so the first-needed scalars are issued first).
+        packs = []
+        for g in range(npack):
+            cs = range(g * per, min((g + 1) * per, C))
+            bits = jnp.concatenate(
+                [
+                    jnp.where(
+                        validvs[c],
+                        jnp.int32(1)
+                        << (jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+                            + (c % per) * w),
+                        0,
+                    )
+                    for c in cs
+                ],
+                axis=0,
+            )
+            packs.append(jnp.sum(bits))
+        kmins = [jnp.min(keyvs[c]) for c in range(C)]
+        dones = [None] * C
+        if any_hit:
+            # Persistent state (st_tri / tmax) is valid whatever this
+            # slot's pop kind was, so the flag can be issued every iter.
+            for c in range(C):
+                done = (st_tri[c] >= 0) | (ray_scr[c, 7:8, :] < 0.0)
+                dones[c] = jnp.min(done.astype(jnp.int32))
+
+        # ---- phase B: consume scalars, push, advance, start DMAs ----
+        for c in range(C):
+            act = acts_v[c]
+            is_leaf = leafs_v[c]
+            vmask = (packs[c // per] >> ((c % per) * w)) & ((1 << w) - 1)
+            kmin = kmins[c]
+            emin = (w - 1) - (kmin & (w - 1))
+
+            @pl.when(act & jnp.logical_not(is_leaf))
+            def _(c=c, vmask=vmask, emin=emin):
+                sp = sps[c]
+                last_tag = jnp.int32(-1)
+                for e in range(w):
+                    meta = ii_s[c, e * 8 + 6]
+                    ntype = meta & 3
+                    tag_e = ((meta >> 5) << 1) | (
+                        ntype == CHILD_TRI
+                    ).astype(jnp.int32)
+                    ok = (((vmask >> e) & 1) == 1) & (ntype != 0)
+                    last_tag = jnp.where(ok & (e == emin), tag_e, last_tag)
+                    push = ok & (e != emin)
+                    stack[c, jnp.where(push, sp, STACK)] = tag_e
+                    sp = sp + push.astype(jnp.int32)
+                ok_last = last_tag >= 0
+                stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
+                sps[c] = sp + ok_last.astype(jnp.int32)
+                ipops[c] = ipops[c] + 1
+
+            @pl.when(act & is_leaf)
+            def _(c=c):
+                lpops[c] = lpops[c] + 1
+                if any_hit:
+                    # Occlusion early-finish: drain once every live lane
+                    # has a hit.
+                    sps[c] = jnp.where(dones[c] == 1, 0, sps[c])
+
+            # --- advance: finish/refill or pop the next node ---
+            sp_v = sps[c]
+            finished = act & (sp_v == 0)
+            nxt = cursor[0]
+            refill = finished & (nxt < num_p)
+            cont = act & (sp_v > 0)
+            nt = stack[c, jnp.maximum(sp_v - 1, 0)]
+            nt_leaf = (nt & 1) == 1
+
+            @pl.when(finished & (outp[c] == 1))
+            def _(c=c):
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).wait()
+
+            @pl.when(finished)
+            def _(c=c):
+                out_stage[c, 0:1, :] = st_t[c]
+                out_stage[c, 1:2, :] = pltpu.bitcast(st_tri[c], jnp.float32)
+                out_stage[c, 2:3, :] = (
+                    jnp.zeros((1, k), jnp.float32)
+                    + ipops[c].astype(jnp.float32)
+                )
+                out_stage[c, 3:4, :] = (
+                    jnp.zeros((1, k), jnp.float32)
+                    + lpops[c].astype(jnp.float32)
+                )
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).start()
+                outp[c] = jnp.int32(1)
+                acts[c] = refill.astype(jnp.int32)
+
+            @pl.when(refill)
+            def _(c=c, nxt=nxt):
+                cursor[0] = nxt + 1
+                init_slot(c, nxt)
+
+            @pl.when(cont)
+            def _(c=c, nt=nt):
+                tags[c] = nt
+                sps[c] = sp_v - 1
+
+            @pl.when(cont & jnp.logical_not(nt_leaf))
+            def _(c=c, nt=nt):
+                start_inner(c, jnp.maximum(nt >> 1, 0))
+
+            @pl.when(cont & nt_leaf)
+            def _(c=c, nt=nt):
+                start_leaf(c, jnp.maximum(nt >> 1, 0))
+
+            nd = nd + finished.astype(jnp.int32)
+        return nd
+
+    jax.lax.while_loop(lambda nd: nd < num_p, body, jnp.int32(0))
+
+    # Drain the final output DMAs.
+    for c in range(C):
+        @pl.when(outp[c] == 1)
+        def _(c=c):
+            pltpu.make_async_copy(
+                out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+            ).wait()
+
+
 def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             ray_scr, leaf_scr, leaf_scr2, iv_s, st_t, st_tri, out_stage,
             ii_s, stack, sps, tags, acts, outp, pkts, nxt2k, cursor, pops,
             sem_ii, sem_iv, sem_leaf, sem_leaf2, sem_ray, sem_out, *, w,
-            leafw, any_hit, k):
+            leafw, any_hit, k, stack_cap):
+    STACK = stack_cap  # trash-slot index; scratch is sized stack_cap + 1
     num_p = rays_hbm.shape[0]
 
     def start_inner(c, idx):
@@ -423,7 +767,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
 
 def trace_rays_split_pallas(
     views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
-    any_hit: bool = False, k: int = None,
+    any_hit: bool = False, k: int = None, c_slots: int = None,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -459,9 +803,59 @@ def trace_rays_split_pallas(
     if leafw is None:
         leafw = LEAFW
     w = views[1].shape[1]
+    stack_cap = _stack_cap(w, views[2].shape[0])
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    if KERNEL_V >= 3:
+        cc = C if c_slots is None else c_slots
+        out = pl.pallas_call(
+            functools.partial(_kernel_v3, w=w, leafw=leafw, any_hit=any_hit,
+                              k=k, stack_cap=stack_cap, c_slots=cc),
+            in_specs=[hbm] * 4,
+            out_specs=hbm,
+            out_shape=jax.ShapeDtypeStruct((num_p, 4, k), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((cc, 16, k), jnp.float32),  # ray_scr (8 DMA + 3 inv)
+                pltpu.VMEM((cc, leafw, 128), jnp.float32),  # leaf_scr
+                pltpu.VMEM((cc, w, 128), jnp.float32),  # iv_s (entry-major row)
+                pltpu.VMEM((cc, 1, k), jnp.float32),   # st_t
+                pltpu.VMEM((cc, 1, k), jnp.int32),     # st_tri
+                pltpu.VMEM((cc, 4, k), jnp.float32),   # out_stage
+                pltpu.SMEM((cc, 128), jnp.int32),      # ii_s
+                pltpu.SMEM((cc, stack_cap + 1), jnp.int32),  # stack (+ trash)
+                pltpu.SMEM((cc,), jnp.int32),          # sps
+                pltpu.SMEM((cc,), jnp.int32),          # tags
+                pltpu.SMEM((cc,), jnp.int32),          # acts
+                pltpu.SMEM((cc,), jnp.int32),          # outp
+                pltpu.SMEM((cc,), jnp.int32),          # pkts
+                pltpu.SMEM((cc,), jnp.int32),          # ipops
+                pltpu.SMEM((cc,), jnp.int32),          # lpops
+                pltpu.SMEM((1,), jnp.int32),          # cursor
+                pltpu.SemaphoreType.DMA((cc,)),        # sem_ii
+                pltpu.SemaphoreType.DMA((cc,)),        # sem_iv
+                pltpu.SemaphoreType.DMA((cc,)),        # sem_leaf
+                pltpu.SemaphoreType.DMA((cc,)),        # sem_ray
+                pltpu.SemaphoreType.DMA((cc,)),        # sem_out
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(inner_i, inner_v, pairs_f, rays8)
+        t_flat = out[:, 0, :].reshape(num_rays)
+        tri_flat = jax.lax.bitcast_convert_type(
+            out[:, 1, :], jnp.int32
+        ).reshape(num_rays)
+        # Per-packet pop counters -> per-ray test counts (every ray in a
+        # packet tests every window the packet visits).
+        ip = out[:, 2, 0].astype(jnp.int32)
+        lp = out[:, 3, 0].astype(jnp.int32)
+        box_tests = jnp.repeat(ip * w, k, total_repeat_length=num_rays)
+        tri_tests = jnp.repeat(lp * 2 * leafw, k,
+                               total_repeat_length=num_rays)
+        if any_hit:
+            t_flat = rays.tmax
+        rec = _reconstruct(packed, rays, t_flat, tri_flat)
+        return rec, TraceStats(box_tests=box_tests, tri_tests=tri_tests)
     out, pops_total = pl.pallas_call(
-        functools.partial(_kernel, w=w, leafw=leafw, any_hit=any_hit, k=k),
+        functools.partial(_kernel, w=w, leafw=leafw, any_hit=any_hit, k=k,
+                          stack_cap=stack_cap),
         in_specs=[hbm] * 4,
         out_specs=[hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
@@ -477,7 +871,7 @@ def trace_rays_split_pallas(
             pltpu.VMEM((C, 1, k), jnp.int32),     # st_tri
             pltpu.VMEM((C, 2, k), jnp.float32),   # out_stage
             pltpu.SMEM((C, 128), jnp.int32),      # ii_s
-            pltpu.SMEM((C, STACK + 1), jnp.int32),  # stack (+1 trash slot)
+            pltpu.SMEM((C, stack_cap + 1), jnp.int32),  # stack (+1 trash slot)
             pltpu.SMEM((C,), jnp.int32),          # sps
             pltpu.SMEM((C,), jnp.int32),          # tags
             pltpu.SMEM((C,), jnp.int32),          # acts
@@ -515,7 +909,8 @@ def trace_rays_split_pallas(
 
 def make_split_pallas_tracer(views, packed, width: int, height: int,
                              any_hit: bool = False,
-                             sort_origin: bool = False, k: int = None):
+                             sort_origin: bool = False, k: int = None,
+                             c_slots: int = None, leafw: int = None):
     """Tiled drop-in tracer over 16x8 screen-tile packets.
 
     With views=None the (inner_i, inner_v, pairs_f) triple rides in the
@@ -552,14 +947,21 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
             srt = jax.tree.map(lambda a: take_rows(a, perm), rays)
             act = None if active is None else active[perm]
             rec, stats = trace_rays_split_pallas(v, p, srt, active=act,
-                                                 any_hit=any_hit, k=k)
+                                                 any_hit=any_hit, k=k,
+                                                 c_slots=c_slots, leafw=leafw)
             rec = rec.replace(hit=rec.hit[inv])
             return rec, stats
         tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, tw, th), rays)
         act = None if active is None else tile_reorder(active, width, height, tw, th)
         rec, stats = trace_rays_split_pallas(v, p, tiled, active=act,
-                                             any_hit=any_hit, k=k)
+                                             any_hit=any_hit, k=k,
+                                             c_slots=c_slots, leafw=leafw)
         rec = jax.tree.map(lambda a: tile_restore(a, width, height, tw, th), rec)
+        if KERNEL_V >= 3:
+            # v3 counters are real per-ray values: un-tile them so the
+            # BOX_TESTS / TRIANGLE_TESTS heatmaps are spatially correct.
+            stats = jax.tree.map(
+                lambda a: tile_restore(a, width, height, tw, th), stats)
         return rec, stats
 
     tracer.host_staged = False
