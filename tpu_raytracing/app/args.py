@@ -49,6 +49,14 @@ def parse_cmd(argv=None) -> argparse.Namespace:
                         "packet, or wide (fastest)")
     p.add_argument("--profile-build", action="store_true",
                    help="time each build stage separately (the run() report)")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="compile in-build invariant checks (the reference's "
+                        "CheckTask/bin-range/plane-valid diagnostics) and "
+                        "raise on violation")
+    p.add_argument("--interactive", action="store_true",
+                   help="live terminal session: WASD/QE+arrows camera, "
+                        "'m' mode cycle, ANSI framebuffer (the reference's "
+                        "GLUT window, src/main.cu:303-395)")
     args = p.parse_args(argv)
     args.build_type = BuildType(args.build_type)
     args.render_type = RenderType(args.render_mode)

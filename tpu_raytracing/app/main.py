@@ -16,6 +16,13 @@ import os
 import sys
 
 import jax
+
+# Reliable platform override for subprocess runs: the session's
+# sitecustomize registers the TPU plugin at interpreter start and the
+# plain JAX_PLATFORMS env var is latched before user code runs, so
+# selecting CPU needs a config update before the backend initializes.
+if os.environ.get("TPURT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TPURT_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,6 +126,19 @@ def main(argv=None):
     timer = StageTimer(should_print=True)
     fps = FPSCounter()
 
+    if args.debug_checks:
+        # Frame-0 build with in-build invariants compiled in (the
+        # reference's CheckTask family, src/SharedTaskBuilder.cu:169-347);
+        # raises with the failing invariant's message on violation.
+        from tpu_raytracing.bvh import invariants
+        from tpu_raytracing.bvh.build import build as _dispatch
+
+        invariants.run_checked(
+            _dispatch, triangles,
+            build_type=args.build_type, enable_pairs=args.pairs,
+            enable_splits=args.splits)
+        print("debug checks: build invariants OK")
+
     bvh, pairs = build_accel(triangles, args, timer)
 
     # Frame-0 hierarchy validation (src/main.cu:248-259).
@@ -204,6 +224,28 @@ def main(argv=None):
         tracer = trace_rays
         make_trav = lambda bvh, packed, tris: (pack_bvh(bvh), packed)  # noqa: E731
     trav, packed = make_trav(bvh, packed, triangles)
+
+    if args.interactive:
+        from tpu_raytracing.app.interactive import interactive_loop
+
+        def render_one(host_cam, mode):
+            cd = cam.camera_to_device(host_cam)
+            if args.bounces > 0:
+                img, _ = path_trace(
+                    trav, packed, dev_scene, cd, args.width, args.height,
+                    num_bounces=args.bounces, key=jax.random.PRNGKey(0),
+                    tracer=tracer,
+                )
+                return np.asarray(
+                    jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8))
+            img_dev, _ = render_frame(
+                trav, packed, dev_scene, cd, args.width, args.height,
+                mode, tracer=tracer,
+            )
+            return np.asarray(img_dev)
+
+        interactive_loop(args, camera, render_one, scene)
+        return
 
     modes = list(RenderType)[:-1] if args.cycle_modes else [args.render_type]
     key = jax.random.PRNGKey(0)

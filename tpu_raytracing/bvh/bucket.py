@@ -42,6 +42,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from tpu_raytracing.bvh import invariants
 from tpu_raytracing.bvh.lbvh import (
     generate_morton_codes,
     generate_morton_codes_pairs,
@@ -743,6 +744,20 @@ def build_bucket_split(
     ])  # NONE entry: inverted box so the slab test never hits
     inner = jnp.broadcast_to(empty_entry, (icap * inner_width, 8))
     ok = valid_e & (e_j >= 0) & (e_j < inner_width)
+    # Debug-mode invariants (reference analogue: the SAH builder's
+    # CheckTask/bin-range family, src/SharedTaskBuilder.cu:169-235): every
+    # live entry must land in a real slot of a real row — a violation
+    # means dropped geometry.
+    invariants.check(
+        jnp.all(jnp.where(valid_e, (e_j >= 0) & (e_j < inner_width), True)),
+        "bucket entry slot out of row range")
+    invariants.check(
+        jnp.all(jnp.where(valid_e,
+                          (wid_parent >= 0) & (wid_parent < num_inner),
+                          True)),
+        "bucket entry parent row out of range")
+    invariants.check(num_inner <= icap,
+                     "bucket inner rows overflow the static bound")
     dest = jnp.where(ok, wid_parent * inner_width + e_j,
                      icap * inner_width)  # out of range -> dropped
     inner = inner.at[dest].set(words, mode="drop")

@@ -40,6 +40,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from tpu_raytracing.bvh import invariants
 from tpu_raytracing.bvh.pairing import can_form_pair, create_pairs, should_form_pair
 from tpu_raytracing.bvh.types import BVH, CHILD_BOX, CHILD_NONE, CHILD_TRI, TrianglePairs
 from tpu_raytracing.ops.intersect import aabb_surface_area, triangle_aabb
@@ -303,6 +304,20 @@ def frontier_build(
             (_sa(tcmin, tcmax) <= 0.0) | (s["level"] >= max_levels)
         )
 
+        # Debug-mode invariants (the reference's CheckTask,
+        # src/SharedTaskBuilder.cu:169-195): task ranges well-formed and
+        # the centroid AABB contained in the primitive AABB.
+        invariants.check(
+            jnp.all(jnp.where(active,
+                              (tstart >= 0) & (tend >= tstart) & (tend <= cap),
+                              True)),
+            "SAH task range invalid (CheckTask)")
+        invariants.check(
+            jnp.all(jnp.where(active[:, None],
+                              (tcmin >= tpmin) & (tcmax <= tpmax)
+                              & (tcmin <= tcmax), True)),
+            "SAH task centroid bounds invalid (CheckTask)")
+
         # ---- leaf retirement (src/SharedTaskBuilder.cu:396-463) ----
         lid1 = ids[jnp.clip(tstart, 0, cap - 1)]
         arena = _write_nodes(
@@ -398,6 +413,11 @@ def frontier_build(
         local = pos - tstart[t]
         bin_mid = (local >= (counts[t] >> 1)).astype(jnp.int32)
         bin_id = jnp.where(degen[t], bin_mid, bin_sah)
+        # Bin indices in range (src/SharedTaskBuilder.cu:224-235).
+        invariants.check(
+            jnp.all(jnp.where(splitting, (bin_id >= 0) & (bin_id < NUM_BINS),
+                              True)),
+            "SAH bin index out of range")
         # Retired/gap/padded primitives keep their position: bin 15 sorts
         # after any live bin of the same preceding task.
         bin_id = jnp.where(splitting, bin_id, 15)
@@ -466,6 +486,12 @@ def frontier_build(
             best_score = jnp.where(take, score, best_score)
             best_cl = jnp.where(take, clb, best_cl)
         best_cl = jnp.where(degen, counts >> 1, best_cl)
+        # Plane found/valid (src/SharedTaskBuilder.cu:329-347): a
+        # non-degenerate split task must have found a proper SAH plane.
+        invariants.check(
+            jnp.all(jnp.where(is_split & ~degen,
+                              (best_cl > 0) & (best_cl < counts), True)),
+            "no valid SAH plane for a split task")
         # A split task with no valid SAH plane cannot occur (binning spreads
         # the longest non-degenerate centroid axis over >= 2 bins), but fall
         # back to midpoint defensively rather than dropping primitives.

@@ -1,0 +1,188 @@
+"""Multi-chip rendering through the FLAGSHIP split-Pallas kernel.
+
+parallel/render.py shards the megakernel (XLA tracer) modes; this module
+shards the production path: SplitBVH views replicated on every chip, the
+pixel/ray axis band-split over the mesh with `shard_map`, and each chip
+running the Pallas traversal kernel on its own band. Collectives ride ICI:
+a psum for the global test counters; the framebuffer stays sharded until
+the caller's out-sharding asks for the gather.
+
+Design notes:
+* The frame is tile-reordered ONCE up front (16 x k/16 screen-tile
+  packets, trace/packet.py) and every per-ray array stays in tiled order
+  through the whole pipeline — pixel ids ride along and the final
+  scatter (`_finalize`-style .at[pixel].set) undoes the permutation for
+  free, so no per-band restore step exists anywhere.
+* The path tracer keeps its Python-level bounce loop over ONE jitted
+  shard_map'd trace stage (the Pallas kernel compiles once, not once per
+  bounce — same compile-payload constraint as trace/pathtrace.py) and a
+  per-band shading/compaction stage (compaction is band-local: each chip
+  stable-sorts its own live rays; pixel ids keep the image exact).
+* The reference has no distributed capability at all (SURVEY.md §2);
+  this is the new-capability plan of SURVEY.md §5 applied to the
+  flagship kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tpu_raytracing.scene.types import DeviceScene
+from tpu_raytracing.trace.modes import RenderType
+from tpu_raytracing.trace.packet import tile_reorder
+from tpu_raytracing.trace.pathtrace import (
+    _bounce_stage,
+    _finalize,
+    _jit_shadow,
+)
+from tpu_raytracing.trace.ray import generate_primary_rays, ray_spread
+from tpu_raytracing.trace.render import shade_rays
+from tpu_raytracing.trace.split_pallas import trace_rays_split_pallas
+from tpu_raytracing.trace.traverse import PackedPairs
+
+
+def _band_tracer(k, any_hit=False):
+    def tracer(views, pairs, rays, max_width=2, active=None):
+        del max_width
+        return trace_rays_split_pallas(views, pairs, rays, active=active,
+                                       any_hit=any_hit, k=k)
+    return tracer
+
+
+def render_frame_sharded_split(
+    mesh: Mesh,
+    views,
+    packed: PackedPairs,
+    scene: DeviceScene,
+    camera: dict,
+    width: int,
+    height: int,
+    render_type: RenderType = RenderType.TEXTURE_LIT_SHADOWS,
+    k: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One frame through the split-Pallas kernel, rays sharded over the
+    mesh. width must be a multiple of 16 and each band a multiple of
+    k/16 rows (the packet tile), as in the single-chip flagship path.
+    Returns ([H, W, 4] uint8, global box-test total)."""
+    axis = mesh.axis_names[0]
+    num_dev = mesh.shape[axis]
+    tw, th = 16, k // 16
+    assert width % tw == 0 and height % (th * num_dev) == 0, (
+        f"{width}x{height} does not tile into 16x{th} packets over "
+        f"{num_dev} bands")
+    band = height // num_dev
+    num = width * height
+
+    rays = generate_primary_rays(camera, width, height)
+    pixel = tile_reorder(jnp.arange(num, dtype=jnp.int32), width, height,
+                         tw, th)
+    tiled = jax.tree.map(lambda a: tile_reorder(a, width, height, tw, th),
+                         rays)
+    tracer = _band_tracer(k)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def device_render(views_, packed_, scene_, rays_band):
+        flat, tests = shade_rays(
+            views_, packed_, scene_, camera, rays_band, ray_spread(width),
+            render_type, tracer,
+        )
+        return flat, jax.lax.psum(tests, axis)
+
+    flat, tests = device_render(views, packed, scene, tiled)
+    img = jnp.zeros((num, 4), jnp.uint8).at[pixel].set(flat)
+    return img.reshape(height, width, 4), tests
+
+
+def path_trace_sharded(
+    mesh: Mesh,
+    views,
+    packed: PackedPairs,
+    scene: DeviceScene,
+    camera: dict,
+    width: int,
+    height: int,
+    num_bounces: int = 1,
+    key=None,
+    k: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Wavefront path trace with the ray axis sharded over the mesh and
+    band-local compaction. Returns ([H, W, 3] radiance, rays traced)."""
+    axis = mesh.axis_names[0]
+    num_dev = mesh.shape[axis]
+    tw, th = 16, k // 16
+    assert width % tw == 0 and height % (th * num_dev) == 0
+    num = width * height
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    closest = _band_tracer(k)
+    occl = _band_tracer(k, any_hit=True)
+
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+        check_vma=False,
+    )
+    def trace_stage(views_, packed_, scene_, rays_band, act_band):
+        rec, _ = closest(views_, packed_, rays_band, active=act_band)
+        srays = _jit_shadow(scene_, rays_band, rec)
+        srec, _ = occl(views_, packed_, srays, active=act_band)
+        n_band = jax.lax.psum(jnp.sum(act_band.astype(jnp.int32)), axis)
+        return rec, srec.hit, n_band
+
+    @partial(
+        shard_map, mesh=mesh,
+        # scene, packed, u_frame, max_t replicated; all per-ray state
+        # (rays, rec, shadow-hit, throughput, radiance, alive, pixel)
+        # band-sharded.
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def bounce_band(scene_, packed_, rays_b, rec_b, shit_b, tp_b, rad_b,
+                    alive_b, pix_b, u_frame, max_t):
+        # u_frame replicated full-frame: _bounce_stage indexes it by
+        # GLOBAL pixel id, so compaction/sharding never changes the image.
+        return _bounce_stage(scene_, packed_, rays_b, rec_b, shit_b, tp_b,
+                             rad_b, alive_b, pix_b, u_frame, max_t,
+                             compaction=True, sort_cells=True)
+
+    bounce_jit = jax.jit(bounce_band)
+
+    rays = generate_primary_rays(camera, width, height)
+    pixel = tile_reorder(jnp.arange(num, dtype=jnp.int32), width, height,
+                         tw, th)
+    rays = jax.tree.map(lambda a: tile_reorder(a, width, height, tw, th),
+                        rays)
+    throughput = jnp.ones((num, 3), jnp.float32)
+    radiance = jnp.zeros((num, 3), jnp.float32)
+    alive = jnp.ones((num,), bool)
+    rays_traced = 0
+    max_t = camera["max_depth"]
+
+    for bounce in range(num_bounces + 1):
+        key, k_dir = jax.random.split(key)
+        rec, srec_hit, n_alive = trace_stage(views, packed, scene, rays,
+                                             alive)
+        rays_traced = rays_traced + 2 * n_alive
+        u_frame = jax.random.uniform(k_dir, (num, 2))
+        radiance, throughput, alive, pixel, rays = bounce_jit(
+            scene, packed, rays, rec, srec_hit, throughput, radiance,
+            alive, pixel, u_frame, max_t)
+
+    img = _finalize(radiance, pixel)
+    return img.reshape(height, width, 3), rays_traced

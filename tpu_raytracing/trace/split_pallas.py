@@ -79,6 +79,14 @@ KERNEL_V = int(_os.environ.get("TPURT_SPLIT_V", "3"))
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
 
+
+def _interpret() -> bool:
+    """Run the kernel in the Pallas interpreter off-TPU (slow but
+    semantically faithful — lets the CPU test mesh and the multi-chip
+    dryrun execute the real kernel, including under shard_map)."""
+    return jax.devices()[0].platform != "tpu"
+
+
 def prep_split_views(split: SplitBVH, packed: PackedPairs):
     """Device-side views the kernel DMAs from.
 
@@ -837,6 +845,7 @@ def trace_rays_split_pallas(
                 pltpu.SemaphoreType.DMA((cc,)),        # sem_out
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=_interpret(),
         )(inner_i, inner_v, pairs_f, rays8)
         t_flat = out[:, 0, :].reshape(num_rays)
         tri_flat = jax.lax.bitcast_convert_type(
@@ -888,6 +897,7 @@ def trace_rays_split_pallas(
             pltpu.SemaphoreType.DMA((C,)),        # sem_out
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
     )(inner_i, inner_v, pairs_f, rays8)
 
     t_flat = out[:, 0, :].reshape(num_rays)
