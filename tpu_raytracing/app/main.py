@@ -187,9 +187,19 @@ def main(argv=None):
 
         @jax.jit
         def _split_build(tris):
-            split, packed2 = build_bucket_split(
-                tris, enable_pairs=args.pairs, leaf_width=sp_mod.LEAFW
-            )
+            if args.build_type == BuildType.SAH and not args.splits:
+                # SAH-quality tree for the flagship kernel
+                # (bvh/split_convert.py); spatial splits fall back to the
+                # Morton-bucket build below.
+                from tpu_raytracing.bvh.split_convert import build_sah_split
+
+                split, packed2 = build_sah_split(
+                    tris, enable_pairs=args.pairs,
+                    leaf_width=sp_mod.LEAFW)
+            else:
+                split, packed2 = build_bucket_split(
+                    tris, enable_pairs=args.pairs, leaf_width=sp_mod.LEAFW
+                )
             return (sp_mod.prep_split_views(split, packed2), packed2,
                     split.num_inner)
 

@@ -213,6 +213,7 @@ def frontier_build(
     num_seeds,
     ids0: Optional[jnp.ndarray] = None,
     max_levels: Optional[int] = None,
+    return_ids: bool = False,
 ) -> Arena:
     """Level-synchronous binned-SAH build over ``leaves``.
 
@@ -532,6 +533,12 @@ def frontier_build(
         )
 
     out = jax.lax.while_loop(cond, body, state)
+    if return_ids:
+        # Final leaf permutation: every node's subtree is a contiguous
+        # range of it (each level's stable sort keys by task id, so
+        # retired segments move as blocks and never interleave) — the
+        # split-format converter builds leaf windows from it.
+        return out["arena"], out["ids"]
     return out["arena"]
 
 

@@ -1,0 +1,202 @@
+"""SAH-quality trees for the flagship split kernel.
+
+The reference's headline builder is the binned-SAH SharedTaskBuild
+(src/SharedTaskBuilder.cu:909-995) and its tracer consumes that tree; in
+round 1 the split-Pallas kernel could only consume the Morton-bucket
+build. This module converts the binned-SAH binary tree into the SplitBVH
+format (8-wide inner rows + leaf windows into a sorted pair array), so
+``--type sah --tracer split`` runs the flagship kernel on an SAH tree.
+
+Key structural fact: the level-synchronous SAH frontier realises every
+partition with ONE stable sort of the whole primitive axis keyed by
+(task, bin) — so a node's subtree occupies a CONTIGUOUS range of the
+final leaf permutation (retired segments ride along as blocks keyed to
+the preceding active task and never interleave). Reordering the pair
+array by that permutation makes every subtree a contiguous pair range,
+which is exactly the split format's leaf-window invariant: a terminal
+entry stores its subtree's window start, and the kernel intersects the
+fixed-width window [start, start+leaf_width) — neighbouring pairs ride
+along as legal closest-hit candidates.
+
+The collapse to 8-wide rows reuses the wide builder's depth-arithmetic
+anchor rule (bvh/wide.py), with one change: frontier expansion stops
+early at any entry whose subtree holds <= leaf_width pairs — that entry
+becomes a Tri window (so anchors additionally require a subtree larger
+than the window, keeping the row count ~n/leaf_width).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_raytracing.bvh import sah
+from tpu_raytracing.bvh.bucket import SplitBVH
+from tpu_raytracing.bvh.types import CHILD_BOX, CHILD_NONE, CHILD_TRI
+from tpu_raytracing.trace.traverse import (
+    _META_CHILD_SHIFT,
+    PackedPairs,
+    pack_pairs,
+)
+
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+WIDE = 8
+
+
+def _split_cap(n: int, leaf_width: int) -> int:
+    """Rows bound: a live anchor's subtree holds > leaf_width pairs and
+    anchors of one depth class are disjoint; ~2n/k bounds nodes with >= k
+    descendants across all classes."""
+    return max(4 * n // max(leaf_width, 1), 256) + 64
+
+
+def build_sah_split(
+    triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 64,
+) -> Tuple[SplitBVH, PackedPairs]:
+    """Binned-SAH build emitting the split format.
+
+    Single global SAH frontier (the 64-cell grid decomposition exists for
+    the reference's GPU-block parallelism, not tree quality; one frontier
+    is the same algorithm level-synchronously and keeps subtree ranges
+    trivially derivable). Spatial splits unsupported here (duplicate pair
+    references would need per-reference windows).
+    """
+    leaves, pairs = sah.setup_leaves(triangles, enable_pairs)
+    cap = leaves.aabb_min.shape[0]
+    num_leaves = leaves.num_leaves
+
+    arena = sah.make_arena(2 * cap + 2)
+    arena = arena.replace(wptr=jnp.int32(1))
+    arena, ids_final = sah.frontier_build(
+        leaves,
+        arena,
+        jnp.zeros((1,), jnp.int32),
+        num_leaves[None].astype(jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.int32(1),
+        return_ids=True,
+    )
+    nslots = arena.child.shape[0]
+
+    # --- pair array in final leaf order (zero the padded tail) ---
+    packed = pack_pairs(pairs)
+    pid_sorted = leaves.child[jnp.clip(ids_final, 0, cap - 1)]
+    live = jnp.arange(cap, dtype=jnp.int32) < num_leaves
+    rows_sorted = jnp.where(
+        live[:, None],
+        packed.rows[jnp.clip(pid_sorted, 0, packed.rows.shape[0] - 1)],
+        0,
+    )
+    packed_sorted = PackedPairs(rows=rows_sorted)
+
+    # position of each pair in the sorted order
+    pos_of_pair = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(live, pid_sorted, cap)
+    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+
+    # --- per-slot subtree (start, count), bottom-up ---
+    is_tri = arena.type == CHILD_TRI
+    is_box = arena.type == CHILD_BOX
+    # leaf slots: count = 1 leaf; start = its pair's sorted position
+    counts = is_tri.astype(jnp.int32)
+    starts = jnp.where(
+        is_tri, pos_of_pair[jnp.clip(arena.child, 0, cap - 1)], cap)
+    c0 = jnp.clip(arena.child, 0, nslots - 1)
+    c1 = jnp.clip(arena.child + 1, 0, nslots - 1)
+    max_depth = 2 * max(int(cap - 1).bit_length(), 1) + 18
+    for _ in range(max_depth):
+        csum = counts[c0] + counts[c1]
+        cmin = jnp.minimum(starts[c0], starts[c1])
+        ready = is_box & (counts == 0) & (counts[c0] > 0) & (counts[c1] > 0)
+        counts = jnp.where(ready, csum, counts)
+        starts = jnp.where(ready, cmin, starts)
+
+    # --- anchors (wide.py depth arithmetic, single root at slot 0) ---
+    slots_i = jnp.arange(nslots, dtype=jnp.int32)
+    anc = arena.parent
+    depth = (anc != slots_i).astype(jnp.int32)
+    for _ in range(7):
+        depth = depth + depth[anc]
+        anc = anc[anc]
+    big = counts > leaf_width
+    anchor = is_box & big & (depth >= 3) & (depth % 3 == 0)
+    rank = jnp.cumsum(anchor.astype(jnp.int32)) - anchor.astype(jnp.int32)
+    wid_of_slot = jnp.where(anchor, 1 + rank, -1)
+    num_inner = 1 + jnp.sum(anchor.astype(jnp.int32))
+
+    # --- frontier with early window termination ---
+    def expand(entries):
+        w = entries.shape[-1]
+        s = jnp.clip(entries, 0, nslots - 1)
+        grow = (entries >= 0) & is_box[s] & big[s]
+        left = jnp.where(grow, arena.child[s], entries)
+        right = jnp.where(grow, jnp.clip(arena.child[s] + 1, 0, nslots - 1),
+                          -1)
+        return jnp.stack([left, right], axis=-1).reshape(
+            entries.shape[:-1] + (2 * w,))
+
+    ent = jnp.stack(
+        [jnp.where(is_box & big, c0, -1),
+         jnp.where(is_box & big, jnp.clip(arena.child + 1, 0, nslots - 1),
+                   -1)], axis=1)
+    for _ in range(2):
+        ent = expand(ent)  # [N, 8]
+
+    root_ent = jnp.zeros((1, 1), jnp.int32)  # slot 0
+    for _ in range(3):
+        root_ent = expand(root_ent)  # [1, 8]
+
+    win_max = jnp.maximum(num_leaves - leaf_width, 0)
+
+    def pack(entries):
+        s = jnp.clip(entries, 0, nslots - 1)
+        valid = entries >= 0
+        term = valid & ~(is_box[s] & big[s])
+        win = jnp.clip(jnp.minimum(starts[s], win_max), 0, cap - 1)
+        child = jnp.where(term, win, jnp.maximum(wid_of_slot[s], 0))
+        etype = jnp.where(term, CHILD_TRI,
+                          jnp.where(valid, CHILD_BOX, CHILD_NONE))
+        meta = ((child << _META_CHILD_SHIFT) | etype).astype(jnp.int32)
+        meta = jnp.where(valid, meta, 0)
+        f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa
+        nmin = jnp.where(valid[..., None], arena.node_min[s], _F32_MAX)
+        nmax = jnp.where(valid[..., None], arena.node_max[s], -_F32_MAX)
+        row = jnp.concatenate(
+            [f2i(nmin.astype(jnp.float32)), f2i(nmax.astype(jnp.float32)),
+             meta[..., None], jnp.zeros(meta.shape + (1,), jnp.int32)],
+            axis=-1)
+        return row.reshape(row.shape[:-2] + (WIDE * 8,))
+
+    icap = _split_cap(cap, leaf_width)
+    # empty rows must never hit: fill via a NONE row template
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    empty_entry = jnp.concatenate([
+        f2i(jnp.full((3,), _F32_MAX, jnp.float32)),
+        f2i(jnp.full((3,), -_F32_MAX, jnp.float32)),
+        jnp.zeros((2,), jnp.int32),
+    ])
+    inner = jnp.broadcast_to(
+        jnp.tile(empty_entry, WIDE), (icap, WIDE * 8))
+
+    all_rows = pack(ent)
+    dest = jnp.where(anchor, 1 + rank, icap)
+    inner = inner.at[dest].set(all_rows, mode="drop")
+
+    # Root row: slot 0's expansion; tiny scenes (root subtree fits one
+    # window) synthesize a single-Tri row covering the scene.
+    root_row = pack(root_ent)[0]
+    root_small = ~(is_box[0] & big[0])
+    leaf_meta = ((jnp.clip(jnp.minimum(starts[0], win_max), 0, cap - 1)
+                  << _META_CHILD_SHIFT) | CHILD_TRI).astype(jnp.int32)
+    leaf_row = jnp.concatenate([
+        f2i(arena.node_min[0].astype(jnp.float32)),
+        f2i(arena.node_max[0].astype(jnp.float32)),
+        leaf_meta[None], jnp.zeros((1,), jnp.int32),
+        jnp.tile(empty_entry, WIDE - 1),
+    ])
+    inner = inner.at[0].set(jnp.where(root_small, leaf_row, root_row))
+
+    return SplitBVH(inner=inner, num_inner=num_inner,
+                    num_leaves=num_leaves, leaf_width=leaf_width), packed_sorted

@@ -19,3 +19,13 @@ def take_rows(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     flat = a.reshape(a.shape[0], -1)  # [N, C]
     out = jnp.take(flat.T, idx, axis=1).T  # [len(idx), C]
     return out.reshape((idx.shape[0],) + lead)
+
+
+def take_cols(a: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather returned TRANSPOSED: [C, len(idx)] for a [N, C] operand.
+
+    Keeps the big gathered axis on the lanes with no final relayout — the
+    right form when downstream math runs channel-major (e.g. the BFS
+    tracer's [w, V] slab / [leafw, V] Möller-Trumbore blocks)."""
+    flat = a.reshape(a.shape[0], -1)
+    return jnp.take(flat.T, idx, axis=1)  # [C, len(idx)]

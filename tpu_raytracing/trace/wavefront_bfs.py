@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from tpu_raytracing.bvh.bucket import SplitBVH
 from tpu_raytracing.bvh.types import CHILD_BOX, CHILD_TRI
-from tpu_raytracing.ops.gather import take_rows
+from tpu_raytracing.ops.gather import take_cols, take_rows
 from tpu_raytracing.trace.brute import HitRecord
 from tpu_raytracing.trace.ray import Rays
 from tpu_raytracing.trace.traverse import (
@@ -85,6 +85,7 @@ def trace_rays_bfs(
     cap_factor: float = 3.0,
     leaf_factor: float = 3.0,
     cap_floor: int = 65536,
+    mt_chunk: int = 524288,
 ) -> Tuple[HitRecord, TraceStats, jnp.ndarray]:
     """Closest-hit BFS trace. Returns (HitRecord, TraceStats, overflow
     flag [] bool — True if any level's visit capacity clipped)."""
@@ -128,78 +129,108 @@ def trace_rays_bfs(
     vcap_next = max(int(R * cap_factor), min(cap_floor, R * w))
     lcap = max(int(R * leaf_factor), min(cap_floor, R * w))
 
-    def mt_window(lray, lwin, lvalid, t_best, tri_best, tri_tests):
-        """Leaf visits: [Vl, leafw] Möller-Trumbore vs each visit's ray."""
+    def mt_chunk_pass(lray, lwin, lvalid, t_best, tri_best, tri_tests):
+        """One chunk of leaf visits: [leafw, Vl] Möller-Trumbore, all
+        arrays TRANSPOSED (visits on the minor axis — a [Vl, C] layout
+        with small C pads the lane dim up to 16x)."""
         Vl = lray.shape[0]
-        rf = take_rows(rfeat, lray)  # [Vl, 8]
-        o = rf[:, 0:3][:, None, :]   # [Vl, 1, 3]
-        d = take_rows(rays.direction, lray)[:, None, :]
-        tmn = rf[:, 6:7]
-        tcur = t_best[lray][:, None]  # [Vl, 1]
-        widx = lwin[:, None] + jnp.arange(leafw, dtype=jnp.int32)[None, :]
-        widx = jnp.clip(widx, 0, num_pairs - 1)
-        # channel-major gather: [Vl*leafw, 16] without minor-dim padding
-        prow = take_rows(pair_rows, widx.reshape(-1)).reshape(Vl, leafw, 16)
-        pf = jax.lax.bitcast_convert_type(prow[:, :, :12], jnp.float32)
-        v0, v1, v2, v3 = pf[:, :, 0:3], pf[:, :, 3:6], pf[:, :, 6:9], pf[:, :, 9:12]
+        rfT = take_cols(rfeat, lray)            # [8, Vl]
+        dT = take_cols(rays.direction, lray)    # [3, Vl]
+        ox, oy, oz = rfT[0][None], rfT[1][None], rfT[2][None]
+        dx, dy, dz = dT[0][None], dT[1][None], dT[2][None]
+        tmn = rfT[6][None]
+        tcur = t_best[lray][None]               # [1, Vl]
+        widx = lwin[None, :] + jnp.arange(leafw, dtype=jnp.int32)[:, None]
+        widxc = jnp.clip(widx, 0, num_pairs - 1)  # [leafw, Vl]
+        colsT = take_cols(pair_rows, widxc.reshape(-1))  # [16, leafw*Vl]
 
-        def mt(a, b, c):
-            e1 = b - a
-            e2 = c - a
-            h = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)
-            det = jnp.sum(e1 * h, axis=-1)
+        def comp(c):
+            return jax.lax.bitcast_convert_type(
+                colsT[c], jnp.float32).reshape(leafw, Vl)
+
+        def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
+            e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
+            e2x, e2y, e2z = c0 - a0, c1 - a1, c2 - a2
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
             degen = jnp.abs(det) < _TRI_EPS
             f = 1.0 / det
-            s = o - a
-            uu = f * jnp.sum(s * h, axis=-1)
-            q = jnp.cross(s, e1)
-            vv = f * jnp.sum(jnp.broadcast_to(d, q.shape) * q, axis=-1)
-            tt = f * jnp.sum(e2 * q, axis=-1)
+            sx, sy, sz = ox - a0, oy - a1, oz - a2
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
             acc = (~degen & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
                    & (uu + vv <= 1.0) & (tt >= tmn) & (tt <= tcur))
             return jnp.where(acc, tt, _F32_MAX)
 
-        cand_a = mt(v0, v1, v2)
-        cand_b = mt(v2, v1, v3)
-        cand = jnp.minimum(cand_a, cand_b)  # [Vl, leafw]
-        enc = (widx << 1) | (cand_b <= cand_a)
-        tm = jnp.min(cand, axis=1)  # [Vl]
-        wenc = jnp.max(jnp.where(cand == tm[:, None], enc, -1), axis=1)
+        v = [comp(c) for c in range(12)]
+        cand_a = mt(*v[0:9])
+        cand_b = mt(*(v[6:9] + v[3:6] + v[9:12]))
+        cand = jnp.minimum(cand_a, cand_b)      # [leafw, Vl]
+        enc = (widxc << 1) | (cand_b <= cand_a)
+        tm = jnp.min(cand, axis=0)              # [Vl]
+        wenc = jnp.max(jnp.where(cand == tm[None], enc, -1), axis=0)
         tm = jnp.where(lvalid, tm, _F32_MAX)
 
         lray_c = jnp.where(lvalid, lray, R)
         t_new = t_best.at[lray_c].min(tm, mode="drop")
-        # Winner pass. Rays whose best t strictly improved this level
-        # must DROP their stale winner before taking this level's max-enc
+        # Winner pass. Rays whose best t strictly improved this chunk
+        # must DROP their stale winner before taking this chunk's max-enc
         # (a plain .max would keep an old larger enc whose t is no longer
         # best); rays that only tied keep competing under the global
         # max-enc tie rule.
         improved = t_new < t_best
         tri_base = jnp.where(improved, -1, tri_best)
-        is_win = lvalid & (tm <= t_new[jnp.clip(lray, 0, R - 1)]) & (tm < _F32_MAX)
+        is_win = lvalid & (tm <= t_new[lray]) & (tm < _F32_MAX)
         tri_new = tri_base.at[jnp.where(is_win, lray, R)].max(
             wenc, mode="drop")
         tri_tests = tri_tests.at[lray_c].add(2 * leafw, mode="drop")
         return t_new, tri_new, tri_tests
 
+    def mt_window(lray, lwin, lvalid, t_best, tri_best, tri_tests):
+        total = lray.shape[0]
+        for i in range(0, total, mt_chunk):
+            j = min(i + mt_chunk, total)
+            t_best, tri_best, tri_tests = mt_chunk_pass(
+                lray[i:j], lwin[i:j], lvalid[i:j],
+                t_best, tri_best, tri_tests)
+        return t_best, tri_best, tri_tests
+
     for level in range(max_levels):
         V = vray.shape[0]
-        rows_f = inner_f[jnp.clip(vnode, 0, icap - 1)]      # [V, w*8]
-        rows_i = inner_i[jnp.clip(vnode, 0, icap - 1)]
-        rf = take_rows(rfeat, jnp.clip(vray, 0, R - 1))     # [V, 8]
-        o = rf[:, 0:3]
-        invd = rf[:, 3:6]
-        tmn = rf[:, 6:7]
-        tcur = t_best[jnp.clip(vray, 0, R - 1)][:, None]    # [V, 1]
+        vnode_c = jnp.clip(vnode, 0, icap - 1)
+        vray_c = jnp.clip(vray, 0, R - 1)
+        # Transposed gathers: [C, V] keeps visits on lanes (no padding).
+        rowsT_f = take_cols(inner_f, vnode_c)   # [w*8, V]
+        rowsT_i = take_cols(inner_i, vnode_c)
+        rfT = take_cols(rfeat, vray_c)          # [8, V]
+        ox, oy, oz = rfT[0][None], rfT[1][None], rfT[2][None]
+        ix, iy, iz = rfT[3][None], rfT[4][None], rfT[5][None]
+        tmn = rfT[6][None]
+        tcur = t_best[vray_c][None]             # [1, V]
 
-        lo = rows_f.reshape(V, w, 8)[:, :, 0:3]
-        hi = rows_f.reshape(V, w, 8)[:, :, 3:6]
-        meta = rows_i.reshape(V, w, 8)[:, :, 6]
-        t0 = (lo - o[:, None, :]) * invd[:, None, :]
-        t1 = (hi - o[:, None, :]) * invd[:, None, :]
-        front = jnp.max(jnp.minimum(t0, t1), axis=2)
-        back = jnp.min(jnp.maximum(t0, t1), axis=2)
-        ehit = (back >= front) & (front <= tcur) & (back >= tmn) & vvalid[:, None]
+        lox, loy, loz = rowsT_f[0::8], rowsT_f[1::8], rowsT_f[2::8]  # [w, V]
+        hix, hiy, hiz = rowsT_f[3::8], rowsT_f[4::8], rowsT_f[5::8]
+        meta = rowsT_i[6::8]                    # [w, V]
+        tx0 = (lox - ox) * ix
+        ty0 = (loy - oy) * iy
+        tz0 = (loz - oz) * iz
+        tx1 = (hix - ox) * ix
+        ty1 = (hiy - oy) * iy
+        tz1 = (hiz - oz) * iz
+        front = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1))
+        back = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1))
+        ehit = (back >= front) & (front <= tcur) & (back >= tmn) \
+            & vvalid[None, :]
 
         etype = meta & _META_TYPE_MASK
         child = (meta >> _META_CHILD_SHIFT).astype(jnp.int32)
@@ -209,36 +240,36 @@ def trace_rays_bfs(
             w, mode="drop")
 
         # --- expand Box children into the next frontier ---
-        nb = jnp.sum(box_hit.astype(jnp.int32), axis=1)      # [V]
+        nb = jnp.sum(box_hit.astype(jnp.int32), axis=0)      # [V]
         base = jnp.cumsum(nb) - nb
         total_next = base[-1] + nb[-1] if V > 0 else jnp.int32(0)
         cap_next = min(vcap_next, V * w)
         nvnode = jnp.zeros((cap_next,), jnp.int32)
         nvray = jnp.full((cap_next,), R, jnp.int32)
-        rank = jnp.cumsum(box_hit.astype(jnp.int32), axis=1) - box_hit
-        dest = jnp.where(box_hit, base[:, None] + rank, cap_next)
+        rank = jnp.cumsum(box_hit.astype(jnp.int32), axis=0) - box_hit
+        dest = jnp.where(box_hit, base[None, :] + rank, cap_next)
         dest = jnp.minimum(dest, cap_next)  # clip: overflow flagged below
         nvnode = nvnode.at[dest.reshape(-1)].set(
-            jnp.broadcast_to(child, dest.shape).reshape(-1), mode="drop")
+            child.reshape(-1), mode="drop")
         nvray = nvray.at[dest.reshape(-1)].set(
-            jnp.broadcast_to(vray[:, None], dest.shape).reshape(-1),
+            jnp.broadcast_to(vray[None, :], dest.shape).reshape(-1),
             mode="drop")
         overflow = overflow | (total_next > cap_next)
 
         # --- compact Tri children into this level's leaf-visit list ---
-        nt = jnp.sum(tri_hit.astype(jnp.int32), axis=1)
+        nt = jnp.sum(tri_hit.astype(jnp.int32), axis=0)
         lbase = jnp.cumsum(nt) - nt
         ltotal = lbase[-1] + nt[-1] if V > 0 else jnp.int32(0)
         lcap_l = min(lcap, V * w)
-        lrank = jnp.cumsum(tri_hit.astype(jnp.int32), axis=1) - tri_hit
-        ldest = jnp.where(tri_hit, lbase[:, None] + lrank, lcap_l)
+        lrank = jnp.cumsum(tri_hit.astype(jnp.int32), axis=0) - tri_hit
+        ldest = jnp.where(tri_hit, lbase[None, :] + lrank, lcap_l)
         ldest = jnp.minimum(ldest, lcap_l)
         lwin = jnp.zeros((lcap_l,), jnp.int32)
         lray = jnp.full((lcap_l,), R, jnp.int32)
         lwin = lwin.at[ldest.reshape(-1)].set(
-            jnp.broadcast_to(child, ldest.shape).reshape(-1), mode="drop")
+            child.reshape(-1), mode="drop")
         lray = lray.at[ldest.reshape(-1)].set(
-            jnp.broadcast_to(vray[:, None], ldest.shape).reshape(-1),
+            jnp.broadcast_to(vray[None, :], ldest.shape).reshape(-1),
             mode="drop")
         overflow = overflow | (ltotal > lcap_l)
         lvalid = lray < R
