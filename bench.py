@@ -85,14 +85,17 @@ def main():
     # Split-BVH Pallas kernel (trace/split_pallas.py): C packet slots with
     # pipelined row DMAs, sublane-mapped slab and Moller-Trumbore; work =
     # sum of per-packet trips (no lockstep waste).
-    tracer = sp.make_split_pallas_tracer(None, None, res, res)
-    # Incoherent bounce rays prefer 128-ray packets (~3% on the bounce
-    # pass); coherent passes use the 256-ray default.
-    bounce_tracer = sp.make_split_pallas_tracer(None, None, res, res, k=128)
+    # Best-measured round-2 config (benchmarks/sweep_sort.py): C=8 slots,
+    # bounce-closest rays sorted by coarse origin cell + direction octant
+    # (2044 -> 1319 ms on the 1M bounce pass), shadow passes origin-sorted.
+    tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=8)
+    bounce_tracer = sp.make_split_pallas_tracer(
+        None, None, res, res, k=256, c_slots=8, sort_mode="cell_octant",
+        cell_shift=15)
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
-                                                any_hit=True)
+                                                any_hit=True, c_slots=8)
     shadow_tracer_b = sp.make_split_pallas_tracer(None, None, res, res,
-                                                  any_hit=True,
+                                                  any_hit=True, c_slots=8,
                                                   sort_origin=True)
 
     def frame(key, jitter):

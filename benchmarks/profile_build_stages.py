@@ -55,9 +55,12 @@ def main():
         iota = jnp.arange(n, dtype=jnp.int32)
         pad_boundary = iota == num_leaves
         heads = [(iota == 0) | pad_boundary]
+        max_ml = max(math.ceil(math.log(max(n, 2), width)) + 1, 1)
         sh = 30
-        while sh > 0:
+        ml = 0
+        while sh > 0 and ml < max_ml:
             sh = max(sh - bits, 0)
+            ml += 1
             pref = (sorted_codes >> sh).astype(jnp.uint32)
             prev = jnp.concatenate([pref[:1] ^ jnp.uint32(1), pref[:-1]])
             heads.append((pref != prev) | (iota == 0) | pad_boundary)
@@ -75,13 +78,12 @@ def main():
         L = heads.shape[0]
         iota = jnp.arange(n, dtype=jnp.int32)
         iota_l = jnp.broadcast_to(iota[None, :], (L, n))
-        bids = jnp.cumsum(heads.astype(jnp.int32), axis=1) - 1
         starts = jax.lax.cummax(jnp.where(heads, iota_l, -1), axis=1)
         nxt_src = jnp.concatenate(
             [jnp.where(heads[:, 1:], iota_l[:, 1:], n),
              jnp.full((L, 1), n, jnp.int32)], axis=1)
         nxts = jax.lax.cummin(nxt_src, axis=1, reverse=True)
-        return bids, starts, nxts
+        return starts, nxts
 
     def tbl_of(lo, hi):
         base = jnp.concatenate(
@@ -105,7 +107,7 @@ def main():
     timed("2 + heads",
           jax.jit(lambda t: (lambda s: heads_of(s[0], s[5]))(front(t))),
           triangles)
-    timed("3 + 3 scans",
+    timed("3 + 2 scans",
           jax.jit(lambda t: (lambda s: scans_of(
               heads_of(s[0], s[5])))(front(t))), triangles)
     timed("4 + aabb table",

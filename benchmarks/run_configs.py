@@ -98,12 +98,19 @@ def config1_cornell():
 
 def config2_bunny():
     from tpu_raytracing.bvh import lbvh
-    from tpu_raytracing.scene import procedural
+    from tpu_raytracing.scene.genasset import generate_rock
+    from tpu_raytracing.scene.objio import load_obj
     from tpu_raytracing.trace.modes import RenderType
     from tpu_raytracing.trace.render import render_frame
 
     res = 512 // SCALE
-    scene = procedural.sphere_scene(6 if SCALE == 1 else 3)  # ~82k tris
+    # A real file-based asset through the real loader path (OBJ + MTL +
+    # texture + light.txt), bunny-class scale: 81,922 tris at full scale.
+    import tempfile
+
+    adir = os.path.join(tempfile.gettempdir(), f"tpurt_rock_s{SCALE}")
+    obj = generate_rock(adir, subdivisions=6 if SCALE == 1 else 3)
+    scene = load_obj(obj)
     dev, fat, packed, camera, tracer = _setup(scene, res, res)
     tris = jnp.asarray(scene.triangles)
     build = jax.jit(lbvh.build_lbvh)

@@ -63,3 +63,33 @@ def test_sharded_path_trace_matches_single_chip(sphere):
                            tracer=tracer)
     np.testing.assert_allclose(img, np.asarray(img1), rtol=1e-5, atol=1e-7)
     assert int(rays_traced) == int(rt1)
+
+
+def test_sharded_instanced_matches_single_chip(sphere):
+    from tpu_raytracing.bvh.lbvh import build_lbvh
+    from tpu_raytracing.bvh.tlas import build_instanced
+    from tpu_raytracing.parallel.flagship import trace_instanced_sharded
+    from tpu_raytracing.trace.instanced import trace_rays_instanced
+    from tpu_raytracing.trace.ray import generate_primary_rays
+    from tpu_raytracing.trace.traverse import pack_pairs
+
+    mesh = make_mesh(jax.devices()[:8])
+    tris = jnp.asarray(sphere.triangles)
+    blas, pairs = jax.jit(build_lbvh)(tris)
+    packed = pack_pairs(pairs)
+    n_inst = 4
+    transforms = jnp.stack([
+        jnp.concatenate(
+            [jnp.eye(3), jnp.array([[2.5 * i], [0.0], [0.0]])], axis=1)
+        for i in range(n_inst)
+    ])
+    inst = jax.jit(build_instanced)(blas, transforms)
+    camera = cam.camera_to_device(cam.initialise_camera(
+        sphere.aabb_min, sphere.aabb_max + jnp.array([2.5 * n_inst, 0, 0])))
+    rays = generate_primary_rays(camera, 32, 16)
+    rec_s, inst_s, _ = trace_instanced_sharded(mesh, inst, packed, rays)
+    rec_1, inst_1, _ = jax.jit(trace_rays_instanced)(inst, packed, rays)
+    np.testing.assert_array_equal(np.asarray(rec_s.hit), np.asarray(rec_1.hit))
+    np.testing.assert_allclose(np.asarray(rec_s.t), np.asarray(rec_1.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(inst_s), np.asarray(inst_1))

@@ -106,3 +106,20 @@ def test_bfs_overflow_flag_fires():
                                     cap_factor=0.05, leaf_factor=0.02,
                                     cap_floor=8)
     assert bool(overflow)
+
+
+def test_bfs_any_hit_matches_closest_hit_flags():
+    scene = procedural.sphere_scene(3)
+    camera = cam.camera_to_device(
+        cam.update_camera(cam.initialise_camera(scene.aabb_min, scene.aabb_max)))
+    tris = jnp.asarray(scene.triangles)
+    split, packed = jax.jit(
+        lambda t: bucket.build_bucket_split(t, False)
+    )(tris)
+    views = prep_bfs_views(split, packed)
+    rays = generate_primary_rays(camera, 16, 8)
+    closest, _, _ = trace_rays_bfs(views, packed, rays)
+    occl, _, overflow = trace_rays_bfs(views, packed, rays, any_hit=True)
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(occl.hit),
+                                  np.asarray(closest.hit))

@@ -616,9 +616,16 @@ def build_bucket_split(
     # --- level head masks, leaf-major [L, n] ---
     pad_boundary = iota == num_leaves
     heads = [(iota == 0) | pad_boundary]
+    # Morton depth capped at ceil(log_w n) + 1: deeper prefix levels are
+    # almost empty at any scene size (round-1 profile: 11 of 18 levels ran
+    # full-width for nothing) and the chunk ladder below bottoms out any
+    # residual run regardless.
+    max_ml = max(math.ceil(math.log(max(n, 2), width)) + 1, 1)
     sh = 30
-    while sh > 0:
+    ml = 0
+    while sh > 0 and ml < max_ml:
         sh = max(sh - bits, 0)
+        ml += 1
         pref = (sorted_codes >> sh).astype(jnp.uint32)
         prev = jnp.concatenate([pref[:1] ^ jnp.uint32(1), pref[:-1]])
         heads.append((pref != prev) | (iota == 0) | pad_boundary)
@@ -633,8 +640,7 @@ def build_bucket_split(
     L = len(heads)
     heads = jnp.stack(heads, axis=0)  # [L, n] bool
 
-    # --- three batched scans give every per-(level, leaf) quantity ---
-    bids = jnp.cumsum(heads.astype(jnp.int32), axis=1) - 1
+    # --- two batched scans give every per-(level, leaf) quantity ---
     iota_l = jnp.broadcast_to(iota[None, :], (L, n))
     starts = jax.lax.cummax(jnp.where(heads, iota_l, -1), axis=1)
     nxt_src = jnp.concatenate(
@@ -689,10 +695,17 @@ def build_bucket_split(
     e_count = counts.reshape(-1)[gidx]
     e_eff = effs.reshape(-1)[gidx]
     wid_parent = wid_dense.reshape(-1)[gidx - n]
-    par_start = starts.reshape(-1)[gidx - n]
-    lvl1 = gidx // n  # entry's own level
-    e_j = bids.reshape(-1)[gidx] - bids.reshape(
-        -1)[jnp.clip(lvl1 * n + par_start, 0, L * n - 1)]
+    # Slot within the parent row: entries of one parent are CONSECUTIVE in
+    # the compacted list (children are contiguous level-l heads inside the
+    # parent's extent; levels don't interleave), so the slot is the rank
+    # within the run of equal parent row ids — a tiny [ecap] scan instead
+    # of a third full [L, n] cumsum.
+    eidx = jnp.arange(fidx.shape[0], dtype=jnp.int32)
+    prev_wp = jnp.concatenate(
+        [jnp.full((1,), -2, jnp.int32), wid_parent[:-1]])
+    run_start = jax.lax.cummax(
+        jnp.where(wid_parent != prev_wp, eidx, -1))
+    e_j = eidx - run_start
 
     # --- node AABBs: shared sparse range-min table over leaf boxes ---
     # Packed [8, n]: rows 0-2 lo.xyz, rows 3-5 -hi.xyz (all min-reduced),

@@ -327,12 +327,18 @@ def generate_triangles(
     The reference leaves primitive ids uninitialised in the unpaired branch
     (src/BottomUpBuilder.cu:299-309); we define them as the source index.
     """
+    from tpu_raytracing.ops.gather import take_rows
+
     is_pair = (sorted_values >> 31).astype(bool)
     index = (sorted_values & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     num_tris = triangles.shape[0]
     second = jnp.minimum(index + 1, num_tris - 1)
-    a = triangles[index]
-    b = triangles[second]
+    # Channel-major gathers: a direct [n, 3, 3] row gather tile-pads the
+    # minor dims ~14x and dominated the paired build's front end
+    # (~175 ms of the 225 ms Morton+sort+pairs block at 1M).
+    flat = triangles.reshape(num_tris, 9)
+    a = take_rows(flat, index).reshape(-1, 3, 3)
+    b = take_rows(flat, second).reshape(-1, 3, 3)
     return create_pairs(a, b, index, second, is_pair)
 
 

@@ -186,3 +186,38 @@ def path_trace_sharded(
 
     img = _finalize(radiance, pixel)
     return img.reshape(height, width, 3), rays_traced
+
+
+def trace_instanced_sharded(
+    mesh: Mesh,
+    inst_as,
+    pairs: PackedPairs,
+    rays,
+):
+    """Two-level TLAS/BLAS trace with the ray axis sharded over the mesh
+    (instanced structure replicated). Completes the multi-chip story for
+    the instancing extension (BASELINE config 4): per-frame TLAS rebuild
+    stays replicated (it is tiny — one LBVH over instance AABBs) while
+    the ray workload scales over ICI.
+
+    Returns (HitRecord, hit_instance, TraceStats) like
+    trace_rays_instanced; ray count must divide by the mesh size.
+    """
+    from tpu_raytracing.trace.instanced import trace_rays_instanced
+
+    axis = mesh.axis_names[0]
+    num_dev = mesh.shape[axis]
+    num = rays.origin.shape[0]
+    assert num % num_dev == 0
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    def device_trace(inst_, pairs_, rays_band):
+        rec, inst_hit, stats = trace_rays_instanced(inst_, pairs_, rays_band)
+        return rec, inst_hit, stats
+
+    return device_trace(inst_as, pairs, rays)

@@ -95,6 +95,9 @@ def generate_rock(out_dir: str, subdivisions: int = 6, seed: int = 7,
     OBJ path. subdivisions=6 -> 81,920 sphere tris + a 2-quad ground
     (fan-triangulated by the loader) ~= the bunny-class scale of
     BASELINE config 2."""
+    obj_path = os.path.join(out_dir, f"{name}.obj")
+    if os.path.exists(obj_path):
+        return obj_path  # deterministic by construction: cache hit
     os.makedirs(out_dir, exist_ok=True)
     verts, faces = _icosphere(subdivisions)
 
@@ -152,7 +155,7 @@ Ns 8.0
 map_Kd {tex_name}
 """)
 
-    obj_path = os.path.join(out_dir, f"{name}.obj")
+    # (obj_path computed above for the cache check)
     with open(obj_path, "w") as f:
         f.write(f"# generated by tpu_raytracing.scene.genasset "
                 f"(subdiv {subdivisions}, seed {seed})\n")

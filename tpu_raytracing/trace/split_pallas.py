@@ -920,12 +920,20 @@ def trace_rays_split_pallas(
 def make_split_pallas_tracer(views, packed, width: int, height: int,
                              any_hit: bool = False,
                              sort_origin: bool = False, k: int = None,
-                             c_slots: int = None, leafw: int = None):
+                             c_slots: int = None, leafw: int = None,
+                             sort_mode: str = None, cell_shift: int = 9):
     """Tiled drop-in tracer over 16x8 screen-tile packets.
 
     With views=None the (inner_i, inner_v, pairs_f) triple rides in the
     tracer's ``trav`` argument (required at scale: closure constants embed
     in the compiled module).
+
+    sort_mode: None (screen-tile packets), 'origin' (origin-Morton sort,
+    same as sort_origin=True but restoring the FULL record for closest-hit
+    consumers), or 'cell_octant' (coarse origin cell major + direction
+    octant minor: packets share both a spatial cell and a direction
+    hemisphere-octant — the untested combination flagged in
+    docs/TPU_NOTES.md for incoherent closest-hit passes).
     """
     from tpu_raytracing.trace.packet import tile_reorder, tile_restore
 
@@ -937,6 +945,38 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
         del max_width
         v = views if views is not None else trav
         p = packed if packed is not None else pairs
+        if sort_mode is not None:
+            from tpu_raytracing.ops.gather import take_rows
+            from tpu_raytracing.ops.morton import morton3d
+
+            o = rays.origin
+            lo = jnp.min(o, axis=0)
+            hi = jnp.max(o, axis=0)
+            cell = morton3d(
+                (o - lo) / jnp.maximum(hi - lo, 1e-20)).astype(jnp.int32)
+            if sort_mode == "cell_octant":
+                d = rays.direction
+                octant = ((d[:, 0] > 0).astype(jnp.int32)
+                          | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+                          | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+                # cell_shift trades cell size vs octant weight: a packet
+                # needs ~k rays sharing (cell, octant) to benefit
+                key = ((cell >> cell_shift) << 3) | octant
+            else:
+                key = cell >> 2
+            dead = (jnp.zeros(key.shape, jnp.int32) if active is None
+                    else (~active).astype(jnp.int32))
+            perm = jnp.argsort((dead << 28) | key, stable=True)
+            inv = jnp.argsort(perm)
+            srt = jax.tree.map(lambda a: take_rows(a, perm), rays)
+            act = None if active is None else active[perm]
+            rec, stats = trace_rays_split_pallas(v, p, srt, active=act,
+                                                 any_hit=any_hit, k=k,
+                                                 c_slots=c_slots, leafw=leafw)
+            # closest-hit consumers need the whole record un-permuted
+            rec = jax.tree.map(lambda a: take_rows(a, inv), rec)
+            stats = jax.tree.map(lambda a: take_rows(a, inv), stats)
+            return rec, stats
         if sort_origin:
             # Occlusion rays whose origins are scattered (bounce hit
             # points): sort by origin Morton cell so packets share

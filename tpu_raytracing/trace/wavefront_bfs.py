@@ -86,6 +86,7 @@ def trace_rays_bfs(
     leaf_factor: float = 3.0,
     cap_floor: int = 65536,
     mt_chunk: int = 524288,
+    any_hit: bool = False,
 ) -> Tuple[HitRecord, TraceStats, jnp.ndarray]:
     """Closest-hit BFS trace. Returns (HitRecord, TraceStats, overflow
     flag [] bool — True if any level's visit capacity clipped)."""
@@ -277,18 +278,27 @@ def trace_rays_bfs(
 
         t_best, tri_best, tri_tests = mt_window(
             lray, lwin, lvalid, t_best, tri_best, tri_tests)
+        if any_hit:
+            # Occlusion query: a ray with any hit prunes everything that
+            # remains (empty interval), so its pending visits die at the
+            # next level's slab test.
+            t_best = jnp.where(tri_best >= 0, -_F32_MAX, t_best)
 
         vray = jnp.minimum(nvray, R - 1)
         vvalid = nvray < R
         vnode = nvnode
 
+    if any_hit:
+        # Only .hit is meaningful (t_best was reused as the kill flag).
+        t_best = rays.tmax
     rec = _reconstruct(packed, rays, t_best, tri_best)
     stats = TraceStats(box_tests=box_tests, tri_tests=tri_tests)
     return rec, stats, overflow
 
 
 def make_bfs_tracer(views, packed, cap_factor: float = 3.0,
-                    leaf_factor: float = 3.0, cap_floor: int = 65536):
+                    leaf_factor: float = 3.0, cap_floor: int = 65536,
+                    any_hit: bool = False):
     """Drop-in tracer (trav, pairs, rays, active) -> (HitRecord, stats).
 
     With views=None the 4-tuple from prep_bfs_views rides in ``trav``.
@@ -299,7 +309,7 @@ def make_bfs_tracer(views, packed, cap_factor: float = 3.0,
         p = packed if packed is not None else pairs
         rec, stats, _overflow = trace_rays_bfs(
             v, p, rays, active=active, cap_factor=cap_factor,
-            leaf_factor=leaf_factor, cap_floor=cap_floor)
+            leaf_factor=leaf_factor, cap_floor=cap_floor, any_hit=any_hit)
         return rec, stats
 
     tracer.host_staged = False
