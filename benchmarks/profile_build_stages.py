@@ -52,6 +52,7 @@ def main():
         return bucket._sorted_leaves(tris, True)
 
     def heads_of(sorted_codes, num_leaves):
+        n = sorted_codes.shape[0]  # paired builds shrink the leaf axis
         iota = jnp.arange(n, dtype=jnp.int32)
         pad_boundary = iota == num_leaves
         heads = [(iota == 0) | pad_boundary]
@@ -75,7 +76,7 @@ def main():
         return jnp.stack(heads, axis=0)
 
     def scans_of(heads):
-        L = heads.shape[0]
+        L, n = heads.shape
         iota = jnp.arange(n, dtype=jnp.int32)
         iota_l = jnp.broadcast_to(iota[None, :], (L, n))
         starts = jax.lax.cummax(jnp.where(heads, iota_l, -1), axis=1)
@@ -86,6 +87,7 @@ def main():
         return starts, nxts
 
     def tbl_of(lo, hi):
+        n = lo.shape[0]
         base = jnp.concatenate(
             [lo.T, -hi.T,
              jnp.full((2, n), bucket._F32_MAX, jnp.float32)], axis=0)
