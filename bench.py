@@ -85,18 +85,20 @@ def main():
     # Split-BVH Pallas kernel (trace/split_pallas.py): C packet slots with
     # pipelined row DMAs, sublane-mapped slab and Moller-Trumbore; work =
     # sum of per-packet trips (no lockstep waste).
-    # Best-measured round-2 config (benchmarks/sweep_sort.py): C=8 slots,
+    # Best-measured round-2 config (benchmarks/sweep_sort*.py): C=8 slots,
     # bounce-closest rays sorted by coarse origin cell + direction octant
-    # (2044 -> 1319 ms on the 1M bounce pass), shadow passes origin-sorted.
+    # (2044 -> 1319 ms on the 1M bounce pass). The sort now rides the
+    # path tracer's bounce compaction (trace/pathtrace.py:_bounce_stage),
+    # so the bounce tracers consume rays presorted — no per-pass argsort
+    # or record un-permute.
     tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=8)
     bounce_tracer = sp.make_split_pallas_tracer(
-        None, None, res, res, k=256, c_slots=8, sort_mode="cell_octant",
-        cell_shift=15)
+        None, None, res, res, k=256, c_slots=8, sort_mode="presorted")
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
                                                 any_hit=True, c_slots=8)
     shadow_tracer_b = sp.make_split_pallas_tracer(None, None, res, res,
                                                   any_hit=True, c_slots=8,
-                                                  sort_origin=True)
+                                                  sort_mode="presorted")
 
     def frame(key, jitter):
         cam_j = dict(camera)

@@ -93,3 +93,30 @@ def test_sharded_instanced_matches_single_chip(sphere):
     np.testing.assert_allclose(np.asarray(rec_s.t), np.asarray(rec_1.t),
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(inst_s), np.asarray(inst_1))
+
+
+def test_presorted_bounce_tracer_matches_tile_tracer(sphere):
+    """bench.py's fused-sort config: the bounce compaction sorts rays by
+    cell+octant and hands them to 'presorted' tracers; per-ray results
+    must be identical to the tile-packet tracers (packet grouping cannot
+    change any individual ray's hit)."""
+    from tpu_raytracing.trace.pathtrace import path_trace
+
+    dev_scene, camera, views, packed = _setup(sphere)
+    width, height = 32, 64
+    tracer = sp.make_split_pallas_tracer(None, None, width, height, k=128)
+    base, rt0 = path_trace(views, packed, dev_scene, camera, width, height,
+                           num_bounces=1, key=jax.random.PRNGKey(1),
+                           tracer=tracer)
+    bounce = sp.make_split_pallas_tracer(None, None, width, height, k=128,
+                                         sort_mode="presorted")
+    shadow_b = sp.make_split_pallas_tracer(None, None, width, height, k=128,
+                                           any_hit=True,
+                                           sort_mode="presorted")
+    fused, rt1 = path_trace(views, packed, dev_scene, camera, width, height,
+                            num_bounces=1, key=jax.random.PRNGKey(1),
+                            tracer=tracer, bounce_tracer=bounce,
+                            shadow_tracer_bounce=shadow_b)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               rtol=1e-5, atol=1e-7)
+    assert int(rt0) == int(rt1)

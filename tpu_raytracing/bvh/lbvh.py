@@ -80,8 +80,12 @@ def generate_morton_codes_pairs(
     num_even = (num + 1) // 2
     a = triangles[0::2]
     has_b = jnp.arange(num_even) * 2 + 1 < num
-    b_idx = jnp.minimum(jnp.arange(num_even) * 2 + 1, num - 1)
-    b = triangles[b_idx]
+    # b is the odd-index stride slice (dense relayout), NOT a row gather:
+    # a [n/2, 3, 3] gather tile-pads the minor dims ~14x on this backend
+    # (see generate_triangles below). Odd num duplicates the last row.
+    tri_even = (jnp.concatenate([triangles, triangles[-1:]], axis=0)
+                if num % 2 else triangles)
+    b = tri_even[1::2]
 
     a_min, a_max = triangle_aabb(a[:, 0], a[:, 1], a[:, 2])
     b_min, b_max = triangle_aabb(b[:, 0], b[:, 1], b[:, 2])

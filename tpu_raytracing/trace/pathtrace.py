@@ -59,11 +59,18 @@ def _cosine_sample(normal, u):
     return t * local[:, 0:1] + bt * local[:, 1:2] + n * local[:, 2:3]
 
 
-@partial(jax.jit, static_argnames=("compaction", "sort_cells"))
+@partial(jax.jit, static_argnames=("compaction", "sort_cells", "cell_shift",
+                                   "sample_next"))
 def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
                   alive, pixel, u_frame, max_t, compaction: bool = True,
-                  sort_cells: bool = False):
-    """Shading + NEE + next-ray sampling + compaction for one bounce."""
+                  sort_cells: bool = False, cell_shift: int = 15,
+                  sample_next: bool = True):
+    """Shading + NEE + next-ray sampling + compaction for one bounce.
+
+    With ``sample_next=False`` (the final bounce) the sampling/compaction
+    half is skipped entirely — the returned rays are never traced, so the
+    argsort plus the 1M-row permutation gathers would be pure waste.
+    """
     miss = alive & ~rec.hit
     radiance = radiance + jnp.where(
         miss[:, None], throughput * _sky(rays.direction), 0.0
@@ -88,6 +95,9 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
         0.0,
     )
 
+    if not sample_next:
+        return radiance, throughput, alive, pixel, rays
+
     throughput = throughput * albedo
     num = pixel.shape[0]
     from tpu_raytracing.ops.gather import take_rows as _tr
@@ -106,19 +116,24 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
 
         # Packet divergence is origin-driven (measured: origin-sorting
         # occlusion rays with scattered origins is 7x; direction-major
-        # keys REGRESS by scattering origins). First-bounce origins are
-        # primary hit points in scanline-continuous pixel order — BETTER
-        # than Morton cells (1752 vs 1942 ms measured) — so plain stable
-        # compaction keeps it; deeper bounces' origins lost locality and
-        # get the origin-Morton sort. The permutation gathers were already
-        # being paid for compaction, so the sort is free.
+        # keys REGRESS by scattering origins). Best-measured key for
+        # bounce closest-hit (benchmarks/sweep_sort*.py, 2044 -> 1319 ms
+        # at 1M): coarse origin cell MAJOR, direction octant MINOR —
+        # packets then share both a subtree and a traversal order. The
+        # sort rides the compaction permutation that was being paid
+        # anyway, so downstream tracers consume the rays 'presorted'
+        # with no per-pass argsort/un-permute of their own.
         if sort_cells:
             o = new_rays.origin
             lo = jnp.min(o, axis=0)
             hi = jnp.max(o, axis=0)
             norm = (o - lo) / jnp.maximum(hi - lo, 1e-20)
-            cell = morton3d(norm).astype(jnp.int32)  # 30 bits
-            key = ((~alive).astype(jnp.int32) << 30) | cell
+            cell = morton3d(norm).astype(jnp.int32) >> cell_shift
+            d = new_rays.direction
+            octant = ((d[:, 0] > 0).astype(jnp.int32)
+                      | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+                      | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+            key = ((~alive).astype(jnp.int32) << 30) | (cell << 3) | octant
         else:
             key = (~alive).astype(jnp.int32)
         perm = jnp.argsort(key, stable=True)
@@ -195,7 +210,7 @@ def path_trace(
         radiance, throughput, alive, pixel, rays = _bounce_stage(
             scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
             pixel, u_frame, max_t, compaction=compaction,
-            sort_cells=bounce > 0,
+            sort_cells=True, sample_next=bounce < num_bounces,
         )
 
     img = _finalize(radiance, pixel)

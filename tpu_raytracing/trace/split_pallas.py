@@ -930,10 +930,13 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
 
     sort_mode: None (screen-tile packets), 'origin' (origin-Morton sort,
     same as sort_origin=True but restoring the FULL record for closest-hit
-    consumers), or 'cell_octant' (coarse origin cell major + direction
+    consumers), 'cell_octant' (coarse origin cell major + direction
     octant minor: packets share both a spatial cell and a direction
     hemisphere-octant — the untested combination flagged in
-    docs/TPU_NOTES.md for incoherent closest-hit passes).
+    docs/TPU_NOTES.md for incoherent closest-hit passes), or 'presorted'
+    (the caller already ordered the rays — e.g. the path tracer's bounce
+    compaction sorts by cell+octant — so feed them straight through with
+    no reorder and return the record in the same order).
     """
     from tpu_raytracing.trace.packet import tile_reorder, tile_restore
 
@@ -945,6 +948,10 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
         del max_width
         v = views if views is not None else trav
         p = packed if packed is not None else pairs
+        if sort_mode == "presorted":
+            return trace_rays_split_pallas(v, p, rays, active=active,
+                                           any_hit=any_hit, k=k,
+                                           c_slots=c_slots, leafw=leafw)
         if sort_mode is not None:
             from tpu_raytracing.ops.gather import take_rows
             from tpu_raytracing.ops.morton import morton3d
