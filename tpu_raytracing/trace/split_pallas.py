@@ -117,7 +117,7 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
                ii_s, stack, sps, tags, acts, outp, pkts, ipops, lpops,
                cursor, sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w,
-               leafw, any_hit, k, stack_cap, c_slots):
+               leafw, any_hit, k, stack_cap, c_slots, diag_waste=False):
     """v3: latency-batched pops. micro_control.py measured that ONE
     vector->scalar reduction exposes ~130-200 ns of latency but
     back-to-back reductions pipeline (+12 ns each); v2 exposed two such
@@ -266,6 +266,12 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             st_t[c] = jnp.where(take, -_F32_MAX, st_t[c])
         else:
             st_t[c] = jnp.where(take, tm, st_t[c])
+        if diag_waste:
+            # Diagnostic build: count leaf pops where NO lane improved
+            # its hit (stale window — pushed before tmax collapsed, or a
+            # pure union-divergence visit). Immediate scalar consume;
+            # measurement only.
+            lpops[c] = lpops[c] + 1 - jnp.max(take.astype(jnp.int32))
 
     # --- init: prime slots 0..C-1 with the first packets ---
     for c in range(C):
@@ -366,11 +372,13 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                 ok_last = last_tag >= 0
                 stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
                 sps[c] = sp + ok_last.astype(jnp.int32)
-                ipops[c] = ipops[c] + 1
+                ipops[c] = ipops[c] + (
+                    (vmask == 0).astype(jnp.int32) if diag_waste else 1)
 
             @pl.when(act & is_leaf)
             def _(c=c):
-                lpops[c] = lpops[c] + 1
+                if not diag_waste:
+                    lpops[c] = lpops[c] + 1
                 if any_hit:
                     # Occlusion early-finish: drain once every live lane
                     # has a hit.
@@ -776,6 +784,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
 def trace_rays_split_pallas(
     views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
     any_hit: bool = False, k: int = None, c_slots: int = None,
+    diag_waste: bool = False,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -817,7 +826,8 @@ def trace_rays_split_pallas(
         cc = C if c_slots is None else c_slots
         out = pl.pallas_call(
             functools.partial(_kernel_v3, w=w, leafw=leafw, any_hit=any_hit,
-                              k=k, stack_cap=stack_cap, c_slots=cc),
+                              k=k, stack_cap=stack_cap, c_slots=cc,
+                              diag_waste=diag_waste),
             in_specs=[hbm] * 4,
             out_specs=hbm,
             out_shape=jax.ShapeDtypeStruct((num_p, 4, k), jnp.float32),
