@@ -91,14 +91,22 @@ def main():
     # path tracer's bounce compaction (trace/pathtrace.py:_bounce_stage),
     # so the bounce tracers consume rays presorted — no per-pass argsort
     # or record un-permute.
-    tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=8)
+    # Coherent tiled passes want C=4: benchmarks/probe_primary.py measured
+    # 127 ms at C=4/C=16 but 267 ms at C=8 on the primary pass (slot-count
+    # resonance in the round-robin DMA); incoherent bounce passes measured
+    # best at C=8 (benchmarks/sweep_sort.py).
+    tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=4)
     bounce_tracer = sp.make_split_pallas_tracer(
         None, None, res, res, k=256, c_slots=8, sort_mode="presorted")
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
-                                                any_hit=True, c_slots=8)
+                                                any_hit=True, c_slots=4)
+    # Shadow rays originate at the bounce HIT points, not at the origins
+    # the compaction sorted by — they need their own origin-Morton sort
+    # (measured 273 vs 442 ms presorted, benchmarks/measure_skip.py).
     shadow_tracer_b = sp.make_split_pallas_tracer(None, None, res, res,
-                                                  any_hit=True, c_slots=8,
-                                                  sort_mode="presorted")
+                                                  k=256, any_hit=True,
+                                                  c_slots=8,
+                                                  sort_mode="origin")
 
     def frame(key, jitter):
         cam_j = dict(camera)

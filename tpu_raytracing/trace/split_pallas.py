@@ -114,10 +114,11 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
 
 
 def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
-               ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
+               ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage, tstk,
                ii_s, stack, sps, tags, acts, outp, pkts, ipops, lpops,
                cursor, sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w,
-               leafw, any_hit, k, stack_cap, c_slots, diag_waste=False):
+               leafw, any_hit, k, stack_cap, c_slots, diag_waste=False,
+               stale_skip=False):
     """v3: latency-batched pops. micro_control.py measured that ONE
     vector->scalar reduction exposes ~130-200 ns of latency but
     back-to-back reductions pipeline (+12 ns each); v2 exposed two such
@@ -197,16 +198,15 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             jnp.maximum(tz0, tz1),
         )
         bh = (back >= front) & (front <= t_cur) & (back >= tmn)
-        d8 = jnp.min(
-            jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX),
-            axis=1, keepdims=True,
-        )  # (w, 1); negative fronts clamp to 0 (inside the box)
+        frontv = jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX)
+        d8 = jnp.min(frontv, axis=1, keepdims=True)
+        # (w, 1); negative fronts clamp to 0 (inside the box)
         validv = d8 < _F32_MAX
         e_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
         # low bits = w-1-e so distance ties pick the higher entry id
         # (src/Tracer.cu:346-347)
         key = (pltpu.bitcast(d8, jnp.int32) & ~(w - 1)) | (w - 1 - e_iota)
-        return jnp.where(validv, key, 0x7FFFFFFF), validv, e_iota
+        return jnp.where(validv, key, 0x7FFFFFFF), validv, frontv
 
     def leaf_mt(c, tagv):
         """Moller-Trumbore the leafw-pair window against the packet;
@@ -295,6 +295,8 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
         leafs_v = [(tags_v[c] & 1) == 1 for c in range(C)]
         keyvs = [None] * C
         validvs = [None] * C
+        frontvs = [None] * C
+        stalevs = [None] * C
         for c in range(C):
             @pl.when(acts_v[c] & jnp.logical_not(leafs_v[c]))
             def _(c=c):
@@ -315,7 +317,18 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
 
             # Slab runs unconditionally (garbage keys when not interior:
             # never consumed); it is ~30 cheap (w,128) VPU ops.
-            keyvs[c], validvs[c], _ = slab_keys(c)
+            keyvs[c], validvs[c], frontvs[c] = slab_keys(c)
+            if stale_skip:
+                # Top-of-stack staleness: the pushed per-lane slab fronts
+                # (tstk row) vs the packet's CURRENT t (post-leaf_mt — the
+                # read is after the conditional update above). A subtree
+                # whose front >= every lane's t cannot improve any hit;
+                # the waste diagnostic measured 45.6% of leaf pops improve
+                # nothing. Consumed in phase B's advance, valid only for
+                # slots that pushed nothing this iteration (leaf pops).
+                top = jnp.maximum(sps[c] - 1, 0)
+                trow = tstk[c, pl.ds(top, 1), :]
+                stalevs[c] = (trow >= st_t[c]).astype(jnp.int32)
 
         # Issue ALL reductions back to back so their latencies overlap
         # (packed masks first: slot 0 consumes pack[0] + kmin[0] at the
@@ -338,6 +351,8 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
             )
             packs.append(jnp.sum(bits))
         kmins = [jnp.min(keyvs[c]) for c in range(C)]
+        stales = [jnp.min(stalevs[c]) if stale_skip else None
+                  for c in range(C)]
         dones = [None] * C
         if any_hit:
             # Persistent state (st_tri / tmax) is valid whatever this
@@ -367,10 +382,20 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
                     ok = (((vmask >> e) & 1) == 1) & (ntype != 0)
                     last_tag = jnp.where(ok & (e == emin), tag_e, last_tag)
                     push = ok & (e != emin)
-                    stack[c, jnp.where(push, sp, STACK)] = tag_e
+                    idx = jnp.where(push, sp, STACK)
+                    stack[c, idx] = tag_e
+                    if stale_skip:
+                        # Per-lane slab fronts ride a parallel VMEM stack;
+                        # phase A's staleness check reads the top row.
+                        tstk[c, pl.ds(idx, 1), :] = frontvs[c][e:e + 1, :]
                     sp = sp + push.astype(jnp.int32)
                 ok_last = last_tag >= 0
-                stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
+                idx = jnp.where(ok_last, sp, STACK)
+                stack[c, idx] = last_tag
+                if stale_skip:
+                    # The nearest child is popped immediately next; zero
+                    # fronts mark it never-stale.
+                    tstk[c, pl.ds(idx, 1), :] = jnp.zeros((1, k), jnp.float32)
                 sps[c] = sp + ok_last.astype(jnp.int32)
                 ipops[c] = ipops[c] + (
                     (vmask == 0).astype(jnp.int32) if diag_waste else 1)
@@ -386,6 +411,14 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
 
             # --- advance: finish/refill or pop the next node ---
             sp_v = sps[c]
+            if stale_skip:
+                # Skip the top stack entry when phase A proved no lane
+                # can improve inside it. Only valid when this iteration
+                # pushed nothing (leaf pop: top is the same entry the
+                # check saw). One skip per iteration — chains of stale
+                # entries shed one per pop.
+                stale = is_leaf & act & (stales[c] == 1) & (sp_v > 0)
+                sp_v = sp_v - stale.astype(jnp.int32)
             finished = act & (sp_v == 0)
             nxt = cursor[0]
             refill = finished & (nxt < num_p)
@@ -784,7 +817,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
 def trace_rays_split_pallas(
     views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
     any_hit: bool = False, k: int = None, c_slots: int = None,
-    diag_waste: bool = False,
+    diag_waste: bool = False, stale_skip: bool = False,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -827,7 +860,7 @@ def trace_rays_split_pallas(
         out = pl.pallas_call(
             functools.partial(_kernel_v3, w=w, leafw=leafw, any_hit=any_hit,
                               k=k, stack_cap=stack_cap, c_slots=cc,
-                              diag_waste=diag_waste),
+                              diag_waste=diag_waste, stale_skip=stale_skip),
             in_specs=[hbm] * 4,
             out_specs=hbm,
             out_shape=jax.ShapeDtypeStruct((num_p, 4, k), jnp.float32),
@@ -838,6 +871,14 @@ def trace_rays_split_pallas(
                 pltpu.VMEM((cc, 1, k), jnp.float32),   # st_t
                 pltpu.VMEM((cc, 1, k), jnp.int32),     # st_tri
                 pltpu.VMEM((cc, 4, k), jnp.float32),   # out_stage
+                # Per-lane push-front stack for stale_skip (1-row dummy
+                # when off). Measured NEGATIVE at 1M bounce (1166->1346
+                # ms, pops -3%): the wasted windows are union-divergence
+                # (some lane's front < t but its triangles miss), not
+                # t-collapse staleness — kept for diagnostics.
+                pltpu.VMEM(
+                    (cc, (stack_cap + 1) if stale_skip else 1, k),
+                    jnp.float32),  # tstk
                 pltpu.SMEM((cc, 128), jnp.int32),      # ii_s
                 pltpu.SMEM((cc, stack_cap + 1), jnp.int32),  # stack (+ trash)
                 pltpu.SMEM((cc,), jnp.int32),          # sps
