@@ -165,7 +165,18 @@ def _sa(pmin, pmax):
 @flax.struct.dataclass
 class Arena:
     """Functional node arena (the reference's nodes_out buffer plus the
-    shared atomic write index, src/SharedTaskBuilder.cu:18, 548)."""
+    shared atomic write index, src/SharedTaskBuilder.cu:18, 548).
+
+    seg_start/seg_count/depth are optional side tables filled by
+    frontier_build when present (make_arena(track_segments=True)): every
+    task's leaf range [tstart, tend) is CONTIGUOUS in the final leaf
+    permutation and its absolute positions never change once written (the
+    per-level stable sort only reorders strictly inside still-active
+    ranges), so recording (tstart, count, level) at node-write time gives
+    each slot its final subtree window and depth for free — replacing
+    bottom-up fixed-point loops over loop-carried buffers, the measured
+    ~1000x gather pathology (docs/TPU_NOTES.md) that also exploded the
+    1M-tri compile in bvh/split_convert.py."""
 
     node_min: jnp.ndarray
     node_max: jnp.ndarray
@@ -174,9 +185,13 @@ class Arena:
     type: jnp.ndarray
     parent: jnp.ndarray  # [N] int32 — parent slot (roots/self elsewhere)
     wptr: jnp.ndarray  # [] int32 — next free slot
+    seg_start: Optional[jnp.ndarray] = None  # [N] final leaf-range start
+    seg_count: Optional[jnp.ndarray] = None  # [N] leaf-range length
+    depth: Optional[jnp.ndarray] = None  # [N] node depth (root = 0)
 
 
-def make_arena(num_slots: int) -> Arena:
+def make_arena(num_slots: int, track_segments: bool = False) -> Arena:
+    seg = (jnp.zeros((num_slots,), jnp.int32) if track_segments else None)
     return Arena(
         node_min=jnp.full((num_slots, 3), _F32_MAX),
         node_max=jnp.full((num_slots, 3), -_F32_MAX),
@@ -185,6 +200,9 @@ def make_arena(num_slots: int) -> Arena:
         type=jnp.full((num_slots,), CHILD_NONE, jnp.int32),
         parent=jnp.arange(num_slots, dtype=jnp.int32),
         wptr=jnp.int32(0),
+        seg_start=seg,
+        seg_count=seg,
+        depth=seg,
     )
 
 
@@ -202,6 +220,20 @@ def _write_nodes(arena: Arena, slots, nmin, nmax, child, count, ntype, mask,
     if parent is not None:
         out = out.replace(parent=out.parent.at[idx].set(parent, mode="drop"))
     return out
+
+
+def _write_segments(arena: Arena, slots, mask, start, count, depth) -> Arena:
+    """Record a node's final leaf window + depth (no-op unless the arena
+    tracks segments — see Arena docstring for why write-time is correct)."""
+    if arena.seg_start is None:
+        return arena
+    oob = jnp.int32(arena.child.shape[0])
+    idx = jnp.where(mask, slots, oob)
+    return arena.replace(
+        seg_start=arena.seg_start.at[idx].set(start, mode="drop"),
+        seg_count=arena.seg_count.at[idx].set(count, mode="drop"),
+        depth=arena.depth.at[idx].set(depth, mode="drop"),
+    )
 
 
 def frontier_build(
@@ -350,6 +382,8 @@ def frontier_build(
             return arena
 
         arena = graft_parents(arena, lid1, tparent, is_leaf1)
+        arena = _write_segments(arena, tparent, is_leaf1, tstart, 1,
+                                s["level"])
         n_leaf2 = jnp.sum(is_leaf2.astype(jnp.int32))
         rank2 = jnp.cumsum(is_leaf2.astype(jnp.int32)) - is_leaf2.astype(jnp.int32)
         base2 = arena.wptr + 2 * rank2
@@ -367,11 +401,15 @@ def frontier_build(
                 parent=tparent,
             )
             arena = graft_parents(arena, lidj, base2 + j, is_leaf2)
+            arena = _write_segments(arena, base2 + j, is_leaf2, tstart + j, 1,
+                                    s["level"] + 1)
         arena = _write_nodes(
             arena, tparent, tpmin, tpmax, base2,
             jnp.full((tcap,), 2, jnp.int32),
             jnp.full((tcap,), CHILD_BOX, jnp.int32), is_leaf2,
         )
+        arena = _write_segments(arena, tparent, is_leaf2, tstart, 2,
+                                s["level"])
         arena = arena.replace(wptr=arena.wptr + 2 * n_leaf2)
 
         # ---- interior-node allocation (src/SharedTaskBuilder.cu:544-560) ----
@@ -383,6 +421,8 @@ def frontier_build(
             jnp.full((tcap,), 2, jnp.int32),
             jnp.full((tcap,), CHILD_BOX, jnp.int32), is_split,
         )
+        arena = _write_segments(arena, tparent, is_split, tstart, counts,
+                                s["level"])
         # Children slots record their parent for the wide collapse's depth
         # arithmetic.
         oob = jnp.int32(arena.child.shape[0])

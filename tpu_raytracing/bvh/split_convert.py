@@ -67,7 +67,7 @@ def build_sah_split(
     cap = leaves.aabb_min.shape[0]
     num_leaves = leaves.num_leaves
 
-    arena = sah.make_arena(2 * cap + 2)
+    arena = sah.make_arena(2 * cap + 2, track_segments=True)
     arena = arena.replace(wptr=jnp.int32(1))
     arena, ids_final = sah.frontier_build(
         leaves,
@@ -91,35 +91,16 @@ def build_sah_split(
     )
     packed_sorted = PackedPairs(rows=rows_sorted)
 
-    # position of each pair in the sorted order
-    pos_of_pair = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(live, pid_sorted, cap)
-    ].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
-
-    # --- per-slot subtree (start, count), bottom-up ---
-    is_tri = arena.type == CHILD_TRI
+    # --- per-slot subtree (start, count) and depth: recorded by the
+    # frontier at node-write time (sah.Arena seg tables). The previous
+    # bottom-up fixed point (58 unrolled passes of gathers on loop-carried
+    # counts/starts) and parent pointer-doubling were the measured
+    # ~1000x carried-gather pathology and blew up the 1M-tri compile.
     is_box = arena.type == CHILD_BOX
-    # leaf slots: count = 1 leaf; start = its pair's sorted position
-    counts = is_tri.astype(jnp.int32)
-    starts = jnp.where(
-        is_tri, pos_of_pair[jnp.clip(arena.child, 0, cap - 1)], cap)
+    counts = arena.seg_count
+    starts = jnp.where(counts > 0, arena.seg_start, cap)
+    depth = arena.depth
     c0 = jnp.clip(arena.child, 0, nslots - 1)
-    c1 = jnp.clip(arena.child + 1, 0, nslots - 1)
-    max_depth = 2 * max(int(cap - 1).bit_length(), 1) + 18
-    for _ in range(max_depth):
-        csum = counts[c0] + counts[c1]
-        cmin = jnp.minimum(starts[c0], starts[c1])
-        ready = is_box & (counts == 0) & (counts[c0] > 0) & (counts[c1] > 0)
-        counts = jnp.where(ready, csum, counts)
-        starts = jnp.where(ready, cmin, starts)
-
-    # --- anchors (wide.py depth arithmetic, single root at slot 0) ---
-    slots_i = jnp.arange(nslots, dtype=jnp.int32)
-    anc = arena.parent
-    depth = (anc != slots_i).astype(jnp.int32)
-    for _ in range(7):
-        depth = depth + depth[anc]
-        anc = anc[anc]
     big = counts > leaf_width
     anchor = is_box & big & (depth >= 3) & (depth % 3 == 0)
     rank = jnp.cumsum(anchor.astype(jnp.int32)) - anchor.astype(jnp.int32)

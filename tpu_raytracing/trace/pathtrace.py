@@ -146,10 +146,36 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
     return radiance, throughput, alive, pixel, new_rays
 
 
+_BOUNCE_STAGE_CACHE = {}
+
+
+def _jit_bounce_stage(compaction: bool, sort_cells: bool, sample_next: bool):
+    """One compiled program for the whole shade+NEE+sample+compact stage.
+
+    Calling _bounce_stage eagerly dispatches its ~40 ops one by one to
+    the device (measured 146 ms at 1M rays on the remote backend); under
+    one jit the stage is a single fused program.
+    """
+    key = (compaction, sort_cells, sample_next)
+    fn = _BOUNCE_STAGE_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(partial(
+            _bounce_stage, compaction=compaction, sort_cells=sort_cells,
+            sample_next=sample_next))
+        _BOUNCE_STAGE_CACHE[key] = fn
+    return fn
+
+
 @jax.jit
 def _finalize(radiance, pixel):
-    num = pixel.shape[0]
-    return jnp.zeros((num, 3), jnp.float32).at[pixel].set(radiance)
+    # pixel is a permutation of [0, num) (the bounce compactions only
+    # reorder), so the scatter radiance->pixel is the gather by the
+    # inverse permutation. argsort is ~free on TPU while a 1M-row random
+    # scatter measured ~97 ms vs ~15 ms for the equivalent gather
+    # (benchmarks/profile_frame.py, docs/TPU_NOTES.md).
+    from tpu_raytracing.ops.gather import take_rows
+    inv = jnp.argsort(pixel)
+    return take_rows(radiance, inv)
 
 
 def path_trace(
@@ -207,10 +233,10 @@ def path_trace(
         rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))
 
         u_frame = jax.random.uniform(k_dir, (num, 2))
-        radiance, throughput, alive, pixel, rays = _bounce_stage(
+        radiance, throughput, alive, pixel, rays = _jit_bounce_stage(
+            compaction, True, bounce < num_bounces)(
             scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
-            pixel, u_frame, max_t, compaction=compaction,
-            sort_cells=True, sample_next=bounce < num_bounces,
+            pixel, u_frame, max_t,
         )
 
     img = _finalize(radiance, pixel)

@@ -76,6 +76,15 @@ LEAFW = int(_os.environ.get("TPURT_SPLIT_LEAFW", "64"))
 # Kernel version (TPURT_SPLIT_V): 3 = latency-batched pops (default),
 # 2 = round-1 kernel (kept for A/B measurement).
 KERNEL_V = int(_os.environ.get("TPURT_SPLIT_V", "3"))
+# Measurement build: double the leaf Moller-Trumbore (folded in as a
+# no-op) to attribute leaf vector cost; see leaf_mt. Measured: +17 ms on
+# the 1170 ms bounce pass — leaf vector compute is ~free; the pass is
+# per-pop control/DMA overhead.
+_MT2 = _os.environ.get("TPURT_SPLIT_MT2", "0") == "1"
+# Measurement build: force leaf-window DMA starts down to 8-row tile
+# alignment (WRONG results - subtree tails can be cut - timing only).
+# Isolates the unaligned-row DMA cost of leaf windows.
+_ALIGN8 = _os.environ.get("TPURT_SPLIT_ALIGN8", "0") == "1"
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
 
@@ -113,7 +122,7 @@ def prep_split_views(split: SplitBVH, packed: PackedPairs):
     return inner_i, inner_v, pairs_f
 
 
-def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
+def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
                ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage, tstk,
                ii_s, stack, sps, tags, acts, outp, pkts, ipops, lpops,
                cursor, sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w,
@@ -150,6 +159,8 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
         pltpu.make_async_copy(inner_v.at[idx], iv_s.at[c], sem_iv.at[c]).start()
 
     def start_leaf(c, idx):
+        if _ALIGN8:
+            idx = idx & ~7
         pltpu.make_async_copy(
             pairs_f.at[pl.ds(idx, leafw), :], leaf_scr.at[c], sem_leaf.at[c]
         ).start()
@@ -161,12 +172,23 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
 
     def init_slot(c, pkt):
         pkts[c] = pkt
-        tags[c] = jnp.int32(0)  # root = inner row 0
+        # Per-packet start tag (treelet binning: packets sorted by
+        # subtree start traversal at that subtree's row/window instead
+        # of the root). ptag lives wholly in SMEM — a plain scalar read.
+        t0 = ptag[pkt]
+        tags[c] = t0
         sps[c] = jnp.int32(0)
         ipops[c] = jnp.int32(0)
         lpops[c] = jnp.int32(0)
         start_ray(c, pkt)
-        start_inner(c, jnp.int32(0))
+
+        @pl.when((t0 & 1) == 0)
+        def _():
+            start_inner(c, t0 >> 1)
+
+        @pl.when((t0 & 1) == 1)
+        def _():
+            start_leaf(c, t0 >> 1)
         pltpu.make_async_copy(
             rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
         ).wait()
@@ -254,6 +276,19 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
         acc_b, tt_b = mt(*v2, *v1, *v3)
         cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
         cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
+        if _MT2:
+            # Measurement build (TPURT_SPLIT_MT2=1): run a second MT of
+            # the same shape/op-count on DIFFERENT inputs (swapped
+            # winding — a verbatim duplicate would be CSE'd into nothing)
+            # and fold it in through a no-op min (dummy + F32_MAX
+            # saturates to +inf; min(x, inf) == x, unprovable at compile
+            # time). Pops and results are identical to the normal build —
+            # the run-time delta IS the per-window MT vector cost.
+            acc_a2, tt_a2 = mt(*v1, *v0, *v2)
+            acc_b2, tt_b2 = mt(*v1, *v2, *v3)
+            dummy = jnp.minimum(jnp.where(acc_a2, tt_a2, 0.0),
+                                jnp.where(acc_b2, tt_b2, 0.0)) + _F32_MAX
+            cand_a = jnp.minimum(cand_a, dummy)
         enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, k), 0) * 2
         cand = jnp.minimum(cand_a, cand_b)
         encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
@@ -309,8 +344,11 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, out_hbm,
 
             @pl.when(acts_v[c] & leafs_v[c])
             def _(c=c):
+                lidx = tags_v[c] >> 1
+                if _ALIGN8:
+                    lidx = lidx & ~7
                 pltpu.make_async_copy(
-                    pairs_f.at[pl.ds(tags_v[c] >> 1, leafw), :],
+                    pairs_f.at[pl.ds(lidx, leafw), :],
                     leaf_scr.at[c], sem_leaf.at[c],
                 ).wait()
                 leaf_mt(c, tags_v[c])
@@ -817,7 +855,8 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
 def trace_rays_split_pallas(
     views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
     any_hit: bool = False, k: int = None, c_slots: int = None,
-    diag_waste: bool = False, stale_skip: bool = False,
+    diag_waste: bool = False, stale_skip: bool = False, packet_tags=None,
+    raw: bool = False,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -856,12 +895,14 @@ def trace_rays_split_pallas(
     stack_cap = _stack_cap(w, views[2].shape[0])
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     if KERNEL_V >= 3:
+        if packet_tags is None:
+            packet_tags = jnp.zeros((num_p,), jnp.int32)  # root row for all
         cc = C if c_slots is None else c_slots
         out = pl.pallas_call(
             functools.partial(_kernel_v3, w=w, leafw=leafw, any_hit=any_hit,
                               k=k, stack_cap=stack_cap, c_slots=cc,
                               diag_waste=diag_waste, stale_skip=stale_skip),
-            in_specs=[hbm] * 4,
+            in_specs=[hbm] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=hbm,
             out_shape=jax.ShapeDtypeStruct((num_p, 4, k), jnp.float32),
             scratch_shapes=[
@@ -897,7 +938,7 @@ def trace_rays_split_pallas(
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=_interpret(),
-        )(inner_i, inner_v, pairs_f, rays8)
+        )(inner_i, inner_v, pairs_f, rays8, packet_tags)
         t_flat = out[:, 0, :].reshape(num_rays)
         tri_flat = jax.lax.bitcast_convert_type(
             out[:, 1, :], jnp.int32
@@ -911,8 +952,16 @@ def trace_rays_split_pallas(
                                total_repeat_length=num_rays)
         if any_hit:
             t_flat = rays.tmax
+        stats = TraceStats(box_tests=box_tests, tri_tests=tri_tests)
+        if raw:
+            # (t, winning encoded tri, stats) without the per-ray prim
+            # reconstruction gathers — for drivers that combine multiple
+            # trace items per ray first (trace/binned.py).
+            return (t_flat, tri_flat), stats
         rec = _reconstruct(packed, rays, t_flat, tri_flat)
-        return rec, TraceStats(box_tests=box_tests, tri_tests=tri_tests)
+        return rec, stats
+    assert packet_tags is None and not raw, (
+        "packet_tags/raw need the v3 kernel (TPURT_SPLIT_V=3)")
     out, pops_total = pl.pallas_call(
         functools.partial(_kernel, w=w, leafw=leafw, any_hit=any_hit, k=k,
                           stack_cap=stack_cap),
@@ -1003,6 +1052,13 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
             return trace_rays_split_pallas(v, p, rays, active=active,
                                            any_hit=any_hit, k=k,
                                            c_slots=c_slots, leafw=leafw)
+        if sort_mode == "binned":
+            # Presorted input + treelet binning (trace/binned.py): items
+            # grouped by root child so packets share a subtree.
+            from tpu_raytracing.trace.binned import trace_rays_binned
+            return trace_rays_binned(v, p, rays, active=active,
+                                     any_hit=any_hit, k=k,
+                                     c_slots=c_slots, leafw=leafw)
         if sort_mode is not None:
             from tpu_raytracing.ops.gather import take_rows
             from tpu_raytracing.ops.morton import morton3d
