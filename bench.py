@@ -97,7 +97,7 @@ def main():
     # best at C=8 (benchmarks/sweep_sort.py).
     tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=4)
     bounce_tracer = sp.make_split_pallas_tracer(
-        None, None, res, res, k=256, c_slots=8, sort_mode="presorted")
+        None, None, res, res, k=256, c_slots=16, sort_mode="presorted")
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
                                                 any_hit=True, c_slots=4)
     # Shadow rays originate at the bounce HIT points, not at the origins

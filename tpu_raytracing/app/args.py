@@ -28,7 +28,7 @@ def parse_cmd(argv=None) -> argparse.Namespace:
                    help="enable bounded spatial splits (SAH builds)")
     # Extensions (the reference's window/keyboard state becomes flags):
     p.add_argument("--scene", default=None,
-                   help="procedural scene: cornell | sphere[:subdiv] | soup:N")
+                   help="procedural scene: cornell | sphere[:subdiv] | soup:N | terrain:N")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--render-mode", type=int, default=int(RenderType.DEPTH),

@@ -53,6 +53,9 @@ def load_scene(args):
     if spec.startswith("soup"):
         n = int(spec.split(":")[1]) if ":" in spec else 100000
         return procedural.random_triangle_soup(n)
+    if spec.startswith("terrain"):
+        n = int(spec.split(":")[1]) if ":" in spec else 1_000_000
+        return procedural.terrain(n)
     raise SystemExit(f"unknown scene '{spec}'")
 
 

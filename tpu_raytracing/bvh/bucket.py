@@ -95,22 +95,21 @@ def _segment_totals(x, heads, tails_pos, valid, op, init, width=8):
 
 
 def _sorted_leaves(triangles: jnp.ndarray, enable_pairs: bool):
-    """Shared front end: Morton sort + pair assembly + leaf AABBs."""
-    num_tris = triangles.shape[0]
+    """Shared front end: Morton sort + pair assembly + leaf AABBs.
+
+    The pair rows ride the sort as payloads (lbvh.fused_sorted_pairs):
+    two ~14 ms stable sorts replace the ~175 ms of permutation gathers
+    the old generate_triangles path paid at 1M."""
     aabb_min, aabb_max = scene_aabb(triangles)
-    if enable_pairs:
-        codes, values, num_leaves = generate_morton_codes_pairs(
-            triangles, aabb_min, aabb_max
-        )
-        num_leaves = jnp.int32(num_leaves)
-    else:
-        codes, values = generate_morton_codes(triangles, aabb_min, aabb_max)
-        num_leaves = jnp.int32(num_tris)
-    sorted_codes, sorted_values = sort_codes(codes, values)
-    pairs = generate_triangles(sorted_values, triangles)
-    packed = pack_pairs(pairs)
-    lo = jnp.minimum(jnp.minimum(pairs.v0, pairs.v1), jnp.minimum(pairs.v2, pairs.v3))
-    hi = jnp.maximum(jnp.maximum(pairs.v0, pairs.v1), jnp.maximum(pairs.v2, pairs.v3))
+    from tpu_raytracing.bvh.lbvh import fused_sorted_pairs
+
+    sorted_codes, rows, sorted_values, num_leaves = fused_sorted_pairs(
+        triangles, aabb_min, aabb_max, enable_pairs)
+    packed = PackedPairs(rows=rows)
+    v = jax.lax.bitcast_convert_type(rows[:, :12], jnp.float32).reshape(
+        -1, 4, 3)
+    lo = jnp.min(v, axis=1)
+    hi = jnp.max(v, axis=1)
     ccount_leaf = (sorted_values >> 31).astype(jnp.int32)  # second tri valid
     return sorted_codes, packed, lo, hi, ccount_leaf, num_leaves
 

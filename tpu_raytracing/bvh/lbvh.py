@@ -52,6 +52,96 @@ def scene_aabb(triangles: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.min(pts, axis=0), jnp.max(pts, axis=0)
 
 
+def fused_sorted_pairs(
+    triangles: jnp.ndarray, aabb_min: jnp.ndarray, aabb_max: jnp.ndarray,
+    enable_pairs: bool,
+):
+    """Morton sort that carries the PACKED PAIR ROWS as sort payloads.
+
+    Replaces generate_morton_codes[_pairs] + sort_codes +
+    generate_triangles for the bucket builder's front end. Measured on
+    the round-2 backend: a 9-payload 1M-entry stable sort costs ~14 ms
+    while the two channel-major vertex gathers by the sort permutation
+    cost ~175 ms. create_pairs is per-entry local, so the 16-word rows
+    are built BEFORE the sort and ride it in two stable passes (9 + 8
+    payloads — an 18-payload sort hits a Mosaic compile cliff). Invalid
+    entries carry key 0xFFFFFFFF and sort to the end, which also
+    replaces the dense-prefix compaction scatter of
+    generate_morton_codes_pairs.
+
+    Layout-identical to the old path: entries are interleaved
+    [A_0, B_0, A_1, B_1, ...] (the old compacted order), and a stable
+    sort only sees relative order, so ties land in the same slots.
+
+    Returns (sorted_codes, sorted_rows [n,16] int32, sorted_values,
+    num_leaves).
+    """
+    num = triangles.shape[0]
+    extent = aabb_max - aabb_min
+
+    def code_of(c):
+        return morton3d(jnp.clip((c - aabb_min) / extent, 0.0, 1.0))
+
+    if not enable_pairs:
+        idx = jnp.arange(num, dtype=jnp.int32)
+        codes = code_of(jnp.mean(triangles, axis=1))
+        values = idx.astype(jnp.uint32)
+        from tpu_raytracing.trace.traverse import pack_pairs
+
+        rows = pack_pairs(create_pairs(
+            triangles, triangles, idx, idx, jnp.zeros((num,), bool))).rows
+    else:
+        num_even = (num + 1) // 2
+        a = triangles[0::2]
+        has_b = jnp.arange(num_even) * 2 + 1 < num
+        tri_even = (jnp.concatenate([triangles, triangles[-1:]], axis=0)
+                    if num % 2 else triangles)
+        b = tri_even[1::2]
+        a_min, a_max = triangle_aabb(a[:, 0], a[:, 1], a[:, 2])
+        b_min, b_max = triangle_aabb(b[:, 0], b[:, 1], b[:, 2])
+        c_min = jnp.minimum(a_min, b_min)
+        c_max = jnp.maximum(a_max, b_max)
+        can, _, _ = can_form_pair(a, b)
+        merge = has_b & can & should_form_pair(
+            a_min, a_max, b_min, b_max, c_min, c_max)
+        centre_a = jnp.mean(a, axis=1)
+        centre_b = jnp.mean(b, axis=1)
+        centre_first = jnp.where(
+            merge[:, None], (centre_a + centre_b) * 0.5, centre_a)
+        tid = jnp.arange(num_even, dtype=jnp.uint32) * 2
+        codes_a = code_of(centre_first)
+        val_a = jnp.where(merge, tid | jnp.uint32(0x80000000), tid)
+        second_valid = has_b & ~merge
+        codes_b = jnp.where(second_valid, code_of(centre_b),
+                            jnp.uint32(0xFFFFFFFF))
+        val_b = tid + 1
+        from tpu_raytracing.trace.traverse import pack_pairs
+
+        idx_a = tid.astype(jnp.int32)
+        rows_a = pack_pairs(create_pairs(
+            a, b, idx_a, jnp.minimum(idx_a + 1, num - 1), merge)).rows
+        # B entries are always unpaired: create_pairs ignores its b/v3
+        # operand entirely (v3 = rotated v2, both ids = a's).
+        rows_b = pack_pairs(create_pairs(
+            b, b, jnp.minimum(idx_a + 1, num - 1),
+            jnp.minimum(idx_a + 1, num - 1),
+            jnp.zeros((num_even,), bool))).rows
+        codes = jnp.stack([codes_a, codes_b], axis=1).reshape(-1)[:num]
+        values = jnp.stack([val_a, val_b], axis=1).reshape(-1)[:num]
+        rows = jnp.stack([rows_a, rows_b], axis=1).reshape(-1, 16)[:num]
+
+    cols = [rows[:, i] for i in range(16)]
+    s1 = jax.lax.sort([codes] + cols[:9], num_keys=1, is_stable=True)
+    s2 = jax.lax.sort([codes] + cols[9:] + [values], num_keys=1,
+                      is_stable=True)
+    sorted_codes = s1[0]
+    sorted_rows = jnp.stack(list(s1[1:]) + list(s2[1:-1]), axis=1)
+    sorted_values = s2[-1]
+    num_leaves = jnp.sum(
+        (codes != jnp.uint32(0xFFFFFFFF)).astype(jnp.int32))
+    return sorted_codes, sorted_rows, sorted_values, num_leaves
+
+
 def generate_morton_codes(
     triangles: jnp.ndarray, aabb_min: jnp.ndarray, aabb_max: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
