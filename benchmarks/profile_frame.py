@@ -64,14 +64,16 @@ def main():
         t, enable_pairs=True, leaf_width=sp.LEAFW))(triangles)
     views = sp.prep_split_views(split, packed)
 
-    tracer = sp.make_split_pallas_tracer(None, None, RES, RES, c_slots=8)
+    # Mirror bench.py's per-pass configs exactly.
+    tracer = sp.make_split_pallas_tracer(None, None, RES, RES, c_slots=4)
     bounce_tracer = sp.make_split_pallas_tracer(
-        None, None, RES, RES, k=256, c_slots=8, sort_mode="presorted")
+        None, None, RES, RES, k=256, c_slots=16, sort_mode="presorted")
     shadow_tracer = sp.make_split_pallas_tracer(None, None, RES, RES,
-                                                any_hit=True, c_slots=8)
+                                                any_hit=True, c_slots=4)
     shadow_tracer_b = sp.make_split_pallas_tracer(None, None, RES, RES,
-                                                  any_hit=True, c_slots=8,
-                                                  sort_mode="presorted")
+                                                  k=256, any_hit=True,
+                                                  c_slots=8,
+                                                  sort_mode="origin")
     traced = pt._jitted_tracer(tracer)
     traced_b = pt._jitted_tracer(bounce_tracer)
     shadow_traced = pt._jitted_tracer(shadow_tracer)
@@ -100,8 +102,7 @@ def main():
                     views, packed, srays, alive, vary=(2, vary_rays))
     out = timed(
         "bounce stage 0 (shade+NEE+sample+sortcompact)",
-        lambda *a: pt._bounce_stage(*a, compaction=True, sort_cells=True,
-                                    sample_next=True),
+        pt._jit_bounce_stage(True, True, True),
         dev_scene, packed, rays, rec, srec.hit, throughput, radiance,
         alive, pixel, u_frame, max_t)
     radiance, throughput, alive, pixel, brays = out
@@ -117,8 +118,7 @@ def main():
                      views, packed, bsrays, alive, vary=(2, vary_rays))
     out = timed(
         "bounce stage 1 (shade+NEE only, final)",
-        lambda *a: pt._bounce_stage(*a, compaction=True, sort_cells=True,
-                                    sample_next=False),
+        pt._jit_bounce_stage(True, True, False),
         dev_scene, packed, brays, brec, bsrec.hit, throughput, radiance,
         alive, pixel, u_frame, max_t)
     radiance = out[0]

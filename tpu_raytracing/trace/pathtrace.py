@@ -111,7 +111,6 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
     )
 
     if compaction:
-        from tpu_raytracing.ops.gather import take_rows
         from tpu_raytracing.ops.morton import morton3d
 
         # Packet divergence is origin-driven (measured: origin-sorting
@@ -136,6 +135,13 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
             key = ((~alive).astype(jnp.int32) << 30) | (cell << 3) | octant
         else:
             key = (~alive).astype(jnp.int32)
+        # NOTE: replacing this argsort + permutation gathers with two
+        # multi-payload lax.sorts (the fused-build trick) CRASHED the
+        # remote compile helper when composed with the shading graph —
+        # the build's standalone payload sorts compile (slowly) but this
+        # jit kills the toolchain. Keep the gather form here.
+        from tpu_raytracing.ops.gather import take_rows
+
         perm = jnp.argsort(key, stable=True)
         new_rays = jax.tree.map(lambda a: take_rows(a, perm), new_rays)
         throughput = take_rows(throughput, perm)

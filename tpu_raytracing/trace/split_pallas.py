@@ -1087,6 +1087,11 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
             rec, stats = trace_rays_split_pallas(v, p, srt, active=act,
                                                  any_hit=any_hit, k=k,
                                                  c_slots=c_slots, leafw=leafw)
+            if any_hit:
+                # Occlusion consumers read only .hit — one bool gather
+                # instead of eight (stats stay in sorted order; the
+                # counters are packet-granularity anyway).
+                return rec.replace(hit=rec.hit[inv]), stats
             # closest-hit consumers need the whole record un-permuted
             rec = jax.tree.map(lambda a: take_rows(a, inv), rec)
             stats = jax.tree.map(lambda a: take_rows(a, inv), stats)
