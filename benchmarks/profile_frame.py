@@ -60,9 +60,13 @@ def main():
     camera = cam.camera_to_device(cam.update_camera(host_cam))
     triangles = jnp.asarray(scene.triangles)
 
-    split, packed = jax.jit(lambda t: bucket.build_bucket_split(
-        t, enable_pairs=True, leaf_width=sp.LEAFW))(triangles)
-    views = sp.prep_split_views(split, packed)
+    # prep_split_views must run INSIDE the build jit: eager prep emits
+    # view layouts the kernel DMAs hit badly (primary measured 271 ms on
+    # eagerly-prepped views vs 132 on jit-prepped — probe_mt vs the old
+    # profile; bench preps in-jit and its frame total matches 132).
+    views, packed = jax.jit(lambda t: (lambda s, p: (
+        sp.prep_split_views(s, p), p))(*bucket.build_bucket_split(
+            t, enable_pairs=True, leaf_width=sp.LEAFW)))(triangles)
 
     # Mirror bench.py's per-pass configs exactly.
     tracer = sp.make_split_pallas_tracer(None, None, RES, RES, c_slots=4)
