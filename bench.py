@@ -56,12 +56,16 @@ def main():
     # dense sorted-order passes, no binary tree; Karras+collapse (the
     # reference-parity path, ~4.2 s at 1M) and the gather-free implicit
     # heap (~140 ms, but ~30x worse trees) remain available. ---
-    def full_build(tris):
-        split, packed = bucket.build_bucket_split(
-            tris, enable_pairs=True, leaf_width=sp.LEAFW)
-        return sp.prep_split_views(split, packed), packed, split.num_inner
+    # Two-stage jit: the payload-sort front composed with the emitter in
+    # ONE jit costs a multi-minute XLA compile (docs/TPU_NOTES.md);
+    # staged, each side compiles in ~a minute with no runtime cost.
+    _front = jax.jit(lambda tris: bucket.split_front(tris, enable_pairs=True))
+    _emit = jax.jit(lambda front: (lambda s, p: (
+        sp.prep_split_views(s, p), p, s.num_inner))(
+        *bucket.emit_split(front, leaf_width=sp.LEAFW)))
 
-    _build3 = jax.jit(full_build)
+    def _build3(tris):
+        return _emit(_front(tris))
 
     def build(tris):
         views, packed, _ = _build3(tris)

@@ -181,30 +181,40 @@ def main(argv=None):
     if args.tracer == "split":
         # Pallas split-BVH kernel: its own Morton-bucket build (the binary
         # --type build above still provides frame-0 hierarchy validation).
-        from tpu_raytracing.bvh.bucket import build_bucket_split, check_inner_capacity
+        from tpu_raytracing.bvh.bucket import check_inner_capacity
         from tpu_raytracing.trace import split_pallas as sp_mod
 
         tracer = sp_mod.make_split_pallas_tracer(
             None, None, args.width, args.height
         )
 
-        @jax.jit
-        def _split_build(tris):
-            if args.build_type == BuildType.SAH and not args.splits:
-                # SAH-quality tree for the flagship kernel
-                # (bvh/split_convert.py); spatial splits fall back to the
-                # Morton-bucket build below.
-                from tpu_raytracing.bvh.split_convert import build_sah_split
+        if args.build_type == BuildType.SAH and not args.splits:
+            # SAH-quality tree for the flagship kernel
+            # (bvh/split_convert.py); spatial splits fall back to the
+            # Morton-bucket build below.
+            from tpu_raytracing.bvh.split_convert import build_sah_split
 
+            @jax.jit
+            def _split_build(tris):
                 split, packed2 = build_sah_split(
                     tris, enable_pairs=args.pairs,
                     leaf_width=sp_mod.LEAFW)
-            else:
-                split, packed2 = build_bucket_split(
-                    tris, enable_pairs=args.pairs, leaf_width=sp_mod.LEAFW
-                )
-            return (sp_mod.prep_split_views(split, packed2), packed2,
-                    split.num_inner)
+                return (sp_mod.prep_split_views(split, packed2), packed2,
+                        split.num_inner)
+        else:
+            # Staged jits: the payload-sort front composed with the
+            # emitter in one jit costs a multi-minute compile
+            # (docs/TPU_NOTES.md).
+            from tpu_raytracing.bvh.bucket import emit_split, split_front
+
+            _front = jax.jit(
+                lambda tris: split_front(tris, enable_pairs=args.pairs))
+            _emit = jax.jit(lambda front: (lambda s, p: (
+                sp_mod.prep_split_views(s, p), p, s.num_inner))(
+                *emit_split(front, leaf_width=sp_mod.LEAFW)))
+
+            def _split_build(tris):
+                return _emit(_front(tris))
 
         _checked = []
 

@@ -597,14 +597,32 @@ def build_bucket_split(
     (docs/TPU_NOTES.md split-build accounting) collapse into three
     batched [L, n] scans plus a handful of small gathers.
     """
+    front = split_front(triangles, enable_pairs)
+    return emit_split(front, leaf_width=leaf_width, inner_width=inner_width)
+
+
+def split_front(triangles: jnp.ndarray, enable_pairs: bool = False):
+    """The build's sort-heavy front end as a standalone stage.
+
+    Callers that jit the whole build pay a multi-minute XLA compile for
+    the payload sorts composed with the emitter graph; jitting
+    split_front and emit_split separately compiles each in ~a minute
+    with no runtime cost (the front's outputs are materialized sort
+    results either way). bench.py and the app use the staged form."""
+    return _sorted_leaves(triangles, enable_pairs)
+
+
+def emit_split(
+    front, leaf_width: int = 16, inner_width: int = 8,
+) -> Tuple[SplitBVH, PackedPairs]:
+    """Emit the SplitBVH from a split_front result (see build_bucket_split)."""
     assert inner_width in (8, 16), inner_width
     assert leaf_width >= inner_width, (
         f"leaf_width {leaf_width} < inner_width {inner_width}")
     bits = inner_width.bit_length() - 1
     width = inner_width
-    n = triangles.shape[0]
-    (sorted_codes, packed, lo, hi, _ccount,
-     num_leaves) = _sorted_leaves(triangles, enable_pairs)
+    (sorted_codes, packed, lo, hi, _ccount, num_leaves) = front
+    n = sorted_codes.shape[0]
 
     # Zero sentinel pairs (same reasoning as v1: windows may overlap the
     # padded tail; zero vertices never intersect).
