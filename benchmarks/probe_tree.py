@@ -3,6 +3,16 @@
 Same rays (bounce set derived once from the bucket-tree primary hit set),
 same kernel configs as bench; prints per-pass ms + pop counts for each
 tree. Localizes how much of the bounce pass's 1166 ms is tree quality.
+
+ROUND-2 STATUS: never completed at 1M. The first run crashed the compile
+helper (fixed: split_convert's carried-gather fixed point replaced by
+write-time segments); the retry then sat >20 min inside the SAH
+frontier_build itself — its ~50 levels each scatter into loop-carried
+arena buffers (the documented carried-operand pathology), so the SAH
+BUILD at 1M is minutes-slow regardless of the converter. Run at
+TPURT_BENCH_TRIS<=250000, or restructure frontier_build's arena writes
+(sort-carried, like lbvh.fused_sorted_pairs) before re-attempting 1M.
+Tree quality is a ~1.3x lever vs the ~23x packet-union waste — deferred.
 """
 
 from __future__ import annotations
