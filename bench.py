@@ -15,6 +15,11 @@ import sys
 import time
 
 import jax
+
+if os.environ.get("TPURT_PLATFORM") == "cpu":
+    # Debug/CI escape hatch (the env-var form is too late on this image —
+    # sitecustomize imports jax first; the config update still works).
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 
@@ -61,11 +66,11 @@ def main():
     # staged, each side compiles in ~a minute with no runtime cost.
     _front = jax.jit(lambda tris: bucket.split_front(tris, enable_pairs=True))
     _emit = jax.jit(lambda front: (lambda s, p: (
-        sp.prep_split_views(s, p), p, s.num_inner))(
+        sp.prep_split_views(s, p), p, s.num_inner, s))(
         *bucket.emit_split(front, leaf_width=sp.LEAFW)))
 
     def _build3(tris):
-        return _emit(_front(tris))
+        return _emit(_front(tris))[:3]
 
     def build(tris):
         views, packed, _ = _build3(tris)
@@ -84,6 +89,30 @@ def main():
     float(jnp.sum(views[0][0]).astype(jnp.float32))
     build_ms = (time.perf_counter() - t0) / iters * 1000.0
     log(f"split-BVH rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
+
+    # Topology-preserving refit (bvh/bucket.py:refit_split): the per-frame
+    # path for animated scenes with fixed topology — exact AABB refresh
+    # from deformed pair rows, tree kept. Secondary metric (stderr only;
+    # the JSON line stays the full rebuild-backed trace number).
+    _, packed0, _, split0 = _emit(_front(triangles))
+
+    def _deform_refit(s, rows, d):
+        # in-jit affine vertex shift (defeats memoization) + refit
+        v = jax.lax.bitcast_convert_type(rows[:, :12], jnp.float32) + d
+        rows = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(v, jnp.int32), rows[:, 12:]],
+            axis=1)
+        return bucket.refit_split(s, type(packed0)(rows=rows))
+
+    _refit = jax.jit(_deform_refit)
+    sref = _refit(split0, packed0.rows, 0.0)
+    float(jnp.sum(sref.inner[0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        sref = _refit(split0, packed0.rows, (i + 1) * 1e-4)
+    float(jnp.sum(sref.inner[0].astype(jnp.float32)))
+    refit_ms = (time.perf_counter() - t0) / iters * 1000.0
+    log(f"split-BVH refit (fixed topology): {refit_ms:.2f} ms/frame")
 
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
     # Split-BVH Pallas kernel (trace/split_pallas.py): C packet slots with

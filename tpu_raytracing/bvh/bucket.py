@@ -389,6 +389,55 @@ class SplitBVH:
     # leafw must equal this (a larger trace window would DMA past the live
     # bucket; smaller would miss geometry).
     leaf_width: int = flax.struct.field(pytree_node=False, default=16)
+    # Optional [ICAP, W, 2] int32 — each entry's (start, count) leaf range
+    # in the sorted pair order, written by emit_split. Enables
+    # refit_split (topology-preserving per-frame AABB refresh); None for
+    # builders that don't emit it (v1, split_convert).
+    e_ranges: jnp.ndarray = None
+
+
+def _range_min_table(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """[K, 8, n] sparse range-min table over sorted leaf boxes.
+
+    Packed [8, n]: rows 0-2 lo.xyz, rows 3-5 -hi.xyz (all min-reduced),
+    rows 6-7 +inf pad. K = floor(log2 n) + 1 dense shifted-min passes."""
+    n = lo.shape[0]
+    base = jnp.concatenate(
+        [lo.T, -hi.T, jnp.full((2, n), _F32_MAX, jnp.float32)], axis=0)
+    K = max(int(math.floor(math.log2(max(n, 1)))) + 1, 1)
+    tbl = [base]
+    cur = base
+    for kk in range(1, K):
+        d = 1 << (kk - 1)
+        if d < n:
+            shifted = jnp.concatenate(
+                [cur[:, d:], jnp.full((8, d), _F32_MAX, jnp.float32)],
+                axis=1)
+            cur = jnp.minimum(cur, shifted)
+        tbl.append(cur)
+    return jnp.stack(tbl, axis=0)  # [K, 8, n]
+
+
+def _range_lookup(tbl: jnp.ndarray, e_start: jnp.ndarray,
+                  e_count: jnp.ndarray):
+    """Range-min query: AABB of sorted leaves [start, start+count) per
+    entry. Returns (e_lo [E, 3], e_hi [E, 3]); count 0 queries are the
+    caller's to mask."""
+    K, _, n = tbl.shape
+    ln = jnp.maximum(e_count, 1)
+    klev = jnp.int32(31) - jax.lax.clz(ln)
+    klev = jnp.minimum(klev, K - 1)
+    pa = jnp.clip(e_start, 0, n - 1)
+    pb = jnp.clip(e_start + ln - (jnp.int32(1) << klev), 0, n - 1)
+    chans = []
+    flat_tbl = tbl.transpose(1, 0, 2).reshape(8, K * n)  # [8, K*n]
+    for r in range(6):
+        va = flat_tbl[r, :][klev * n + pa]
+        vb = flat_tbl[r, :][klev * n + pb]
+        chans.append(jnp.minimum(va, vb))
+    e_lo = jnp.stack(chans[0:3], axis=1)       # [E, 3]
+    e_hi = -jnp.stack(chans[3:6], axis=1)      # [E, 3]
+    return e_lo, e_hi
 
 
 def _inner_cap(n: int, leaf_width: int) -> int:
@@ -725,36 +774,7 @@ def emit_split(
     e_j = eidx - run_start
 
     # --- node AABBs: shared sparse range-min table over leaf boxes ---
-    # Packed [8, n]: rows 0-2 lo.xyz, rows 3-5 -hi.xyz (all min-reduced),
-    # rows 6-7 +inf pad.
-    base = jnp.concatenate(
-        [lo.T, -hi.T, jnp.full((2, n), _F32_MAX, jnp.float32)], axis=0)
-    K = max(int(math.floor(math.log2(max(n, 1)))) + 1, 1)
-    tbl = [base]
-    cur = base
-    for kk in range(1, K):
-        d = 1 << (kk - 1)
-        if d < n:
-            shifted = jnp.concatenate(
-                [cur[:, d:], jnp.full((8, d), _F32_MAX, jnp.float32)],
-                axis=1)
-            cur = jnp.minimum(cur, shifted)
-        tbl.append(cur)
-    tbl = jnp.stack(tbl, axis=0)  # [K, 8, n]
-
-    ln = jnp.maximum(e_count, 1)
-    klev = jnp.int32(31) - jax.lax.clz(ln)
-    klev = jnp.minimum(klev, K - 1)
-    pa = jnp.clip(e_start, 0, n - 1)
-    pb = jnp.clip(e_start + ln - (jnp.int32(1) << klev), 0, n - 1)
-    chans = []
-    flat_tbl = tbl.transpose(1, 0, 2).reshape(8, K * n)  # [8, K*n]
-    for r in range(6):
-        va = flat_tbl[r, :][klev * n + pa]
-        vb = flat_tbl[r, :][klev * n + pb]
-        chans.append(jnp.minimum(va, vb))
-    e_lo = jnp.stack(chans[0:3], axis=1)       # [E, 3]
-    e_hi = -jnp.stack(chans[3:6], axis=1)      # [E, 3]
+    e_lo, e_hi = _range_lookup(_range_min_table(lo, hi), e_start, e_count)
 
     # --- entry words + one scatter ---
     f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
@@ -792,6 +812,10 @@ def emit_split(
                      icap * inner_width)  # out of range -> dropped
     inner = inner.at[dest].set(words, mode="drop")
     inner = inner.reshape(icap, inner_width * 8)
+    # Per-entry leaf ranges (count 0 = empty slot) for refit_split.
+    e_ranges = jnp.zeros((icap * inner_width, 2), jnp.int32).at[dest].set(
+        jnp.stack([e_start, e_count], axis=1), mode="drop")
+    e_ranges = e_ranges.reshape(icap, inner_width, 2)
 
     # --- root: copy the effective root's row into slot 0, or synthesize
     # a single-Tri row when the whole scene is one terminal bucket ---
@@ -809,5 +833,45 @@ def emit_split(
         jnp.zeros((inner_width * 8 - 8,), jnp.int32),
     ])
     inner = inner.at[0].set(jnp.where(root_is_leaf, leaf_row, copied))
+    leaf_rr = jnp.zeros((inner_width, 2), jnp.int32).at[0].set(
+        jnp.stack([jnp.int32(0), num_leaves]))
+    e_ranges = e_ranges.at[0].set(jnp.where(
+        root_is_leaf, leaf_rr, e_ranges[jnp.clip(root_id, 0, icap - 1)]))
     return SplitBVH(inner=inner, num_inner=num_inner,
-                    num_leaves=num_leaves, leaf_width=leaf_width), packed
+                    num_leaves=num_leaves, leaf_width=leaf_width,
+                    e_ranges=e_ranges), packed
+
+
+def refit_split(split: SplitBVH, packed: PackedPairs) -> SplitBVH:
+    """Topology-preserving refit: refresh every inner entry's AABB from
+    the CURRENT pair rows, keeping the tree (metas, windows, row ids).
+
+    The TPU-native answer to per-frame rebuild for animated scenes with
+    fixed topology (the reference rebuilds per frame because its GPU
+    build is ms-cheap, src/main.cu:225-247; on this backend a full
+    rebuild is ~420 ms at 1M while this refit is ~2 dense passes + the
+    range-min table). The caller animates ``packed.rows`` in sorted-pair
+    order (vertex words 0-11); degenerate sentinel rows stay degenerate
+    under any affine deformation, so window overlap into the padded tail
+    remains safe. Requires ``split.e_ranges`` (emitted by emit_split).
+    """
+    assert split.e_ranges is not None, (
+        "refit_split needs e_ranges (build with emit_split / "
+        "build_bucket_split)")
+    rows = packed.rows
+    icap, row_words = split.inner.shape
+    w = row_words // 8
+    v = jax.lax.bitcast_convert_type(rows[:, :12], jnp.float32).reshape(
+        -1, 4, 3)
+    lo = jnp.min(v, axis=1)
+    hi = jnp.max(v, axis=1)
+    e_start = split.e_ranges[..., 0].reshape(-1)
+    e_count = split.e_ranges[..., 1].reshape(-1)
+    e_lo, e_hi = _range_lookup(_range_min_table(lo, hi), e_start, e_count)
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    old = split.inner.reshape(icap * w, 8)
+    words = jnp.concatenate(
+        [f2i(e_lo), f2i(e_hi), old[:, 6:8]], axis=1)
+    # Empty slots (count 0) keep their NONE/inverted-box words.
+    words = jnp.where((e_count > 0)[:, None], words, old)
+    return split.replace(inner=words.reshape(icap, row_words))
