@@ -4,15 +4,11 @@ Same rays (bounce set derived once from the bucket-tree primary hit set),
 same kernel configs as bench; prints per-pass ms + pop counts for each
 tree. Localizes how much of the bounce pass's 1166 ms is tree quality.
 
-ROUND-2 STATUS: never completed at 1M. The first run crashed the compile
-helper (fixed: split_convert's carried-gather fixed point replaced by
-write-time segments); the retry then sat >20 min inside the SAH
-frontier_build itself — its ~50 levels each scatter into loop-carried
-arena buffers (the documented carried-operand pathology), so the SAH
-BUILD at 1M is minutes-slow regardless of the converter. Run at
-TPURT_BENCH_TRIS<=250000, or restructure frontier_build's arena writes
-(sort-carried, like lbvh.fused_sorted_pairs) before re-attempting 1M.
-Tree quality is a ~1.3x lever vs the ~23x packet-union waste — deferred.
+ROUND-2 STATUS: the while_loop SAH frontier at 1M sat >20 min (its ~50
+levels each scatter into loop-carried arena buffers — the documented
+carried-operand pathology). The host-stepped frontier (one jitted step
+per level, arena passed as jit ARGUMENTS) sidesteps it; this probe now
+uses build_sah_split(host_stepped=True) so the 1M comparison can run.
 """
 
 from __future__ import annotations
@@ -69,12 +65,18 @@ def main():
     log(f"bucket build (cold): {time.perf_counter() - t0:.1f} s")
 
     t0 = time.perf_counter()
-    split_s, packed_s = jax.jit(
-        lambda t: build_sah_split(t, enable_pairs=True,
-                                  leaf_width=sp.LEAFW))(triangles)
-    views_s = sp.prep_split_views(split_s, packed_s)
+    split_s, packed_s = build_sah_split(
+        triangles, enable_pairs=True, leaf_width=sp.LEAFW,
+        host_stepped=True)
+    views_s = jax.jit(sp.prep_split_views)(split_s, packed_s)
     jax.block_until_ready(views_s)
-    log(f"sah build (cold): {time.perf_counter() - t0:.1f} s")
+    log(f"sah build host-stepped (cold): {time.perf_counter() - t0:.1f} s")
+    t0 = time.perf_counter()
+    split_s2, packed_s2 = build_sah_split(
+        triangles, enable_pairs=True, leaf_width=sp.LEAFW,
+        host_stepped=True)
+    jax.block_until_ready(split_s2.inner)
+    log(f"sah build host-stepped (warm): {time.perf_counter() - t0:.2f} s")
 
     num = res * res
     rays = jax.jit(generate_primary_rays, static_argnames=("width", "height"))(

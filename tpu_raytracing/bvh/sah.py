@@ -236,6 +236,275 @@ def _write_segments(arena: Arena, slots, mask, start, count, depth) -> Arena:
     )
 
 
+def _level_step(leaves: LeafInput, s: dict, max_levels: int) -> dict:
+    """One frontier level (the shared body of ``frontier_build``).
+
+    ``leaves`` is an explicit argument (not a closure) so the
+    host-stepped driver can jit this with the big per-leaf arrays riding
+    as jit ARGUMENTS — closure constants overflow the remote-compile
+    payload at 1M-tri scale and re-stage per call (docs/TPU_NOTES.md).
+    """
+    cap = leaves.aabb_min.shape[0]
+    tcap = int(s["tstart"].shape[0])
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    tslot = jnp.arange(tcap, dtype=jnp.int32)
+
+    ids = s["ids"]
+    tstart, tend, tparent = s["tstart"], s["tend"], s["tparent"]
+    tcmin, tcmax, tpmin, tpmax = s["tcmin"], s["tcmax"], s["tpmin"], s["tpmax"]
+    ntasks = s["ntasks"]
+    arena = s["arena"]
+
+    active = tslot < ntasks
+    counts = jnp.where(active, tend - tstart, 0)
+    is_leaf1 = active & (counts == 1)
+    is_leaf2 = active & (counts == 2)
+    is_split = active & (counts > LEAF_THRESHOLD)
+    degen = is_split & (
+        (_sa(tcmin, tcmax) <= 0.0) | (s["level"] >= max_levels)
+    )
+
+    # Debug-mode invariants (the reference's CheckTask,
+    # src/SharedTaskBuilder.cu:169-195): task ranges well-formed and
+    # the centroid AABB contained in the primitive AABB.
+    invariants.check(
+        jnp.all(jnp.where(active,
+                          (tstart >= 0) & (tend >= tstart) & (tend <= cap),
+                          True)),
+        "SAH task range invalid (CheckTask)")
+    invariants.check(
+        jnp.all(jnp.where(active[:, None],
+                          (tcmin >= tpmin) & (tcmax <= tpmax)
+                          & (tcmin <= tcmax), True)),
+        "SAH task centroid bounds invalid (CheckTask)")
+
+    # ---- leaf retirement (src/SharedTaskBuilder.cu:396-463) ----
+    lid1 = ids[jnp.clip(tstart, 0, cap - 1)]
+    arena = _write_nodes(
+        arena,
+        tparent,
+        leaves.aabb_min[lid1],
+        leaves.aabb_max[lid1],
+        leaves.child[lid1],
+        leaves.count[lid1],
+        leaves.type[lid1],
+        is_leaf1,
+    )
+    oob_slot = jnp.int32(arena.child.shape[0])
+
+    def graft_parents(arena, lid, slot, mask):
+        """Box-type grafted leaves adopt their target group's slots so
+        parent-pointer depth stays continuous across the graft (the wide
+        collapse's anchor rule is depth arithmetic)."""
+        is_graft = mask & (leaves.type[lid] == CHILD_BOX)
+        for j in range(2):
+            tgt = jnp.where(
+                is_graft & (j < leaves.count[lid]),
+                leaves.child[lid] + j,
+                oob_slot,
+            )
+            arena = arena.replace(
+                parent=arena.parent.at[tgt].set(slot, mode="drop")
+            )
+        return arena
+
+    arena = graft_parents(arena, lid1, tparent, is_leaf1)
+    arena = _write_segments(arena, tparent, is_leaf1, tstart, 1,
+                            s["level"])
+    n_leaf2 = jnp.sum(is_leaf2.astype(jnp.int32))
+    rank2 = jnp.cumsum(is_leaf2.astype(jnp.int32)) - is_leaf2.astype(jnp.int32)
+    base2 = arena.wptr + 2 * rank2
+    for j in range(2):
+        lidj = ids[jnp.clip(tstart + j, 0, cap - 1)]
+        arena = _write_nodes(
+            arena,
+            base2 + j,
+            leaves.aabb_min[lidj],
+            leaves.aabb_max[lidj],
+            leaves.child[lidj],
+            leaves.count[lidj],
+            leaves.type[lidj],
+            is_leaf2,
+            parent=tparent,
+        )
+        arena = graft_parents(arena, lidj, base2 + j, is_leaf2)
+        arena = _write_segments(arena, base2 + j, is_leaf2, tstart + j, 1,
+                                s["level"] + 1)
+    arena = _write_nodes(
+        arena, tparent, tpmin, tpmax, base2,
+        jnp.full((tcap,), 2, jnp.int32),
+        jnp.full((tcap,), CHILD_BOX, jnp.int32), is_leaf2,
+    )
+    arena = _write_segments(arena, tparent, is_leaf2, tstart, 2,
+                            s["level"])
+    arena = arena.replace(wptr=arena.wptr + 2 * n_leaf2)
+
+    # ---- interior-node allocation (src/SharedTaskBuilder.cu:544-560) ----
+    n_split = jnp.sum(is_split.astype(jnp.int32))
+    rank_s = jnp.cumsum(is_split.astype(jnp.int32)) - is_split.astype(jnp.int32)
+    child_idx = arena.wptr + 2 * rank_s
+    arena = _write_nodes(
+        arena, tparent, tpmin, tpmax, child_idx,
+        jnp.full((tcap,), 2, jnp.int32),
+        jnp.full((tcap,), CHILD_BOX, jnp.int32), is_split,
+    )
+    arena = _write_segments(arena, tparent, is_split, tstart, counts,
+                            s["level"])
+    # Children slots record their parent for the wide collapse's depth
+    # arithmetic.
+    oob = jnp.int32(arena.child.shape[0])
+    for j in range(2):
+        pidx = jnp.where(is_split, child_idx + j, oob)
+        arena = arena.replace(
+            parent=arena.parent.at[pidx].set(tparent, mode="drop")
+        )
+    arena = arena.replace(wptr=arena.wptr + 2 * n_split)
+
+    # ---- per-primitive task/bin assignment ----
+    scat = jnp.full((cap,), -1, jnp.int32)
+    starts_clip = jnp.where(active & (counts > 0), tstart, cap)
+    scat = scat.at[starts_clip].set(tslot, mode="drop")
+    task_of = jax.lax.associative_scan(jnp.maximum, scat)
+    in_live = jnp.where(task_of >= 0, pos < tend[jnp.clip(task_of, 0, tcap - 1)], False)
+    t = jnp.clip(task_of, 0, tcap - 1)
+    splitting = in_live & is_split[t]
+
+    lmin = leaves.aabb_min[ids]
+    lmax = leaves.aabb_max[ids]
+    centre = (lmin + lmax) * 0.5
+    axis = _select_axis(tcmin, tcmax)[t]
+    cmin_t = jnp.take_along_axis(tcmin[t], axis[:, None], axis=1)[:, 0]
+    cmax_t = jnp.take_along_axis(tcmax[t], axis[:, None], axis=1)[:, 0]
+    c_t = jnp.take_along_axis(centre, axis[:, None], axis=1)[:, 0]
+    k1 = NUM_BINS * (1.0 - BIN_EPS) / (cmax_t - cmin_t)
+    bin_sah = jnp.clip((k1 * (c_t - cmin_t)).astype(jnp.int32), 0, NUM_BINS - 1)
+    local = pos - tstart[t]
+    bin_mid = (local >= (counts[t] >> 1)).astype(jnp.int32)
+    bin_id = jnp.where(degen[t], bin_mid, bin_sah)
+    # Bin indices in range (src/SharedTaskBuilder.cu:224-235).
+    invariants.check(
+        jnp.all(jnp.where(splitting, (bin_id >= 0) & (bin_id < NUM_BINS),
+                          True)),
+        "SAH bin index out of range")
+    # Retired/gap/padded primitives keep their position: bin 15 sorts
+    # after any live bin of the same preceding task.
+    bin_id = jnp.where(splitting, bin_id, 15)
+    key = (task_of + 1) * 16 + bin_id
+    key = jnp.where(pos < leaves.num_leaves, key, (tcap + 2) * 16)
+
+    _, ids_new = jax.lax.sort_key_val(key, ids, is_stable=True)
+
+    # ---- segmented SAH sweep over the sorted order ----
+    lmin = leaves.aabb_min[ids_new]
+    lmax = leaves.aabb_max[ids_new]
+    centre = (lmin + lmax) * 0.5
+    start_flags = jnp.zeros((cap,), bool).at[
+        jnp.where(is_split, tstart, cap)
+    ].set(True, mode="drop")
+    end_flags = jnp.zeros((cap,), bool).at[
+        jnp.where(is_split, tend - 1, cap)
+    ].set(True, mode="drop")
+    fwd = segmented_scan(
+        jnp.concatenate([lmin, centre, -lmax, -centre], axis=1),
+        start_flags, jnp.minimum,
+    )
+    bwd = segmented_scan(
+        jnp.concatenate([lmin, centre, -lmax, -centre], axis=1),
+        end_flags, jnp.minimum, reverse=True,
+    )
+
+    # Boundary counts need the one-hot bin histogram in *sorted* order;
+    # carry bin and task ids through the same stable sort.
+    _, bin_sorted = jax.lax.sort_key_val(key, jnp.where(splitting, bin_id, 15),
+                                         is_stable=True)
+    _, task_sorted = jax.lax.sort_key_val(key, jnp.where(splitting, t, tcap),
+                                          is_stable=True)
+    onehot = (
+        (bin_sorted[:, None] == jnp.arange(NUM_BINS)[None, :])
+        & (task_sorted < tcap)[:, None]
+    ).astype(jnp.int32)
+    csum = jnp.cumsum(onehot, axis=0)  # [L, 8]
+    end_idx = jnp.clip(tend - 1, 0, cap - 1)
+    start_idx = jnp.clip(tstart - 1, 0, cap - 1)
+    cnt_end = csum[end_idx]  # [T, 8]
+    cnt_start = jnp.where((tstart > 0)[:, None], csum[start_idx], 0)
+    bin_counts = cnt_end - cnt_start  # per-task per-bin counts
+    cl = jnp.cumsum(bin_counts, axis=1)  # [T, 8]: count with bin <= b
+
+    def plane_fields(clb):
+        boundary = tstart + clb
+        left = fwd[jnp.clip(boundary - 1, 0, cap - 1)]
+        right = bwd[jnp.clip(boundary, 0, cap - 1)]
+        return left, right
+
+    best_score = jnp.full((tcap,), _F32_MAX)
+    best_cl = jnp.zeros((tcap,), jnp.int32)
+    # Right-to-left strict improvement keeps the largest bin on ties
+    # (src/SharedTaskBuilder.cu:313-327).
+    for b in range(NUM_BINS - 2, -1, -1):
+        clb = cl[:, b]
+        left, right = plane_fields(clb)
+        l_pmin, l_pmax = left[:, 0:3], -left[:, 6:9]
+        r_pmin, r_pmax = right[:, 0:3], -right[:, 6:9]
+        nl = clb.astype(jnp.float32)
+        nr = (counts - clb).astype(jnp.float32)
+        score = _sa(l_pmin, l_pmax) * nl + _sa(r_pmin, r_pmax) * nr
+        valid = (clb > 0) & (clb < counts)
+        take = valid & (score < best_score)
+        best_score = jnp.where(take, score, best_score)
+        best_cl = jnp.where(take, clb, best_cl)
+    best_cl = jnp.where(degen, counts >> 1, best_cl)
+    # Plane found/valid (src/SharedTaskBuilder.cu:329-347): a
+    # non-degenerate split task must have found a proper SAH plane.
+    invariants.check(
+        jnp.all(jnp.where(is_split & ~degen,
+                          (best_cl > 0) & (best_cl < counts), True)),
+        "no valid SAH plane for a split task")
+    # A split task with no valid SAH plane cannot occur (binning spreads
+    # the longest non-degenerate centroid axis over >= 2 bins), but fall
+    # back to midpoint defensively rather than dropping primitives.
+    best_cl = jnp.where(is_split & (best_cl == 0), counts >> 1, best_cl)
+
+    mid = tstart + best_cl
+    left, right = plane_fields(best_cl)
+    l_pmin, l_cmin, l_pmax, l_cmax = (
+        left[:, 0:3], left[:, 3:6], -left[:, 6:9], -left[:, 9:12]
+    )
+    r_pmin, r_cmin, r_pmax, r_cmax = (
+        right[:, 0:3], right[:, 3:6], -right[:, 6:9], -right[:, 9:12]
+    )
+
+    # ---- new frontier (children of splitting tasks, slot-ordered) ----
+    new_n = 2 * n_split
+    lslot = jnp.where(is_split, 2 * rank_s, tcap)
+    rslot = jnp.where(is_split, 2 * rank_s + 1, tcap)
+
+    def scat2(l_vals, r_vals, fill):
+        out = jnp.full((tcap,) + l_vals.shape[1:], fill, l_vals.dtype)
+        out = out.at[lslot].set(l_vals, mode="drop")
+        out = out.at[rslot].set(r_vals, mode="drop")
+        return out
+
+    return dict(
+        ids=ids_new,
+        tstart=scat2(tstart, mid, 0),
+        tend=scat2(mid, tend, 0),
+        tparent=scat2(child_idx, child_idx + 1, 0),
+        tpmin=scat2(l_pmin, r_pmin, 0.0),
+        tpmax=scat2(l_pmax, r_pmax, 0.0),
+        tcmin=scat2(l_cmin, r_cmin, 0.0),
+        tcmax=scat2(l_cmax, r_cmax, 0.0),
+        ntasks=new_n,
+        arena=arena,
+        level=s["level"] + 1,
+    )
+
+
+# Cached across host-stepped builds: one compile per (shape, max_levels)
+# combination, reused for every level and every subsequent rebuild.
+_level_step_jit = jax.jit(_level_step, static_argnums=(2,))
+
+
 def frontier_build(
     leaves: LeafInput,
     arena: Arena,
@@ -246,8 +515,18 @@ def frontier_build(
     ids0: Optional[jnp.ndarray] = None,
     max_levels: Optional[int] = None,
     return_ids: bool = False,
+    host_stepped: bool = False,
 ) -> Arena:
     """Level-synchronous binned-SAH build over ``leaves``.
+
+    ``host_stepped=True`` runs the level loop on the host (one jitted
+    step per level, a ~40 ms ntasks fetch between levels) instead of one
+    lax.while_loop. Inside the while_loop every arena scatter targets a
+    LOOP-CARRIED buffer — the measured ~1000x gather/scatter pathology
+    on this backend (docs/TPU_NOTES.md) that made the 1M-tri SAH build
+    minutes-slow; host-stepping turns the arena into jit arguments (the
+    fast case). Only valid when frontier_build itself is NOT called
+    under jit.
 
     Seeds are disjoint, start-ordered, non-empty ranges of the initial leaf
     permutation ``ids0`` (identity by default). Each level every frontier
@@ -322,257 +601,14 @@ def frontier_build(
         return s["ntasks"] > 0
 
     def body(s):
-        ids = s["ids"]
-        tstart, tend, tparent = s["tstart"], s["tend"], s["tparent"]
-        tcmin, tcmax, tpmin, tpmax = s["tcmin"], s["tcmax"], s["tpmin"], s["tpmax"]
-        ntasks = s["ntasks"]
-        arena = s["arena"]
+        return _level_step(leaves, s, max_levels)
 
-        active = tslot < ntasks
-        counts = jnp.where(active, tend - tstart, 0)
-        is_leaf1 = active & (counts == 1)
-        is_leaf2 = active & (counts == 2)
-        is_split = active & (counts > LEAF_THRESHOLD)
-        degen = is_split & (
-            (_sa(tcmin, tcmax) <= 0.0) | (s["level"] >= max_levels)
-        )
-
-        # Debug-mode invariants (the reference's CheckTask,
-        # src/SharedTaskBuilder.cu:169-195): task ranges well-formed and
-        # the centroid AABB contained in the primitive AABB.
-        invariants.check(
-            jnp.all(jnp.where(active,
-                              (tstart >= 0) & (tend >= tstart) & (tend <= cap),
-                              True)),
-            "SAH task range invalid (CheckTask)")
-        invariants.check(
-            jnp.all(jnp.where(active[:, None],
-                              (tcmin >= tpmin) & (tcmax <= tpmax)
-                              & (tcmin <= tcmax), True)),
-            "SAH task centroid bounds invalid (CheckTask)")
-
-        # ---- leaf retirement (src/SharedTaskBuilder.cu:396-463) ----
-        lid1 = ids[jnp.clip(tstart, 0, cap - 1)]
-        arena = _write_nodes(
-            arena,
-            tparent,
-            leaves.aabb_min[lid1],
-            leaves.aabb_max[lid1],
-            leaves.child[lid1],
-            leaves.count[lid1],
-            leaves.type[lid1],
-            is_leaf1,
-        )
-        oob_slot = jnp.int32(arena.child.shape[0])
-
-        def graft_parents(arena, lid, slot, mask):
-            """Box-type grafted leaves adopt their target group's slots so
-            parent-pointer depth stays continuous across the graft (the wide
-            collapse's anchor rule is depth arithmetic)."""
-            is_graft = mask & (leaves.type[lid] == CHILD_BOX)
-            for j in range(2):
-                tgt = jnp.where(
-                    is_graft & (j < leaves.count[lid]),
-                    leaves.child[lid] + j,
-                    oob_slot,
-                )
-                arena = arena.replace(
-                    parent=arena.parent.at[tgt].set(slot, mode="drop")
-                )
-            return arena
-
-        arena = graft_parents(arena, lid1, tparent, is_leaf1)
-        arena = _write_segments(arena, tparent, is_leaf1, tstart, 1,
-                                s["level"])
-        n_leaf2 = jnp.sum(is_leaf2.astype(jnp.int32))
-        rank2 = jnp.cumsum(is_leaf2.astype(jnp.int32)) - is_leaf2.astype(jnp.int32)
-        base2 = arena.wptr + 2 * rank2
-        for j in range(2):
-            lidj = ids[jnp.clip(tstart + j, 0, cap - 1)]
-            arena = _write_nodes(
-                arena,
-                base2 + j,
-                leaves.aabb_min[lidj],
-                leaves.aabb_max[lidj],
-                leaves.child[lidj],
-                leaves.count[lidj],
-                leaves.type[lidj],
-                is_leaf2,
-                parent=tparent,
-            )
-            arena = graft_parents(arena, lidj, base2 + j, is_leaf2)
-            arena = _write_segments(arena, base2 + j, is_leaf2, tstart + j, 1,
-                                    s["level"] + 1)
-        arena = _write_nodes(
-            arena, tparent, tpmin, tpmax, base2,
-            jnp.full((tcap,), 2, jnp.int32),
-            jnp.full((tcap,), CHILD_BOX, jnp.int32), is_leaf2,
-        )
-        arena = _write_segments(arena, tparent, is_leaf2, tstart, 2,
-                                s["level"])
-        arena = arena.replace(wptr=arena.wptr + 2 * n_leaf2)
-
-        # ---- interior-node allocation (src/SharedTaskBuilder.cu:544-560) ----
-        n_split = jnp.sum(is_split.astype(jnp.int32))
-        rank_s = jnp.cumsum(is_split.astype(jnp.int32)) - is_split.astype(jnp.int32)
-        child_idx = arena.wptr + 2 * rank_s
-        arena = _write_nodes(
-            arena, tparent, tpmin, tpmax, child_idx,
-            jnp.full((tcap,), 2, jnp.int32),
-            jnp.full((tcap,), CHILD_BOX, jnp.int32), is_split,
-        )
-        arena = _write_segments(arena, tparent, is_split, tstart, counts,
-                                s["level"])
-        # Children slots record their parent for the wide collapse's depth
-        # arithmetic.
-        oob = jnp.int32(arena.child.shape[0])
-        for j in range(2):
-            pidx = jnp.where(is_split, child_idx + j, oob)
-            arena = arena.replace(
-                parent=arena.parent.at[pidx].set(tparent, mode="drop")
-            )
-        arena = arena.replace(wptr=arena.wptr + 2 * n_split)
-
-        # ---- per-primitive task/bin assignment ----
-        scat = jnp.full((cap,), -1, jnp.int32)
-        starts_clip = jnp.where(active & (counts > 0), tstart, cap)
-        scat = scat.at[starts_clip].set(tslot, mode="drop")
-        task_of = jax.lax.associative_scan(jnp.maximum, scat)
-        in_live = jnp.where(task_of >= 0, pos < tend[jnp.clip(task_of, 0, tcap - 1)], False)
-        t = jnp.clip(task_of, 0, tcap - 1)
-        splitting = in_live & is_split[t]
-
-        lmin = leaves.aabb_min[ids]
-        lmax = leaves.aabb_max[ids]
-        centre = (lmin + lmax) * 0.5
-        axis = _select_axis(tcmin, tcmax)[t]
-        cmin_t = jnp.take_along_axis(tcmin[t], axis[:, None], axis=1)[:, 0]
-        cmax_t = jnp.take_along_axis(tcmax[t], axis[:, None], axis=1)[:, 0]
-        c_t = jnp.take_along_axis(centre, axis[:, None], axis=1)[:, 0]
-        k1 = NUM_BINS * (1.0 - BIN_EPS) / (cmax_t - cmin_t)
-        bin_sah = jnp.clip((k1 * (c_t - cmin_t)).astype(jnp.int32), 0, NUM_BINS - 1)
-        local = pos - tstart[t]
-        bin_mid = (local >= (counts[t] >> 1)).astype(jnp.int32)
-        bin_id = jnp.where(degen[t], bin_mid, bin_sah)
-        # Bin indices in range (src/SharedTaskBuilder.cu:224-235).
-        invariants.check(
-            jnp.all(jnp.where(splitting, (bin_id >= 0) & (bin_id < NUM_BINS),
-                              True)),
-            "SAH bin index out of range")
-        # Retired/gap/padded primitives keep their position: bin 15 sorts
-        # after any live bin of the same preceding task.
-        bin_id = jnp.where(splitting, bin_id, 15)
-        key = (task_of + 1) * 16 + bin_id
-        key = jnp.where(pos < leaves.num_leaves, key, (tcap + 2) * 16)
-
-        _, ids_new = jax.lax.sort_key_val(key, ids, is_stable=True)
-
-        # ---- segmented SAH sweep over the sorted order ----
-        lmin = leaves.aabb_min[ids_new]
-        lmax = leaves.aabb_max[ids_new]
-        centre = (lmin + lmax) * 0.5
-        start_flags = jnp.zeros((cap,), bool).at[
-            jnp.where(is_split, tstart, cap)
-        ].set(True, mode="drop")
-        end_flags = jnp.zeros((cap,), bool).at[
-            jnp.where(is_split, tend - 1, cap)
-        ].set(True, mode="drop")
-        fwd = segmented_scan(
-            jnp.concatenate([lmin, centre, -lmax, -centre], axis=1),
-            start_flags, jnp.minimum,
-        )
-        bwd = segmented_scan(
-            jnp.concatenate([lmin, centre, -lmax, -centre], axis=1),
-            end_flags, jnp.minimum, reverse=True,
-        )
-
-        # Boundary counts need the one-hot bin histogram in *sorted* order;
-        # carry bin and task ids through the same stable sort.
-        _, bin_sorted = jax.lax.sort_key_val(key, jnp.where(splitting, bin_id, 15),
-                                             is_stable=True)
-        _, task_sorted = jax.lax.sort_key_val(key, jnp.where(splitting, t, tcap),
-                                              is_stable=True)
-        onehot = (
-            (bin_sorted[:, None] == jnp.arange(NUM_BINS)[None, :])
-            & (task_sorted < tcap)[:, None]
-        ).astype(jnp.int32)
-        csum = jnp.cumsum(onehot, axis=0)  # [L, 8]
-        end_idx = jnp.clip(tend - 1, 0, cap - 1)
-        start_idx = jnp.clip(tstart - 1, 0, cap - 1)
-        cnt_end = csum[end_idx]  # [T, 8]
-        cnt_start = jnp.where((tstart > 0)[:, None], csum[start_idx], 0)
-        bin_counts = cnt_end - cnt_start  # per-task per-bin counts
-        cl = jnp.cumsum(bin_counts, axis=1)  # [T, 8]: count with bin <= b
-
-        def plane_fields(clb):
-            boundary = tstart + clb
-            left = fwd[jnp.clip(boundary - 1, 0, cap - 1)]
-            right = bwd[jnp.clip(boundary, 0, cap - 1)]
-            return left, right
-
-        best_score = jnp.full((tcap,), _F32_MAX)
-        best_cl = jnp.zeros((tcap,), jnp.int32)
-        # Right-to-left strict improvement keeps the largest bin on ties
-        # (src/SharedTaskBuilder.cu:313-327).
-        for b in range(NUM_BINS - 2, -1, -1):
-            clb = cl[:, b]
-            left, right = plane_fields(clb)
-            l_pmin, l_pmax = left[:, 0:3], -left[:, 6:9]
-            r_pmin, r_pmax = right[:, 0:3], -right[:, 6:9]
-            nl = clb.astype(jnp.float32)
-            nr = (counts - clb).astype(jnp.float32)
-            score = _sa(l_pmin, l_pmax) * nl + _sa(r_pmin, r_pmax) * nr
-            valid = (clb > 0) & (clb < counts)
-            take = valid & (score < best_score)
-            best_score = jnp.where(take, score, best_score)
-            best_cl = jnp.where(take, clb, best_cl)
-        best_cl = jnp.where(degen, counts >> 1, best_cl)
-        # Plane found/valid (src/SharedTaskBuilder.cu:329-347): a
-        # non-degenerate split task must have found a proper SAH plane.
-        invariants.check(
-            jnp.all(jnp.where(is_split & ~degen,
-                              (best_cl > 0) & (best_cl < counts), True)),
-            "no valid SAH plane for a split task")
-        # A split task with no valid SAH plane cannot occur (binning spreads
-        # the longest non-degenerate centroid axis over >= 2 bins), but fall
-        # back to midpoint defensively rather than dropping primitives.
-        best_cl = jnp.where(is_split & (best_cl == 0), counts >> 1, best_cl)
-
-        mid = tstart + best_cl
-        left, right = plane_fields(best_cl)
-        l_pmin, l_cmin, l_pmax, l_cmax = (
-            left[:, 0:3], left[:, 3:6], -left[:, 6:9], -left[:, 9:12]
-        )
-        r_pmin, r_cmin, r_pmax, r_cmax = (
-            right[:, 0:3], right[:, 3:6], -right[:, 6:9], -right[:, 9:12]
-        )
-
-        # ---- new frontier (children of splitting tasks, slot-ordered) ----
-        new_n = 2 * n_split
-        lslot = jnp.where(is_split, 2 * rank_s, tcap)
-        rslot = jnp.where(is_split, 2 * rank_s + 1, tcap)
-
-        def scat2(l_vals, r_vals, fill):
-            out = jnp.full((tcap,) + l_vals.shape[1:], fill, l_vals.dtype)
-            out = out.at[lslot].set(l_vals, mode="drop")
-            out = out.at[rslot].set(r_vals, mode="drop")
-            return out
-
-        return dict(
-            ids=ids_new,
-            tstart=scat2(tstart, mid, 0),
-            tend=scat2(mid, tend, 0),
-            tparent=scat2(child_idx, child_idx + 1, 0),
-            tpmin=scat2(l_pmin, r_pmin, 0.0),
-            tpmax=scat2(l_pmax, r_pmax, 0.0),
-            tcmin=scat2(l_cmin, r_cmin, 0.0),
-            tcmax=scat2(l_cmax, r_cmax, 0.0),
-            ntasks=new_n,
-            arena=arena,
-            level=s["level"] + 1,
-        )
-
-    out = jax.lax.while_loop(cond, body, state)
+    if host_stepped:
+        out = state
+        while int(out["ntasks"]) > 0:
+            out = _level_step_jit(leaves, out, max_levels)
+    else:
+        out = jax.lax.while_loop(cond, body, state)
     if return_ids:
         # Final leaf permutation: every node's subtree is a contiguous
         # range of it (each level's stable sort keys by task id, so

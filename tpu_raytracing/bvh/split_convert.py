@@ -45,6 +45,17 @@ _F32_MAX = float(jnp.finfo(jnp.float32).max)
 WIDE = 8
 
 
+# Module-level jits for the host-stepped path: cached across rebuilds
+# (a fresh jax.jit per call would re-trace and re-compile every build).
+_setup_leaves_jit = jax.jit(
+    lambda triangles, enable_pairs: sah.setup_leaves(triangles, enable_pairs),
+    static_argnums=(1,))
+_emit_from_arena_jit = jax.jit(
+    lambda arena, ids_final, leaves, pairs, leaf_width: _emit_from_arena(
+        arena, ids_final, leaves, pairs, leaf_width),
+    static_argnums=(4,))
+
+
 def _split_cap(n: int, leaf_width: int) -> int:
     """Rows bound: a live anchor's subtree holds > leaf_width pairs and
     anchors of one depth class are disjoint; ~2n/k bounds nodes with >= k
@@ -54,6 +65,7 @@ def _split_cap(n: int, leaf_width: int) -> int:
 
 def build_sah_split(
     triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 64,
+    host_stepped: bool = False,
 ) -> Tuple[SplitBVH, PackedPairs]:
     """Binned-SAH build emitting the split format.
 
@@ -62,7 +74,29 @@ def build_sah_split(
     is the same algorithm level-synchronously and keeps subtree ranges
     trivially derivable). Spatial splits unsupported here (duplicate pair
     references would need per-reference windows).
+
+    ``host_stepped=True`` (only valid OUTSIDE jit): run the frontier's
+    level loop on the host with jitted pre/step/post stages — the
+    while_loop form scatters into loop-carried arena buffers, the
+    measured ~1000x pathology that makes the 1M-tri SAH build
+    minutes-slow (docs/TPU_NOTES.md, benchmarks/probe_tree.py).
     """
+    if host_stepped:
+        leaves, pairs = _setup_leaves_jit(triangles, enable_pairs)
+        cap = leaves.aabb_min.shape[0]
+        num_leaves = leaves.num_leaves
+        arena = sah.make_arena(2 * cap + 2, track_segments=True)
+        arena = arena.replace(wptr=jnp.int32(1))
+        arena, ids_final = sah.frontier_build(
+            leaves, arena,
+            jnp.zeros((1,), jnp.int32),
+            num_leaves[None].astype(jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.int32(1), return_ids=True, host_stepped=True,
+        )
+        return _emit_from_arena_jit(arena, ids_final, leaves, pairs,
+                                    leaf_width)
+
     leaves, pairs = sah.setup_leaves(triangles, enable_pairs)
     cap = leaves.aabb_min.shape[0]
     num_leaves = leaves.num_leaves
@@ -78,6 +112,13 @@ def build_sah_split(
         jnp.int32(1),
         return_ids=True,
     )
+    return _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width)
+
+
+def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):
+    """SplitBVH emission from a finished SAH arena (see build_sah_split)."""
+    cap = leaves.aabb_min.shape[0]
+    num_leaves = leaves.num_leaves
     nslots = arena.child.shape[0]
 
     # --- pair array in final leaf order (zero the padded tail) ---
