@@ -18,6 +18,7 @@ coherently.
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import Tuple
 
@@ -60,11 +61,12 @@ def _cosine_sample(normal, u):
 
 
 @partial(jax.jit, static_argnames=("compaction", "sort_cells", "cell_shift",
-                                   "sample_next"))
+                                   "sample_next", "sort_kind", "leaf_shift"))
 def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
                   alive, pixel, u_frame, max_t, compaction: bool = True,
                   sort_cells: bool = False, cell_shift: int = 15,
-                  sample_next: bool = True):
+                  sample_next: bool = True, sort_kind: str = "cell",
+                  leaf_shift: int = 6):
     """Shading + NEE + next-ray sampling + compaction for one bounce.
 
     With ``sample_next=False`` (the final bounce) the sampling/compaction
@@ -123,16 +125,24 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
         # anyway, so downstream tracers consume the rays 'presorted'
         # with no per-pass argsort/un-permute of their own.
         if sort_cells:
-            o = new_rays.origin
-            lo = jnp.min(o, axis=0)
-            hi = jnp.max(o, axis=0)
-            norm = (o - lo) / jnp.maximum(hi - lo, 1e-20)
-            cell = morton3d(norm).astype(jnp.int32) >> cell_shift
             d = new_rays.direction
             octant = ((d[:, 0] > 0).astype(jnp.int32)
                       | ((d[:, 1] > 0).astype(jnp.int32) << 1)
                       | ((d[:, 2] > 0).astype(jnp.int32) << 2))
-            key = ((~alive).astype(jnp.int32) << 30) | (cell << 3) | octant
+            if sort_kind == "leaf":
+                # Tree-locality key: the winning pair's index in the
+                # SORTED pair array is a space-filling-curve position at
+                # leaf granularity (finer than cell15 and aligned to the
+                # actual tree windows); rays grouped by hit leaf share
+                # the deep path of the next traversal.
+                loc = jnp.maximum(rec.tri_id >> (1 + leaf_shift), 0)
+            else:
+                o = new_rays.origin
+                lo = jnp.min(o, axis=0)
+                hi = jnp.max(o, axis=0)
+                norm = (o - lo) / jnp.maximum(hi - lo, 1e-20)
+                loc = morton3d(norm).astype(jnp.int32) >> cell_shift
+            key = ((~alive).astype(jnp.int32) << 30) | (loc << 3) | octant
         else:
             key = (~alive).astype(jnp.int32)
         # NOTE: replacing this argsort + permutation gathers with two
@@ -155,19 +165,20 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
 _BOUNCE_STAGE_CACHE = {}
 
 
-def _jit_bounce_stage(compaction: bool, sort_cells: bool, sample_next: bool):
+def _jit_bounce_stage(compaction: bool, sort_cells: bool, sample_next: bool,
+                      sort_kind: str = "cell"):
     """One compiled program for the whole shade+NEE+sample+compact stage.
 
     Calling _bounce_stage eagerly dispatches its ~40 ops one by one to
     the device (measured 146 ms at 1M rays on the remote backend); under
     one jit the stage is a single fused program.
     """
-    key = (compaction, sort_cells, sample_next)
+    key = (compaction, sort_cells, sample_next, sort_kind)
     fn = _BOUNCE_STAGE_CACHE.get(key)
     if fn is None:
         fn = jax.jit(partial(
             _bounce_stage, compaction=compaction, sort_cells=sort_cells,
-            sample_next=sample_next))
+            sample_next=sample_next, sort_kind=sort_kind))
         _BOUNCE_STAGE_CACHE[key] = fn
     return fn
 
@@ -240,7 +251,8 @@ def path_trace(
 
         u_frame = jax.random.uniform(k_dir, (num, 2))
         radiance, throughput, alive, pixel, rays = _jit_bounce_stage(
-            compaction, True, bounce < num_bounces)(
+            compaction, True, bounce < num_bounces,
+            _os.environ.get("TPURT_BOUNCE_SORT", "cell"))(
             scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
             pixel, u_frame, max_t,
         )
