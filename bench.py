@@ -66,20 +66,18 @@ def main():
     # staged, each side compiles in ~a minute with no runtime cost.
     _front = jax.jit(lambda tris: bucket.split_front(tris, enable_pairs=True))
     _emit = jax.jit(lambda front: (lambda s, p: (
-        sp.prep_split_views(s, p), p, s.num_inner, s))(
+        sp.prep_split_views(s, p), p, s))(
         *bucket.emit_split(front, leaf_width=sp.LEAFW)))
 
-    def _build3(tris):
-        return _emit(_front(tris))[:3]
-
     def build(tris):
-        views, packed, _ = _build3(tris)
+        views, packed, _ = _emit(_front(tris))
         return views, packed
 
-    views, packed, num_inner = _build3(triangles)
+    views, packed, split_f0 = _emit(_front(triangles))
     # Frame-0 sync doubles as the overflow guard: a truncated tree would
-    # silently drop geometry (bvh/bucket.py:check_inner_capacity).
-    bucket.check_inner_capacity(int(num_inner), num_tris, sp.LEAFW)
+    # silently drop geometry (inner-row bound + the capped chunk ladder's
+    # slot guard, bvh/bucket.py:check_split_capacity).
+    bucket.check_split_capacity(split_f0, num_tris)
     float(jnp.sum(views[0][0]).astype(jnp.float32))  # force completion
     # Vary the input every frame (this backend memoizes identical executions)
     # and fetch at the end: throughput timing over pipelined frames.
@@ -94,7 +92,7 @@ def main():
     # path for animated scenes with fixed topology — exact AABB refresh
     # from deformed pair rows, tree kept. Secondary metric (stderr only;
     # the JSON line stays the full rebuild-backed trace number).
-    _, packed0, _, split0 = _emit(_front(triangles))
+    _, packed0, split0 = _emit(_front(triangles))
 
     def _deform_refit(s, rows, d):
         # in-jit affine vertex shift (defeats memoization) + refit
@@ -141,6 +139,22 @@ def main():
                                                   c_slots=8,
                                                   sort_mode="origin")
 
+    # TPURT_BOUNCE_TRACER=grid: run the incoherent passes (bounce closest
+    # + bounce shadows) through the uniform-grid DDA tracer
+    # (bvh/grid.py, trace/grid_trace.py) over the same pair rows.
+    bounce_trav = None
+    if os.environ.get("TPURT_BOUNCE_TRACER") == "grid":
+        from tpu_raytracing.bvh.grid import build_grid, check_grid_capacity
+        from tpu_raytracing.trace.grid_trace import make_grid_tracer
+
+        grid = jax.jit(build_grid)(packed.rows, split_f0.num_leaves)
+        check_grid_capacity(grid)
+        bounce_trav = grid
+        bounce_tracer = make_grid_tracer()
+        shadow_tracer_b = make_grid_tracer(any_hit=True)
+        log(f"bounce passes: uniform grid res={grid.res}, "
+            f"big={int(grid.num_big)}")
+
     def frame(key, jitter):
         cam_j = dict(camera)
         cam_j["position"] = camera["position"] + jitter  # defeat exec memoization
@@ -148,6 +162,7 @@ def main():
             views, packed, dev_scene, cam_j, res, res, num_bounces=bounces,
             key=key, tracer=tracer, shadow_tracer=shadow_tracer,
             shadow_tracer_bounce=shadow_tracer_b, bounce_tracer=bounce_tracer,
+            bounce_trav=bounce_trav,
         )
 
     img, rays_traced = jax.block_until_ready(frame(jax.random.PRNGKey(0), 0.0))

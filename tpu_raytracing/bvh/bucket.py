@@ -394,47 +394,114 @@ class SplitBVH:
     # refit_split (topology-preserving per-frame AABB refresh); None for
     # builders that don't emit it (v1, split_convert).
     e_ranges: jnp.ndarray = None
+    # Optional [] int32 — largest row slot any live entry wanted (written
+    # by emit_split). >= inner width means the capped chunk ladder
+    # overflowed and geometry was dropped; check_split_capacity raises.
+    max_slot: jnp.ndarray = None
 
 
-def _range_min_table(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
-    """[K, 8, n] sparse range-min table over sorted leaf boxes.
+# Fine-tier depth of the range-min table: counts < 2^_RANGE_K0 resolve
+# from the fine tier alone; larger counts combine two fine edges with a
+# coarse (per-512-block) tier. Capping the fine tier at 10 levels halves
+# the table build's HBM writes at 1M (21 dense [8, n] passes -> 10 + a
+# [Kc, 8, n/512] coarse table) — the table was the single biggest stage
+# of the split build (~66 ms of ~420, docs/TPU_NOTES.md round-3 plan).
+_RANGE_K0 = 10
+
+
+def _range_min_table(lo: jnp.ndarray, hi: jnp.ndarray):
+    """Two-tier sparse range-min table over sorted leaf boxes.
 
     Packed [8, n]: rows 0-2 lo.xyz, rows 3-5 -hi.xyz (all min-reduced),
-    rows 6-7 +inf pad. K = floor(log2 n) + 1 dense shifted-min passes."""
+    rows 6-7 +inf pad. Returns (fine [K0, 8, n], coarse [Kc, 8, nb] or
+    None, block size B): fine level k covers ranges of 2^k, the coarse
+    tier is a standard sparse table over B-leaf block minima."""
     n = lo.shape[0]
     base = jnp.concatenate(
         [lo.T, -hi.T, jnp.full((2, n), _F32_MAX, jnp.float32)], axis=0)
-    K = max(int(math.floor(math.log2(max(n, 1)))) + 1, 1)
-    tbl = [base]
+    k_full = max(int(math.floor(math.log2(max(n, 1)))) + 1, 1)
+    k0 = min(k_full, _RANGE_K0)
+    fine = [base]
     cur = base
-    for kk in range(1, K):
+    for kk in range(1, k0):
         d = 1 << (kk - 1)
         if d < n:
             shifted = jnp.concatenate(
                 [cur[:, d:], jnp.full((8, d), _F32_MAX, jnp.float32)],
                 axis=1)
             cur = jnp.minimum(cur, shifted)
-        tbl.append(cur)
-    return jnp.stack(tbl, axis=0)  # [K, 8, n]
+        fine.append(cur)
+    fine = jnp.stack(fine, axis=0)  # [K0, 8, n]
+    if k_full <= _RANGE_K0:
+        return fine, None, 0
+
+    b = 1 << (k0 - 1)
+    # fine[k0-1][:, i*b] min-reduces [i*b, i*b + b) (clamped at n by the
+    # +inf shift padding) — exactly block i.
+    blocks = fine[k0 - 1][:, ::b]  # [8, nb]
+    nb = blocks.shape[1]
+    kc = max(int(math.floor(math.log2(max(nb, 1)))) + 1, 1)
+    coarse = [blocks]
+    cur = blocks
+    for kk in range(1, kc):
+        d = 1 << (kk - 1)
+        if d < nb:
+            shifted = jnp.concatenate(
+                [cur[:, d:], jnp.full((8, d), _F32_MAX, jnp.float32)],
+                axis=1)
+            cur = jnp.minimum(cur, shifted)
+        coarse.append(cur)
+    return fine, jnp.stack(coarse, axis=0), b
 
 
-def _range_lookup(tbl: jnp.ndarray, e_start: jnp.ndarray,
-                  e_count: jnp.ndarray):
+def _range_lookup(tbl, e_start: jnp.ndarray, e_count: jnp.ndarray):
     """Range-min query: AABB of sorted leaves [start, start+count) per
     entry. Returns (e_lo [E, 3], e_hi [E, 3]); count 0 queries are the
-    caller's to mask."""
-    K, _, n = tbl.shape
+    caller's to mask.
+
+    Counts below 2^(K0-1)·2 use the classic two-overlapping-powers
+    lookup on the fine tier; larger counts take min(two B-wide fine
+    edges, coarse range over the fully-covered blocks) — the edges
+    overlap the first/last partial blocks, the coarse pair covers the
+    middle, and every piece stays inside [start, start+count)."""
+    fine, coarse, b = tbl
+    k0, _, n = fine.shape
     ln = jnp.maximum(e_count, 1)
     klev = jnp.int32(31) - jax.lax.clz(ln)
-    klev = jnp.minimum(klev, K - 1)
+    fine_k = jnp.minimum(klev, k0 - 1)
     pa = jnp.clip(e_start, 0, n - 1)
-    pb = jnp.clip(e_start + ln - (jnp.int32(1) << klev), 0, n - 1)
+    pb = jnp.clip(e_start + ln - (jnp.int32(1) << fine_k), 0, n - 1)
+    flat_fine = fine.transpose(1, 0, 2).reshape(8, k0 * n)  # [8, K0*n]
+
+    if coarse is not None:
+        kc, _, nb = coarse.shape
+        # Fine edges of width b at both ends of the range.
+        pe = jnp.clip(e_start + ln - b, 0, n - 1)
+        # Fully-covered blocks [ba, bb): non-empty whenever ln >= 2b
+        # (the only case the coarse path serves).
+        ba = (e_start + b - 1) // b
+        bb = (e_start + ln) // b
+        lb = jnp.maximum(bb - ba, 1)
+        kb = jnp.minimum(jnp.int32(31) - jax.lax.clz(lb), kc - 1)
+        ca = jnp.clip(ba, 0, nb - 1)
+        cb = jnp.clip(bb - (jnp.int32(1) << kb), 0, nb - 1)
+        flat_coarse = coarse.transpose(1, 0, 2).reshape(8, kc * nb)
+        use_fine = klev <= (k0 - 1)
+
     chans = []
-    flat_tbl = tbl.transpose(1, 0, 2).reshape(8, K * n)  # [8, K*n]
     for r in range(6):
-        va = flat_tbl[r, :][klev * n + pa]
-        vb = flat_tbl[r, :][klev * n + pb]
-        chans.append(jnp.minimum(va, vb))
+        va = flat_fine[r, :][fine_k * n + pa]
+        vb = flat_fine[r, :][fine_k * n + pb]
+        v = jnp.minimum(va, vb)
+        if coarse is not None:
+            edge = jnp.minimum(
+                flat_fine[r, :][(k0 - 1) * n + pa],
+                flat_fine[r, :][(k0 - 1) * n + pe])
+            cmin = jnp.minimum(
+                flat_coarse[r, :][kb * nb + ca],
+                flat_coarse[r, :][kb * nb + cb])
+            v = jnp.where(use_fine, v, jnp.minimum(edge, cmin))
+        chans.append(v)
     e_lo = jnp.stack(chans[0:3], axis=1)       # [E, 3]
     e_hi = -jnp.stack(chans[3:6], axis=1)      # [E, 3]
     return e_lo, e_hi
@@ -463,8 +530,17 @@ def check_inner_capacity(num_inner: int, num_tris: int,
 
 def check_split_capacity(split: SplitBVH, num_tris: int) -> None:
     """Host-fetch form of check_inner_capacity (uses the build's own
-    leaf_width carried on the SplitBVH)."""
+    leaf_width carried on the SplitBVH); also validates the capped chunk
+    ladder's slot guard when present."""
     check_inner_capacity(int(split.num_inner), num_tris, split.leaf_width)
+    if split.max_slot is not None:
+        w = split.inner.shape[1] // 8
+        ms = int(split.max_slot)
+        if ms >= w:
+            raise RuntimeError(
+                f"SplitBVH row-slot overflow: an entry wanted slot {ms} "
+                f">= width {w}; geometry was dropped — deepen the chunk "
+                f"ladder (bvh/bucket.py:emit_split num_chunk)")
 
 
 def build_bucket_split_v1(
@@ -695,7 +771,15 @@ def emit_split(
         pref = (sorted_codes >> sh).astype(jnp.uint32)
         prev = jnp.concatenate([pref[:1] ^ jnp.uint32(1), pref[:-1]])
         heads.append((pref != prev) | (iota == 0) | pad_boundary)
-    num_chunk = max(math.ceil(math.log(max(n, 2), width)), 1)
+    # Chunk ladder capped at 3 levels (periods width^3..width): a run of
+    # ANY length still dices to <= width leaves, but a deepest-Morton run
+    # longer than width^4 would give its first chunk level more than
+    # `width` children — entries past slot width-1 would be dropped. That
+    # overflow is impossible for real meshes (it needs > width^4 leaves
+    # sharing a Morton cell) but is guarded anyway: max_slot rides out on
+    # the SplitBVH and check_split_capacity raises on the host fetch.
+    # Saves ceil(log_w n) - 3 full-width [n] levels (4 of 16 at 1M).
+    num_chunk = min(max(math.ceil(math.log(max(n, 2), width)), 1), 3)
     seg_start_deep = jax.lax.cummax(jnp.where(heads[-1], iota, -1))
     idx_in_seg = iota - seg_start_deep
     prev_heads = heads[-1]
@@ -794,6 +878,11 @@ def emit_split(
     ])  # NONE entry: inverted box so the slab test never hits
     inner = jnp.broadcast_to(empty_entry, (icap * inner_width, 8))
     ok = valid_e & (e_j >= 0) & (e_j < inner_width)
+    # Overflow guard for the capped chunk ladder (see num_chunk above):
+    # the largest slot index any live entry wanted. Checked on the host
+    # at frame 0 (check_split_capacity) — > inner_width-1 means dropped
+    # geometry, rebuild with a deeper ladder.
+    max_slot = jnp.max(jnp.where(valid_e, e_j, 0))
     # Debug-mode invariants (reference analogue: the SAH builder's
     # CheckTask/bin-range family, src/SharedTaskBuilder.cu:169-235): every
     # live entry must land in a real slot of a real row — a violation
@@ -839,7 +928,7 @@ def emit_split(
         root_is_leaf, leaf_rr, e_ranges[jnp.clip(root_id, 0, icap - 1)]))
     return SplitBVH(inner=inner, num_inner=num_inner,
                     num_leaves=num_leaves, leaf_width=leaf_width,
-                    e_ranges=e_ranges), packed
+                    e_ranges=e_ranges, max_slot=max_slot), packed
 
 
 def refit_split(split: SplitBVH, packed: PackedPairs) -> SplitBVH:
