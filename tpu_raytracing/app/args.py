@@ -40,6 +40,11 @@ def parse_cmd(argv=None) -> argparse.Namespace:
                    help="orbit the camera around the scene across frames")
     p.add_argument("--animate", action="store_true",
                    help="animate geometry + rebuild the BVH per frame")
+    p.add_argument("--refit", action="store_true",
+                   help="with --animate --tracer split: refresh the "
+                        "frame-0 tree's AABBs in place per frame "
+                        "(topology-preserving refit) instead of a full "
+                        "rebuild")
     p.add_argument("--bounces", type=int, default=0,
                    help="path-trace with N bounces instead of the megakernel modes")
     p.add_argument("--output", default="out", help="PNG output directory")

@@ -176,19 +176,28 @@ def main(argv=None):
                   file=sys.stderr)
             args.tracer = "wide"
 
+    if args.refit and args.tracer != "split":
+        print("WARNING: --refit needs --tracer split; animated frames "
+              "will run the full rebuild path.", file=sys.stderr)
+
     # make_trav(bvh, packed, triangles) -> (tracer's traversal structure,
     # pair table in that structure's order).
     if args.tracer == "split":
         # Pallas split-BVH kernel: its own Morton-bucket build (the binary
         # --type build above still provides frame-0 hierarchy validation).
-        from tpu_raytracing.bvh.bucket import check_inner_capacity
+        from tpu_raytracing.bvh.bucket import check_split_capacity
         from tpu_raytracing.trace import split_pallas as sp_mod
 
         tracer = sp_mod.make_split_pallas_tracer(
             None, None, args.width, args.height
         )
 
-        if args.build_type == BuildType.SAH and not args.splits:
+        if args.refit and args.build_type == BuildType.SAH and not args.splits:
+            print("NOTE: --refit needs the bucket build's per-entry leaf "
+                  "ranges (e_ranges); using the Morton-bucket split build "
+                  "instead of the SAH converter.", file=sys.stderr)
+        if (args.build_type == BuildType.SAH and not args.splits
+                and not args.refit):
             # SAH-quality tree for the flagship kernel
             # (bvh/split_convert.py); spatial splits fall back to the
             # Morton-bucket build below.
@@ -200,7 +209,7 @@ def main(argv=None):
                     tris, enable_pairs=args.pairs,
                     leaf_width=sp_mod.LEAFW)
                 return (sp_mod.prep_split_views(split, packed2), packed2,
-                        split.num_inner)
+                        split)
         else:
             # Staged jits: the payload-sort front composed with the
             # emitter in one jit costs a multi-minute compile
@@ -210,21 +219,51 @@ def main(argv=None):
             _front = jax.jit(
                 lambda tris: split_front(tris, enable_pairs=args.pairs))
             _emit = jax.jit(lambda front: (lambda s, p: (
-                sp_mod.prep_split_views(s, p), p, s.num_inner))(
+                sp_mod.prep_split_views(s, p), p, s))(
                 *emit_split(front, leaf_width=sp_mod.LEAFW)))
 
             def _split_build(tris):
                 return _emit(_front(tris))
 
         _checked = []
+        _frame0_split = []  # (split, rows0) stashed for --refit frames
 
         def make_trav(bvh, packed, tris):
-            views, packed2, num_inner = _split_build(tris)
+            views, packed2, split = _split_build(tris)
             if not _checked:  # frame 0 only: the fetch is a host sync
-                check_inner_capacity(int(num_inner), tris.shape[0],
-                                     sp_mod.LEAFW)
+                check_split_capacity(split, tris.shape[0])
                 _checked.append(True)
+                _frame0_split.append((split, packed2.rows))
             return views, packed2
+
+        # --refit: animated frames refresh the frame-0 tree's AABBs in
+        # place (bvh/bucket.py:refit_split — the TPU-native per-frame
+        # path for fixed-topology animation) instead of a full rebuild.
+        # The wobble (scene/procedural.py:animate_triangles) is a pure
+        # per-vertex positional function, so it applies directly to the
+        # frame-0 pair rows in sorted order; degenerate sentinel rows
+        # displace all four identical vertices identically and stay
+        # degenerate.
+        from tpu_raytracing.bvh.bucket import refit_split
+        from tpu_raytracing.trace.traverse import PackedPairs as _PP
+
+        @jax.jit
+        def _refit_frame(split, rows0, t):
+            f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+            v = jax.lax.bitcast_convert_type(
+                rows0[:, :12], jnp.float32).reshape(-1, 4, 3)
+            phase = v[..., 0] * 1.7 + v[..., 2] * 1.3  # [P, 4]
+            wobble = jnp.stack([
+                jnp.sin(phase * 2.0 + t),
+                jnp.cos(phase * 3.0 + t * 1.3),
+                jnp.sin(phase * 2.5 + t * 0.7),
+            ], axis=-1)
+            v = v + jnp.float32(0.05) * wobble
+            rows_t = jnp.concatenate(
+                [f2i(v.reshape(-1, 12)), rows0[:, 12:]], axis=1)
+            packed_t = _PP(rows=rows_t)
+            split_t = refit_split(split, packed_t)
+            return sp_mod.prep_split_views(split_t, packed_t), packed_t
     elif args.tracer == "wide":
         from tpu_raytracing.bvh.wide import build_wide_fat
         from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
@@ -280,7 +319,13 @@ def main(argv=None):
             triangles = jnp.asarray(
                 procedural.animate_triangles(np.asarray(scene.triangles), frame * 0.1)
             )
-            if args.tracer == "split":
+            if args.tracer == "split" and args.refit:
+                # Topology-preserving refit of the frame-0 tree: the
+                # animated vertices are re-derived from the frame-0 pair
+                # rows, so no rebuild (and no host round trip) happens.
+                split0, rows0 = _frame0_split[0]
+                trav, packed = _refit_frame(split0, rows0, frame * 0.1)
+            elif args.tracer == "split":
                 # The split tracer runs its own bucket build inside
                 # make_trav; the binary --type build only serves frame-0
                 # validation — skip it on animated frames.
