@@ -1,0 +1,185 @@
+"""Uniform-grid accelerator — the stackless, scalar-control-free
+structure for incoherent rays.
+
+Motivation (measured, docs/TPU_NOTES.md): the flagship split-BVH Pallas
+kernel is bounded by ~480 ns of serialized scalar control per pop, and
+incoherent bounce packets pay ~23x the per-ray ideal pop count (union
+divergence). A uniform grid removes both terms: 3D-DDA traversal is a
+fixed per-step vector recurrence (no stack, no per-node decisions), so
+the whole bounce pass runs as dense [R]-wide XLA ops whose only
+data-dependent accesses are gathers from LOOP-INVARIANT tables — the
+fast case on this backend (~0.03 ms per 1M rows).
+
+The reference has no grid (its GPU BVH traversal maps well onto warps);
+this is a TPU-first addition in the spirit of SURVEY.md §5's "pick the
+structure the hardware likes". The build is two dense passes + one sort
+(the TPU's cheapest primitives), which also makes it the fastest
+full-rebuild path for animated scenes.
+
+Layout:
+* refs: pair-row ids (trace/traverse.py:PackedPairs rows) sorted by
+  cell id — a cell's references are the contiguous run
+  [cell_start[c], cell_start[c] + cell_count[c]).
+* rows whose AABB footprint covers more than K_FOOTPRINT cells go to a
+  small global "big list" tested once per ray (walls/floors in cornell-
+  style scenes); overflow past its static bound is host-guarded via
+  check_grid_capacity, like bvh/bucket.py:check_split_capacity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+
+# Max cells a row may reference directly; larger footprints go to the
+# big list. 8 covers rows up to ~2 cells on every axis.
+K_FOOTPRINT = 8
+
+
+@flax.struct.dataclass
+class UniformGrid:
+    cell_start: jnp.ndarray  # [G^3 + 1] int32 — first ref of cell c
+    cell_count: jnp.ndarray  # [G^3 + 1] int32
+    refs: jnp.ndarray        # [RCAP] int32 — pair-row ids sorted by cell
+    big: jnp.ndarray         # [BCAP] int32 — row ids tested by every ray
+    num_big: jnp.ndarray     # [] int32 — live prefix of big
+    overflow: jnp.ndarray    # [] int32 — big rows past BCAP (host guard)
+    grid_min: jnp.ndarray    # [3] f32
+    grid_max: jnp.ndarray    # [3] f32
+    cell_size: jnp.ndarray   # [3] f32
+    res: int = flax.struct.field(pytree_node=False, default=64)
+
+
+def _grid_res(num_rows: int, density: float = 4.0) -> int:
+    """Cells ~= density * rows (classic lambda heuristic), clamped so the
+    cell tables stay small."""
+    g = int(round((density * max(num_rows, 1)) ** (1.0 / 3.0)))
+    return max(8, min(g, 160))
+
+
+def _big_cap(num_rows: int) -> int:
+    return max(64, num_rows // 256)
+
+
+def build_grid(rows: jnp.ndarray, num_live,
+               res: Optional[int] = None) -> UniformGrid:
+    """Build the grid over live pair rows ([P, 16] int32, vertex words
+    0-11; ``num_live`` is the live prefix — sentinel tail rows are
+    ignored)."""
+    p = rows.shape[0]
+    g = _grid_res(p) if res is None else res
+    g3 = g * g * g
+    bcap = _big_cap(p)
+    iota = jnp.arange(p, dtype=jnp.int32)
+    live = iota < num_live
+
+    v = jax.lax.bitcast_convert_type(rows[:, :12], jnp.float32).reshape(
+        -1, 4, 3)
+    lo = jnp.min(v, axis=1)
+    hi = jnp.max(v, axis=1)
+
+    gmin = jnp.min(jnp.where(live[:, None], lo, _F32_MAX), axis=0)
+    gmax = jnp.max(jnp.where(live[:, None], hi, -_F32_MAX), axis=0)
+    span = jnp.maximum(gmax - gmin, 1e-6)
+    # Cubify: pad every axis to the longest span so cells are CUBES —
+    # anisotropic domains (a heightfield's thin y slab) otherwise give
+    # sliver cells on the short axis and blow up footprints. The padded
+    # cells are empty; the dense [G^3] table is allocated either way.
+    cube = jnp.max(span)
+    gmax = gmin + cube
+    # Grow the box slightly so boundary vertices bin strictly inside.
+    gmin = gmin - cube * 1e-4
+    gmax = gmax + cube * 1e-4
+    cs = (gmax - gmin) / g
+    inv_cs = 1.0 / cs
+
+    clo = jnp.clip(jnp.floor((lo - gmin) * inv_cs).astype(jnp.int32), 0, g - 1)
+    chi = jnp.clip(jnp.floor((hi - gmin) * inv_cs).astype(jnp.int32), 0, g - 1)
+    dx = chi[:, 0] - clo[:, 0] + 1
+    dy = chi[:, 1] - clo[:, 1] + 1
+    dz = chi[:, 2] - clo[:, 2] + 1
+    total = dx * dy * dz
+    is_big = live & (total > K_FOOTPRINT)
+    direct = live & ~is_big
+
+    # --- direct refs: K static slots per row, sentinel-keyed when unused ---
+    keys = []
+    for k in range(K_FOOTPRINT):
+        kk = jnp.int32(k)
+        kx = kk % dx
+        ky = (kk // dx) % dy
+        kz = kk // (dx * dy)
+        cell = ((clo[:, 2] + kz) * g + (clo[:, 1] + ky)) * g + (clo[:, 0] + kx)
+        ok = direct & (kk < total)
+        keys.append(jnp.where(ok, cell, g3))
+    key_flat = jnp.stack(keys, axis=1).reshape(-1)  # [P*K]
+    row_flat = jnp.broadcast_to(iota[:, None],
+                                (p, K_FOOTPRINT)).reshape(-1)
+    key_sorted, refs = jax.lax.sort_key_val(key_flat, row_flat)
+
+    m = key_flat.shape[0]
+    ridx = jnp.arange(m, dtype=jnp.int32)
+    heads = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         key_sorted[1:] != key_sorted[:-1]])
+    # first position of each present cell id; absent cells stay at count 0
+    pos_of = jnp.zeros((g3 + 2,), jnp.int32).at[
+        jnp.where(heads, key_sorted, g3 + 1)].set(ridx, mode="drop")
+    nxt = jnp.concatenate([jnp.where(heads[1:], ridx[1:], m),
+                           jnp.full((1,), m, jnp.int32)])
+    run_end = jax.lax.cummin(nxt, reverse=True)
+    end_of = jnp.zeros((g3 + 2,), jnp.int32).at[
+        jnp.where(heads, key_sorted, g3 + 1)].set(run_end, mode="drop")
+    cell_start = pos_of[: g3 + 1]
+    cell_count = jnp.maximum(end_of[: g3 + 1] - cell_start, 0)
+    # sentinel cell g3 (out-of-range queries) has count 0:
+    cell_count = cell_count.at[g3].set(0)
+
+    # --- big list: rows tested once by every ray ---
+    (bidx,) = jnp.nonzero(is_big, size=bcap, fill_value=p)
+    num_big = jnp.sum(is_big.astype(jnp.int32))
+    overflow = jnp.maximum(num_big - bcap, 0)
+    big = jnp.minimum(bidx, p - 1).astype(jnp.int32)
+
+    return UniformGrid(
+        cell_start=cell_start, cell_count=cell_count, refs=refs,
+        big=big, num_big=jnp.minimum(num_big, bcap), overflow=overflow,
+        grid_min=gmin, grid_max=gmax, cell_size=cs, res=g)
+
+
+def check_grid_capacity(grid: UniformGrid) -> None:
+    """Host-fetch guard: raises if the big list overflowed its static
+    bound (dropped geometry). Call wherever a build result is synced."""
+    ov = int(grid.overflow)
+    if ov > 0:
+        raise RuntimeError(
+            f"UniformGrid big-list overflow: {ov} oversized rows past the "
+            f"static bound {grid.big.shape[0]} — raise _big_cap or the "
+            f"grid resolution (bvh/grid.py)")
+
+
+def build_grid_from_triangles(
+    triangles: jnp.ndarray, enable_pairs: bool = False,
+    res: Optional[int] = None,
+) -> Tuple[UniformGrid, "PackedPairs"]:
+    """Standalone build: pairing setup (no Morton sort needed — the
+    cell-key sort organizes everything) + grid over the pair rows."""
+    from tpu_raytracing.bvh.sah import setup_leaves
+    from tpu_raytracing.trace.traverse import pack_pairs
+
+    leaves, pairs = setup_leaves(triangles, enable_pairs)
+    packed = pack_pairs(pairs)
+    rows = packed.rows
+    # zero the sentinel tail so stray window/ref tests never hit
+    iota = jnp.arange(rows.shape[0], dtype=jnp.int32)
+    rows = jnp.where((iota < leaves.num_leaves)[:, None], rows, 0)
+    grid = build_grid(rows, leaves.num_leaves, res=res)
+    from tpu_raytracing.trace.traverse import PackedPairs
+
+    return grid, PackedPairs(rows=rows)

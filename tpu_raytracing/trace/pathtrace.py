@@ -209,12 +209,18 @@ def path_trace(
     shadow_tracer=None,
     shadow_tracer_bounce=None,
     bounce_tracer=None,
+    bounce_trav=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ([H, W, 3] float32 radiance, total rays traced).
 
     Python-level bounce loop over two jitted stages (trace, shade); the
     tracer is jit-cached by identity so every pass reuses one compiled
     traversal program.
+
+    ``bounce_trav``: optional traversal structure consumed by the
+    bounce-pass tracers instead of ``trav`` — e.g. the uniform grid
+    (bvh/grid.py) for the incoherent passes while primaries keep the
+    split-BVH kernel. The pair table must be shared.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -241,12 +247,14 @@ def path_trace(
     rays_traced = 0
     max_t = camera["max_depth"]
 
+    trav_b = trav if bounce_trav is None else bounce_trav
     for bounce in range(num_bounces + 1):
         key, k_dir = jax.random.split(key)
         ct = traced if bounce == 0 else traced_b
-        rec, _stats = ct(trav, pairs, rays, alive)
+        rec, _stats = ct(trav if bounce == 0 else trav_b, pairs, rays, alive)
         st = shadow_traced if bounce == 0 else shadow_traced_b
-        srec, _ = st(trav, pairs, _jit_shadow(scene, rays, rec), alive)
+        srec, _ = st(trav if bounce == 0 else trav_b, pairs,
+                     _jit_shadow(scene, rays, rec), alive)
         rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))
 
         u_frame = jax.random.uniform(k_dir, (num, 2))
