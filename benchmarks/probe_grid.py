@@ -20,6 +20,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("TPURT_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 
@@ -114,9 +117,10 @@ def main():
         return out
 
     # split kernel bounce (bench config)
-    fsp = jax.jit(lambda v, p, r, a, j: sp.trace_rays_split_pallas(
-        v, p, r.replace(origin=r.origin + j), active=a, k=256, c_slots=16,
-        sort_mode="presorted"))
+    sp_bounce = sp.make_split_pallas_tracer(
+        None, None, res, res, k=256, c_slots=16, sort_mode="presorted")
+    fsp = jax.jit(lambda v, p, r, a, j: sp_bounce(
+        v, p, r.replace(origin=r.origin + j), active=a))
     timeit("bounce closest [split]", fsp, views, packed, rays2, alive2)
 
     fg = jax.jit(lambda g, p, r, a, j: trace_rays_grid(
@@ -142,9 +146,11 @@ def main():
 
     # shadow (any-hit) from bounce-hit origins
     srays = jax.jit(_shadow_rays)(dev_scene, rays2, rec_g)
-    fss = jax.jit(lambda v, p, r, a, j: sp.trace_rays_split_pallas(
-        v, p, r.replace(origin=r.origin + j), active=a, k=256,
-        any_hit=True, c_slots=8, sort_mode="origin"))
+    sp_shadow = sp.make_split_pallas_tracer(
+        None, None, res, res, k=256, any_hit=True, c_slots=8,
+        sort_mode="origin")
+    fss = jax.jit(lambda v, p, r, a, j: sp_shadow(
+        v, p, r.replace(origin=r.origin + j), active=a))
     timeit("bounce shadow [split, origin-sorted]", fss, views, packed,
            srays, alive2)
     fgs = jax.jit(lambda g, p, r, a, j: trace_rays_grid(
