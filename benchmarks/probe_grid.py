@@ -129,9 +129,15 @@ def main():
     st = outg[1]
     act = jnp.asarray(alive2, jnp.float32)
     log(f"  grid steps/ray: "
-        f"{float(jnp.sum(st.box_tests * act)) / max(n_alive, 1):.1f}, "
-        f"tri tests/ray: "
+        f"{float(jnp.sum(st.box_tests * act)) / max(n_alive, 1):.1f} "
+        f"(max {int(jnp.max(st.box_tests))}), tri tests/ray: "
         f"{float(jnp.sum(st.tri_tests * act)) / max(n_alive, 1):.1f}")
+    for segs in (4, 16):
+        fgN = jax.jit(lambda g, p, r, a, j, s=segs: trace_rays_grid(
+            g, p, r.replace(origin=r.origin + j), active=a, block=block,
+            segments=s))
+        timeit(f"bounce closest [grid, {segs} segments]", fgN, grid,
+               packed, rays2, alive2)
 
     # equivalence spot check (same rays, tie-insensitive fields)
     rec_s, _ = fsp(views, packed, rays2, alive2, 0.0)

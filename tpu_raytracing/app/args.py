@@ -49,9 +49,11 @@ def parse_cmd(argv=None) -> argparse.Namespace:
                    help="path-trace with N bounces instead of the megakernel modes")
     p.add_argument("--output", default="out", help="PNG output directory")
     p.add_argument("--tracer", default="wide",
-               choices=["scalar", "packet", "wide", "split"],
+               choices=["scalar", "packet", "wide", "split", "grid"],
                    help="traversal kernel: scalar (reference-exact order), "
-                        "packet, or wide (fastest)")
+                        "packet, wide, split (flagship Pallas kernel), or "
+                        "grid (uniform-grid DDA — stackless, best for "
+                        "incoherent rays)")
     p.add_argument("--profile-build", action="store_true",
                    help="time each build stage separately (the run() report)")
     p.add_argument("--debug-checks", action="store_true",

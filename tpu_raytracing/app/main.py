@@ -158,7 +158,7 @@ def main(argv=None):
     trav = pack_bvh(bvh)
     packed = pack_pairs(pairs)
 
-    if args.width % 8 or args.height % 8:
+    if (args.width % 8 or args.height % 8) and args.tracer != "grid":
         if args.tracer != "scalar":
             print(f"WARNING: {args.width}x{args.height} is not 8-divisible; "
                   f"downgrading --tracer {args.tracer} -> scalar (slow path). "
@@ -264,6 +264,24 @@ def main(argv=None):
             packed_t = _PP(rows=rows_t)
             split_t = refit_split(split, packed_t)
             return sp_mod.prep_split_views(split_t, packed_t), packed_t
+    elif args.tracer == "grid":
+        # Uniform-grid DDA (bvh/grid.py): stackless dense-XLA traversal.
+        # The grid is built over whatever pair order the --type build
+        # produced (ref order is immaterial to a grid).
+        from tpu_raytracing.bvh.grid import build_grid, check_grid_capacity
+        from tpu_raytracing.trace.grid_trace import make_grid_tracer
+
+        tracer = make_grid_tracer()
+        _gchecked = []
+        _grid_build = jax.jit(
+            lambda rows: build_grid(rows, jnp.int32(rows.shape[0])))
+
+        def make_trav(bvh, packed, tris):
+            grid = _grid_build(packed.rows)
+            if not _gchecked:
+                check_grid_capacity(grid)
+                _gchecked.append(True)
+            return grid, packed
     elif args.tracer == "wide":
         from tpu_raytracing.bvh.wide import build_wide_fat
         from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer

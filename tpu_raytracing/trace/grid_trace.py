@@ -79,9 +79,32 @@ def trace_rays_grid(
     active=None,
     any_hit: bool = False,
     block: int = 4,
+    segments: int = 1,
 ) -> Tuple[HitRecord, TraceStats]:
-    """Closest-hit (or any-hit) trace of a ray batch through the grid."""
+    """Closest-hit (or any-hit) trace of a ray batch through the grid.
+
+    ``segments`` > 1 runs the DDA loop as that many independent
+    while_loops over equal ray slices: a lockstep loop pays its SLOWEST
+    ray's step count across the full width, so slicing origin-sorted
+    rays (correlated path lengths) into segments lets short segments
+    retire early instead of idling behind the global tail."""
     del max_width
+    if segments > 1:
+        num = rays.origin.shape[0]
+        assert num % segments == 0, (num, segments)
+        act = (jnp.ones((num,), bool) if active is None else active)
+        sl = lambda a, i, s=num // segments: jax.tree.map(  # noqa: E731
+            lambda x: x[i * s:(i + 1) * s], a)
+        recs, stats = [], []
+        for i in range(segments):
+            r, s = trace_rays_grid(
+                grid, pairs, sl(rays, i), active=sl(act, i),
+                any_hit=any_hit, block=block)
+            recs.append(r)
+            stats.append(s)
+        cat = lambda xs: jax.tree.map(  # noqa: E731
+            lambda *a: jnp.concatenate(a, axis=0), *xs)
+        return cat(recs), cat(stats)
     g = grid.res
     g3 = g * g * g
     rows = pairs.rows
