@@ -95,3 +95,44 @@ def test_grid_interior_scattered_rays():
 
 def test_grid_tiny_and_coarse():
     _check(procedural.random_triangle_soup(5, seed=1), False, res=8)
+
+
+def test_grid_macro_skip_bounds_steps():
+    """Two tiny clusters at opposite corners of a big empty box: without
+    empty-space skipping a corner-to-corner ray crawls ~3G fine cells;
+    macrocell jumps must keep the step count near 3G/8."""
+    rng = np.random.default_rng(0)
+    tri_a = rng.normal(scale=0.5, size=(50, 3, 3)).astype(np.float32)
+    tri_b = tri_a + 200.0
+    from tpu_raytracing.scene.types import Scene
+
+    tris = np.concatenate([tri_a, tri_b])
+    scene_min = tris.reshape(-1, 3).min(axis=0)
+    scene_max = tris.reshape(-1, 3).max(axis=0)
+    tris_j = jnp.asarray(tris)
+    grid, packed = build_grid_from_triangles(tris_j, False, res=96)
+    check_grid_capacity(grid)
+
+    num = 64
+    origin = np.tile(scene_min - 1.0, (num, 1)).astype(np.float32)
+    dirs = ((scene_max - 1.0)[None, :] - origin
+            + rng.normal(scale=0.5, size=(num, 3))).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    from tpu_raytracing.trace.ray import Rays
+
+    rays = Rays(origin=jnp.asarray(origin), direction=jnp.asarray(dirs),
+                tmin=jnp.zeros((num,), jnp.float32),
+                tmax=jnp.full((num,), 1e9, jnp.float32))
+
+    rec, stats = trace_rays_grid(grid, packed, rays)
+    max_steps = int(np.asarray(stats.box_tests).max())
+    # 3G corner path = 288 fine steps; with 8-wide macro jumps the empty
+    # middle costs ~3G/8 = 36, plus entry/exit cluster cells.
+    assert max_steps < 150, max_steps
+
+    # and the hits still match brute force
+    brute = make_brute_tracer(tris_j)
+    brec, _ = brute(None, pack_pairs(identity_pairs(tris_j)), rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(brec.hit))
+    np.testing.assert_allclose(np.asarray(rec.t), np.asarray(brec.t),
+                               rtol=1e-4, atol=1e-5)

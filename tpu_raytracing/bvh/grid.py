@@ -53,7 +53,14 @@ class UniformGrid:
     grid_min: jnp.ndarray    # [3] f32
     grid_max: jnp.ndarray    # [3] f32
     cell_size: jnp.ndarray   # [3] f32
+    # Macrocell occupancy for empty-space skipping: macro_occ[m] is True
+    # iff any fine cell inside the 2^mshift-wide block m holds a ref.
+    # A ray in an empty macrocell jumps to the block boundary in one DDA
+    # iteration instead of crawling fine cells (terrain scenes are mostly
+    # empty space above the surface).
+    macro_occ: jnp.ndarray = None  # [Gm^3 + 1] bool
     res: int = flax.struct.field(pytree_node=False, default=64)
+    mshift: int = flax.struct.field(pytree_node=False, default=3)
 
 
 def _grid_res(num_rows: int, density: float = 4.0) -> int:
@@ -141,6 +148,19 @@ def build_grid(rows: jnp.ndarray, num_live,
     # sentinel cell g3 (out-of-range queries) has count 0:
     cell_count = cell_count.at[g3].set(0)
 
+    # --- macrocell occupancy (see UniformGrid.macro_occ) ---
+    mshift = 3
+    m = 1 << mshift
+    gm = -(-g // m)
+    occ3 = (cell_count[:g3] > 0).reshape(g, g, g)
+    pad = gm * m - g
+    if pad:
+        occ3 = jnp.pad(occ3, ((0, pad),) * 3)
+    macro_occ = jnp.any(
+        occ3.reshape(gm, m, gm, m, gm, m), axis=(1, 3, 5)).reshape(-1)
+    macro_occ = jnp.concatenate(
+        [macro_occ, jnp.ones((1,), bool)])  # sentinel: never skip
+
     # --- big list: rows tested once by every ray ---
     (bidx,) = jnp.nonzero(is_big, size=bcap, fill_value=p)
     num_big = jnp.sum(is_big.astype(jnp.int32))
@@ -150,7 +170,8 @@ def build_grid(rows: jnp.ndarray, num_live,
     return UniformGrid(
         cell_start=cell_start, cell_count=cell_count, refs=refs,
         big=big, num_big=jnp.minimum(num_big, bcap), overflow=overflow,
-        grid_min=gmin, grid_max=gmax, cell_size=cs, res=g)
+        grid_min=gmin, grid_max=gmax, cell_size=cs,
+        macro_occ=macro_occ, res=g, mshift=mshift)
 
 
 def check_grid_capacity(grid: UniformGrid) -> None:

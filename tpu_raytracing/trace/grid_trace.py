@@ -107,6 +107,9 @@ def trace_rays_grid(
         return cat(recs), cat(stats)
     g = grid.res
     g3 = g * g * g
+    mshift = grid.mshift
+    gm = -(-g // (1 << mshift))
+    gm3 = gm * gm * gm  # macro_occ sentinel slot (always occupied)
     rows = pairs.rows
     num_rows = rows.shape[0]
     num = rays.origin.shape[0]
@@ -209,6 +212,53 @@ def trace_rays_grid(
                | (texit > s["tfar"]))
         done_n = done | finished | (stepping & oob)
         off_n = jnp.where(drained, 0, off + block)
+
+        # --- macrocell empty-space skip: jump a whole 2^mshift block ---
+        # (overrides the fine step; an empty macrocell implies count == 0,
+        # so the block tests above were no-ops for these rays)
+        mcell = cell >> mshift
+        mid = jnp.where(done, gm3,
+                        (mcell[:, 2] * gm + mcell[:, 1]) * gm + mcell[:, 0])
+        occ = grid.macro_occ[jnp.minimum(mid, gm3)]
+        skip = ~done & ~occ
+        mnext = mcell + (step > 0).astype(jnp.int32)
+        mbound = (grid.grid_min[None, :]
+                  + (mnext << mshift).astype(jnp.float32)
+                  * grid.cell_size[None, :])
+        t_axis = jnp.where(step != 0, (mbound - o) * inv, _F32_MAX)
+        texit_m = jnp.min(t_axis, axis=1)
+        axis_m = jnp.argmin(t_axis, axis=1)
+        # land: crossing-axis fine layer forced (guaranteed progress),
+        # other axes from the position at macro exit (+ a ~1e-3-cell nudge)
+        dt = 1e-3 * jnp.min(grid.cell_size) / jnp.maximum(
+            jnp.max(jnp.abs(d), axis=1), 1e-20)
+        pos_l = o + d * (texit_m + dt)[:, None]
+        cell_l = jnp.clip(
+            jnp.floor((pos_l - grid.grid_min[None, :])
+                      / grid.cell_size[None, :]).astype(jnp.int32),
+            0, g - 1)
+        forced = jnp.where(step > 0, (mcell + 1) << mshift,
+                           (mcell << mshift) - 1)  # may be -1 / >= g: oob
+        oh_m = jax.nn.one_hot(axis_m, 3, dtype=jnp.int32)
+        cell_l = cell_l * (1 - oh_m) + forced * oh_m
+        tm3_l = jnp.where(
+            step != 0,
+            (grid.grid_min[None, :]
+             + (cell_l + (step > 0)).astype(jnp.float32)
+             * grid.cell_size[None, :] - o) * inv,
+            _F32_MAX)
+        done_s = (done | (texit_m > s["tfar"])
+                  | jnp.any((cell_l < 0) | (cell_l >= g), axis=1))
+        if not any_hit:
+            done_s = done_s | (bt <= texit_m)
+        cell_l = jnp.clip(cell_l, 0, g - 1)
+
+        sk = skip[:, None]
+        cell_n = jnp.where(sk, cell_l, cell_n)
+        tm3_n = jnp.where(sk, tm3_l, tm3_n)
+        done_n = jnp.where(skip, done_s, done_n)
+        off_n = jnp.where(skip, 0, off_n)
+
         steps = steps + (~done).astype(jnp.int32)
         return dict(cell=cell_n, tmax3=tm3_n, off=off_n, done=done_n,
                     bt=bt, btr=btr, tt=tt, steps=steps, tfar=s["tfar"],
