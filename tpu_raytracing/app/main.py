@@ -282,6 +282,13 @@ def main(argv=None):
                 check_grid_capacity(grid)
                 _gchecked.append(True)
             return grid, packed
+
+        # Animated frames: the grid needs only fresh pair rows — no
+        # binary BVH build at all (grid rebuild = pairing + one sort).
+        from tpu_raytracing.bvh.grid import build_grid_from_triangles
+
+        _grid_rebuild = jax.jit(lambda tris: build_grid_from_triangles(
+            tris, enable_pairs=args.pairs))
     elif args.tracer == "wide":
         from tpu_raytracing.bvh.wide import build_wide_fat
         from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
@@ -348,6 +355,8 @@ def main(argv=None):
                 # make_trav; the binary --type build only serves frame-0
                 # validation — skip it on animated frames.
                 trav, packed = make_trav(None, None, triangles)
+            elif args.tracer == "grid":
+                trav, packed = _grid_rebuild(triangles)
             else:
                 quiet = StageTimer(should_print=False)
                 bvh, pairs = build_accel(triangles, args, quiet)
