@@ -1,0 +1,18 @@
+#!/bin/bash
+# Round-2 TPU measurement queue (one process at a time on the chip).
+# Run from the repo root when the tunnel is up:
+#   nohup bash benchmarks/round2_queue.sh > /tmp/queue.log 2>&1 &
+# Logs land in /tmp/m_*.log; inspect as each completes.
+cd "$(dirname "$0")/.." || exit 1
+set -x
+# 1. grid vs split kernel on the bounce workload + grid build cost
+timeout 2800 python -u benchmarks/probe_grid.py > /tmp/m_grid.log 2>&1
+# 2. SAH vs bucket tree quality through the flagship kernel (host-stepped SAH)
+timeout 2800 python -u benchmarks/probe_tree.py > /tmp/m_tree.log 2>&1
+# 3. split-build stage profile after the two-tier table + ladder cap
+timeout 1800 python -u benchmarks/profile_build.py > /tmp/m_build.log 2>&1
+# 4. headline bench: default, grid bounce, leaf-sort bounce
+timeout 2400 python -u bench.py > /tmp/m_bench.log 2>&1
+TPURT_BOUNCE_TRACER=grid timeout 2400 python -u bench.py > /tmp/m_bench_grid.log 2>&1
+TPURT_BOUNCE_SORT=leaf timeout 2400 python -u bench.py > /tmp/m_bench_leafsort.log 2>&1
+echo DONE

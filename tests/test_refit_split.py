@@ -75,3 +75,37 @@ def test_refit_matches_brute_on_deformed_scene(sp, enable_pairs):
     np.testing.assert_allclose(
         np.where(both, np.asarray(rec.t), 0.0),
         np.where(both, np.asarray(ref.t), 0.0), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.quick
+def test_refit_sah_converter_tree(sp):
+    """The SAH converter now emits e_ranges: refit an SAH split tree and
+    the kernel must match brute force on the deformed scene."""
+    from tpu_raytracing.bvh.split_convert import build_sah_split
+
+    scene = procedural.sphere_scene(3)
+    tris = jnp.asarray(scene.triangles)
+    split, packed = jax.jit(
+        lambda t: build_sah_split(t, enable_pairs=True, leaf_width=16))(tris)
+    assert split.e_ranges is not None
+
+    packed2 = PackedPairs(rows=_deform_rows(packed.rows))
+    split2 = jax.jit(bucket.refit_split)(split, packed2)
+    np.testing.assert_array_equal(
+        np.asarray(split2.inner.reshape(-1, 8)[:, 6]),
+        np.asarray(split.inner.reshape(-1, 8)[:, 6]))
+
+    tris2 = _deform_points(tris)
+    host_cam = cam.initialise_camera(
+        jnp.min(tris2.reshape(-1, 3), axis=0),
+        jnp.max(tris2.reshape(-1, 3), axis=0))
+    camera = cam.camera_to_device(cam.update_camera(host_cam))
+    rays = generate_primary_rays(camera, 16, 8)
+    views = sp.prep_split_views(split2, packed2)
+    rec, _ = sp.trace_rays_split_pallas(views, packed2, rays, leafw=16)
+    ref = brute_force_trace(tris2, rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+    both = np.asarray(rec.hit) & np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(rec.t), 0.0),
+        np.where(both, np.asarray(ref.t), 0.0), rtol=1e-4, atol=1e-4)

@@ -192,12 +192,7 @@ def main(argv=None):
             None, None, args.width, args.height
         )
 
-        if args.refit and args.build_type == BuildType.SAH and not args.splits:
-            print("NOTE: --refit needs the bucket build's per-entry leaf "
-                  "ranges (e_ranges); using the Morton-bucket split build "
-                  "instead of the SAH converter.", file=sys.stderr)
-        if (args.build_type == BuildType.SAH and not args.splits
-                and not args.refit):
+        if args.build_type == BuildType.SAH and not args.splits:
             # SAH-quality tree for the flagship kernel
             # (bvh/split_convert.py); spatial splits fall back to the
             # Morton-bucket build below.

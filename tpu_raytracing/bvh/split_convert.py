@@ -189,7 +189,12 @@ def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):
             [f2i(nmin.astype(jnp.float32)), f2i(nmax.astype(jnp.float32)),
              meta[..., None], jnp.zeros(meta.shape + (1,), jnp.int32)],
             axis=-1)
-        return row.reshape(row.shape[:-2] + (WIDE * 8,))
+        # Per-entry subtree (start, count) in the final leaf permutation
+        # — exactly what refit_split refreshes AABBs from (count 0 =
+        # empty slot keeps its NONE/inverted box).
+        er = jnp.stack([jnp.where(valid, starts[s], 0),
+                        jnp.where(valid, counts[s], 0)], axis=-1)
+        return row.reshape(row.shape[:-2] + (WIDE * 8,)), er
 
     icap = _split_cap(cap, leaf_width)
     # empty rows must never hit: fill via a NONE row template
@@ -202,13 +207,16 @@ def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):
     inner = jnp.broadcast_to(
         jnp.tile(empty_entry, WIDE), (icap, WIDE * 8))
 
-    all_rows = pack(ent)
+    all_rows, all_er = pack(ent)
     dest = jnp.where(anchor, 1 + rank, icap)
     inner = inner.at[dest].set(all_rows, mode="drop")
+    e_ranges = jnp.zeros((icap, WIDE, 2), jnp.int32).at[dest].set(
+        all_er, mode="drop")
 
     # Root row: slot 0's expansion; tiny scenes (root subtree fits one
     # window) synthesize a single-Tri row covering the scene.
-    root_row = pack(root_ent)[0]
+    root_row, root_er = pack(root_ent)
+    root_row, root_er = root_row[0], root_er[0]
     root_small = ~(is_box[0] & big[0])
     leaf_meta = ((jnp.clip(jnp.minimum(starts[0], win_max), 0, cap - 1)
                   << _META_CHILD_SHIFT) | CHILD_TRI).astype(jnp.int32)
@@ -218,7 +226,11 @@ def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):
         leaf_meta[None], jnp.zeros((1,), jnp.int32),
         jnp.tile(empty_entry, WIDE - 1),
     ])
+    leaf_er = jnp.zeros((WIDE, 2), jnp.int32).at[0].set(
+        jnp.stack([jnp.int32(0), num_leaves]))
     inner = inner.at[0].set(jnp.where(root_small, leaf_row, root_row))
+    e_ranges = e_ranges.at[0].set(jnp.where(root_small, leaf_er, root_er))
 
     return SplitBVH(inner=inner, num_inner=num_inner,
-                    num_leaves=num_leaves, leaf_width=leaf_width), packed_sorted
+                    num_leaves=num_leaves, leaf_width=leaf_width,
+                    e_ranges=e_ranges), packed_sorted
