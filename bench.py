@@ -154,6 +154,12 @@ def main():
         shadow_tracer_b = make_grid_tracer(any_hit=True)
         log(f"bounce passes: uniform grid res={grid.res}, "
             f"big={int(grid.num_big)}")
+        if os.environ.get("TPURT_PRIMARY_TRACER") == "grid":
+            # whole frame on the grid: primaries + primary shadows too
+            views = grid
+            tracer = make_grid_tracer()
+            shadow_tracer = make_grid_tracer(any_hit=True)
+            log("primary passes: uniform grid")
 
     def frame(key, jitter):
         cam_j = dict(camera)

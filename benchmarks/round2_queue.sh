@@ -15,4 +15,5 @@ timeout 1800 python -u benchmarks/profile_build.py > /tmp/m_build.log 2>&1
 timeout 2400 python -u bench.py > /tmp/m_bench.log 2>&1
 TPURT_BOUNCE_TRACER=grid timeout 2400 python -u bench.py > /tmp/m_bench_grid.log 2>&1
 TPURT_BOUNCE_SORT=leaf timeout 2400 python -u bench.py > /tmp/m_bench_leafsort.log 2>&1
+TPURT_BOUNCE_TRACER=grid TPURT_PRIMARY_TRACER=grid timeout 2400 python -u bench.py > /tmp/m_bench_allgrid.log 2>&1
 echo DONE

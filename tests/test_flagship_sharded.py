@@ -120,3 +120,29 @@ def test_presorted_bounce_tracer_matches_tile_tracer(sphere):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                rtol=1e-5, atol=1e-7)
     assert int(rt0) == int(rt1)
+
+
+def test_sharded_grid_path_trace_matches_single_chip(sphere):
+    """Sharded wavefront path trace with the uniform grid (replicated)
+    as the traversal structure on every band."""
+    from tpu_raytracing.bvh.grid import build_grid
+    from tpu_raytracing.trace.grid_trace import make_grid_tracer
+    from tpu_raytracing.trace.pathtrace import path_trace
+
+    mesh = make_mesh(jax.devices()[:8])
+    dev_scene, camera, _views, packed = _setup(sphere)
+    grid = build_grid(packed.rows, jnp.int32(packed.rows.shape[0]))
+    width, height = 32, 64
+    img, rays_traced = path_trace_sharded(
+        mesh, grid, packed, dev_scene, camera, width, height,
+        num_bounces=1, key=jax.random.PRNGKey(1), k=128,
+        tracer_kind="grid")
+    img = np.asarray(img)
+    assert img.shape == (height, width, 3)
+    assert np.isfinite(img).all()
+    img1, rt1 = path_trace(
+        grid, packed, dev_scene, camera, width, height, num_bounces=1,
+        key=jax.random.PRNGKey(1), tracer=make_grid_tracer(),
+        shadow_tracer=make_grid_tracer(any_hit=True))
+    np.testing.assert_allclose(img, np.asarray(img1), rtol=1e-5, atol=1e-7)
+    assert int(rays_traced) == int(rt1)

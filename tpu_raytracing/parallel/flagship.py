@@ -115,9 +115,14 @@ def path_trace_sharded(
     num_bounces: int = 1,
     key=None,
     k: int = 128,
+    tracer_kind: str = "split",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Wavefront path trace with the ray axis sharded over the mesh and
-    band-local compaction. Returns ([H, W, 3] radiance, rays traced)."""
+    band-local compaction. Returns ([H, W, 3] radiance, rays traced).
+
+    ``tracer_kind='grid'``: ``views`` is a UniformGrid (replicated) and
+    every band runs the DDA tracer — same band split, same collectives.
+    """
     axis = mesh.axis_names[0]
     num_dev = mesh.shape[axis]
     tw, th = 16, k // 16
@@ -126,8 +131,17 @@ def path_trace_sharded(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    closest = _band_tracer(k)
-    occl = _band_tracer(k, any_hit=True)
+    if tracer_kind == "grid":
+        from tpu_raytracing.trace.grid_trace import trace_rays_grid
+
+        def closest(v, p, r, active=None):
+            return trace_rays_grid(v, p, r, active=active)
+
+        def occl(v, p, r, active=None):
+            return trace_rays_grid(v, p, r, active=active, any_hit=True)
+    else:
+        closest = _band_tracer(k)
+        occl = _band_tracer(k, any_hit=True)
 
     @jax.jit
     @partial(
