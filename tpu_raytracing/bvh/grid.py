@@ -74,6 +74,58 @@ def _big_cap(num_rows: int) -> int:
     return max(64, num_rows // 256)
 
 
+def _tri_cell_overlap(v, clo_k, gmin, cs):
+    """Separating-axis overlap of both triangles of each pair row with
+    cell (clo_k) — Akenine-Moller reduced to the axes that matter after
+    the AABB footprint prescreen (the 3 box axes already passed): the
+    two face normals and the 9 edge cross-axes per triangle.
+
+    v: [P, 4, 3] pair vertices; clo_k: [P, 3] int cell coords.
+    Returns [P] bool: the pair touches the cell."""
+    c = gmin[None, :] + (clo_k.astype(jnp.float32) + 0.5) * cs[None, :]
+    h = 0.5 * cs[None, :]  # half extents
+
+    def tri_hits(a, b, cvtx):
+        # translate cell to origin
+        p0 = a - c
+        p1 = b - c
+        p2 = cvtx - c
+        e0 = p1 - p0
+        e1 = p2 - p1
+        e2 = p0 - p2
+        ok = jnp.ones((v.shape[0],), bool)
+        # 9 edge cross products axes: for edge e and unit axis u,
+        # axis = cross(u, e)
+        for e in (e0, e1, e2):
+            ex, ey, ez = e[:, 0], e[:, 1], e[:, 2]
+            for (ax, ay, az) in (
+                (jnp.zeros_like(ex), -ez, ey),      # X x e
+                (ez, jnp.zeros_like(ex), -ex),      # Y x e
+                (-ey, ex, jnp.zeros_like(ex)),      # Z x e
+            ):
+                d0 = ax * p0[:, 0] + ay * p0[:, 1] + az * p0[:, 2]
+                d1 = ax * p1[:, 0] + ay * p1[:, 1] + az * p1[:, 2]
+                d2 = ax * p2[:, 0] + ay * p2[:, 1] + az * p2[:, 2]
+                r = (h[:, 0] * jnp.abs(ax) + h[:, 1] * jnp.abs(ay)
+                     + h[:, 2] * jnp.abs(az))
+                lo = jnp.minimum(jnp.minimum(d0, d1), d2)
+                hi = jnp.maximum(jnp.maximum(d0, d1), d2)
+                ok &= (lo <= r) & (hi >= -r)
+        # face normal axis (plane-box overlap)
+        nx = e0[:, 1] * e1[:, 2] - e0[:, 2] * e1[:, 1]
+        ny = e0[:, 2] * e1[:, 0] - e0[:, 0] * e1[:, 2]
+        nz = e0[:, 0] * e1[:, 1] - e0[:, 1] * e1[:, 0]
+        d = nx * p0[:, 0] + ny * p0[:, 1] + nz * p0[:, 2]
+        r = (h[:, 0] * jnp.abs(nx) + h[:, 1] * jnp.abs(ny)
+             + h[:, 2] * jnp.abs(nz))
+        ok &= jnp.abs(d) <= r
+        return ok
+
+    hit_a = tri_hits(v[:, 0], v[:, 1], v[:, 2])
+    hit_b = tri_hits(v[:, 2], v[:, 1], v[:, 3])
+    return hit_a | hit_b
+
+
 def build_grid(rows: jnp.ndarray, num_live,
                res: Optional[int] = None) -> UniformGrid:
     """Build the grid over live pair rows ([P, 16] int32, vertex words
@@ -115,15 +167,22 @@ def build_grid(rows: jnp.ndarray, num_live,
     is_big = live & (total > K_FOOTPRINT)
     direct = live & ~is_big
 
-    # --- direct refs: K static slots per row, sentinel-keyed when unused ---
+    # --- direct refs: K static slots per row, sentinel-keyed when unused.
+    # Rows with a multi-cell footprint get an exact triangle-box overlap
+    # test per candidate (SAT): a diagonal triangle's AABB covers cells
+    # its plane never touches — dropping those refs shrinks per-cell
+    # counts with zero effect on hits (a removed cell cannot contain any
+    # point of the triangle). Single-cell footprints skip the test. ---
     keys = []
     for k in range(K_FOOTPRINT):
         kk = jnp.int32(k)
         kx = kk % dx
         ky = (kk // dx) % dy
         kz = kk // (dx * dy)
-        cell = ((clo[:, 2] + kz) * g + (clo[:, 1] + ky)) * g + (clo[:, 0] + kx)
+        clo_k = clo + jnp.stack([kx, ky, kz], axis=1)
+        cell = (clo_k[:, 2] * g + clo_k[:, 1]) * g + clo_k[:, 0]
         ok = direct & (kk < total)
+        ok &= (total == 1) | _tri_cell_overlap(v, clo_k, gmin, cs)
         keys.append(jnp.where(ok, cell, g3))
     key_flat = jnp.stack(keys, axis=1).reshape(-1)  # [P*K]
     row_flat = jnp.broadcast_to(iota[:, None],
