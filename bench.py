@@ -78,6 +78,9 @@ def main():
     # silently drop geometry (inner-row bound + the capped chunk ladder's
     # slot guard, bvh/bucket.py:check_split_capacity).
     bucket.check_split_capacity(split_f0, num_tris)
+    # build/trace window coupling: a kernel leafw wider than the build's
+    # windows would DMA past live pairs (silent wrong hits)
+    assert split_f0.leaf_width == sp.LEAFW, (split_f0.leaf_width, sp.LEAFW)
     float(jnp.sum(views[0][0]).astype(jnp.float32))  # force completion
     # Vary the input every frame (this backend memoizes identical executions)
     # and fetch at the end: throughput timing over pipelined frames.

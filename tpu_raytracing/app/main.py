@@ -227,6 +227,10 @@ def main(argv=None):
             views, packed2, split = _split_build(tris)
             if not _checked:  # frame 0 only: the fetch is a host sync
                 check_split_capacity(split, tris.shape[0])
+                # build/trace window coupling (silent wrong hits if the
+                # kernel's window outruns the build's)
+                assert split.leaf_width == sp_mod.LEAFW, (
+                    split.leaf_width, sp_mod.LEAFW)
                 _checked.append(True)
                 _frame0_split.append((split, packed2.rows))
             return views, packed2
