@@ -60,6 +60,12 @@ def main():
     split, packed = jax.jit(lambda t: bucket.build_bucket_split(
         t, enable_pairs=True, leaf_width=sp.LEAFW))(triangles)
     views = sp.prep_split_views(split, packed)
+    tracer_kind = os.environ.get("TPURT_MC_TRACER", "split")
+    if tracer_kind == "grid":
+        from tpu_raytracing.bvh.grid import build_grid
+
+        views = jax.jit(build_grid)(packed.rows, split.num_leaves)
+        log(f"tracer: uniform grid res={views.res}")
 
     n = 1
     sizes = []
@@ -76,7 +82,8 @@ def main():
             continue
         img, rays_traced = path_trace_sharded(
             mesh, views, packed, dev_scene, camera, res, res,
-            num_bounces=1, key=jax.random.PRNGKey(0))
+            num_bounces=1, key=jax.random.PRNGKey(0),
+            tracer_kind=tracer_kind)
         jax.block_until_ready(img)
         t0 = time.perf_counter()
         total = 0
@@ -85,7 +92,8 @@ def main():
             cam_j["position"] = camera["position"] + (i + 1) * 1e-4
             img, rays_traced = path_trace_sharded(
                 mesh, views, packed, dev_scene, cam_j, res, res,
-                num_bounces=1, key=jax.random.PRNGKey(i))
+                num_bounces=1, key=jax.random.PRNGKey(i),
+                tracer_kind=tracer_kind)
             total += int(jax.block_until_ready(rays_traced))
         dt = time.perf_counter() - t0
         mrays = total / dt / 1e6
