@@ -12,6 +12,11 @@ accepted hit. There is no stack and no per-node decision logic: the
 does not exist here, and incoherent rays cost their own path only (no
 packet-union waste).
 
+Layout rule (docs/TPU_NOTES.md): every loop-carried or per-iteration
+per-ray value is a FLAT [R] array — [R, 3] carries would tile-pad the
+minor dim 3 -> 128 and rewrite ~43x the bytes per iteration. Pair rows
+are gathered channel-major ([16, R] via take_cols) for the same reason.
+
 Stats: box_tests = DDA iterations (cells visited incl. drain steps),
 tri_tests = Moller-Trumbore pair tests x 2 — both per ray, so the
 BOX_TESTS / TRIANGLE_TESTS heatmap modes are meaningful.
@@ -19,13 +24,13 @@ BOX_TESTS / TRIANGLE_TESTS heatmap modes are meaningful.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from tpu_raytracing.bvh.grid import UniformGrid
-from tpu_raytracing.ops.gather import take_rows
+from tpu_raytracing.ops.gather import take_cols
 from tpu_raytracing.trace.brute import HitRecord
 from tpu_raytracing.trace.ray import Rays
 from tpu_raytracing.trace.traverse import PackedPairs, TraceStats
@@ -35,35 +40,37 @@ _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
 
 
-def _mt_rows(prow, o, d, tmin, tmax):
-    """Moller-Trumbore of both triangles of gathered pair rows [R, 16]
-    against per-row rays. Returns (t [R], enc [R]: 0/1 second-tri flag,
-    -1 = miss). Same epsilon/tie conventions as the split kernel
+def _mt_cols(pt, ox, oy, oz, dx, dy, dz, tmin, tmax):
+    """Moller-Trumbore of both triangles of channel-major pair rows
+    ``pt`` ([16, R] int32 view) against per-lane rays (all [R]).
+    Returns (t [R], enc [R]: 0/1 second-tri flag, -1 = miss). Same
+    epsilon/tie conventions as the split kernel
     (trace/split_pallas.py:leaf_mt; reference src/Tracer.cu:207-250)."""
     i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)  # noqa: E731
-    v0 = i2f(prow[:, 0:3])
-    v1 = i2f(prow[:, 3:6])
-    v2 = i2f(prow[:, 6:9])
-    v3 = i2f(prow[:, 9:12])
+    w = [i2f(pt[i]) for i in range(12)]
 
-    def mt(a, b, c):
-        e1 = b - a
-        e2 = c - a
-        h = jnp.cross(d, e2)
-        det = jnp.sum(e1 * h, axis=-1)
+    def mt(ax_, ay_, az_, bx, by, bz, cx, cy, cz):
+        e1x, e1y, e1z = bx - ax_, by - ay_, bz - az_
+        e2x, e2y, e2z = cx - ax_, cy - ay_, cz - az_
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
         degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
         f = 1.0 / det
-        s = o - a
-        u = f * jnp.sum(s * h, axis=-1)
-        q = jnp.cross(s, e1)
-        v = f * jnp.sum(d * q, axis=-1)
-        t = f * jnp.sum(e2 * q, axis=-1)
+        sx, sy, sz = ox - ax_, oy - ay_, oz - az_
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
         acc = (~degen & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                & (u + v <= 1.0) & (t >= tmin) & (t <= tmax))
         return jnp.where(acc, t, _F32_MAX)
 
-    ta = mt(v0, v1, v2)
-    tb = mt(v2, v1, v3)
+    ta = mt(*w[0:3], *w[3:6], *w[6:9])
+    tb = mt(*w[6:9], *w[3:6], *w[9:12])
     # later slot wins distance ties (matches the fat tracers' entry order)
     second = tb <= ta
     t = jnp.minimum(ta, tb)
@@ -105,6 +112,7 @@ def trace_rays_grid(
         cat = lambda xs: jax.tree.map(  # noqa: E731
             lambda *a: jnp.concatenate(a, axis=0), *xs)
         return cat(recs), cat(stats)
+
     g = grid.res
     g3 = g * g * g
     mshift = grid.mshift
@@ -113,11 +121,18 @@ def trace_rays_grid(
     rows = pairs.rows
     num_rows = rows.shape[0]
     num = rays.origin.shape[0]
-    o = rays.origin
-    d = rays.direction
-    tmin = rays.tmin
     if active is None:
         active = jnp.ones((num,), bool)
+
+    # flat per-axis ray components (loop-invariant [R] arrays)
+    ox, oy, oz = (rays.origin[:, i] for i in range(3))
+    dx, dy, dz = (rays.direction[:, i] for i in range(3))
+    tmin = rays.tmin
+    safe = lambda a: jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)  # noqa: E731
+    invx, invy, invz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
+    gminx, gminy, gminz = (grid.grid_min[i] for i in range(3))
+    gmaxx, gmaxy, gmaxz = (grid.grid_max[i] for i in range(3))
+    csx, csy, csz = (grid.cell_size[i] for i in range(3))
 
     best_t = rays.tmax
     best_tri = jnp.full((num,), -1, jnp.int32)
@@ -130,8 +145,8 @@ def trace_rays_grid(
     def big_body(i, carry):
         bt, btr, tt = carry
         ridx = grid.big[i]
-        prow = jnp.broadcast_to(rows[ridx], (num, 16))
-        t, enc = _mt_rows(prow, o, d, tmin, bt)
+        pt = [jnp.broadcast_to(rows[ridx, wd], (num,)) for wd in range(12)]
+        t, enc = _mt_cols(pt, ox, oy, oz, dx, dy, dz, tmin, bt)
         upd = active & (i < nbig) & (enc >= 0) & (t < bt)
         bt = jnp.where(upd, t, bt)
         btr = jnp.where(upd, (ridx << 1) | enc, btr)
@@ -141,43 +156,64 @@ def trace_rays_grid(
     best_t, best_tri, tri_tests = jax.lax.fori_loop(
         0, bcap, big_body, (best_t, best_tri, tri_tests))
 
-    # --- DDA init ---
-    safe_d = jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
-    inv = 1.0 / safe_d
-    t0 = (grid.grid_min[None, :] - o) * inv
-    t1 = (grid.grid_max[None, :] - o) * inv
-    tnear = jnp.max(jnp.minimum(t0, t1), axis=1)
-    tfar = jnp.min(jnp.maximum(t0, t1), axis=1)
+    # --- DDA init (per-axis slab + first cell) ---
+    def axis_init(o_a, inv_a, gmin_a, gmax_a, cs_a, d_a):
+        t0 = (gmin_a - o_a) * inv_a
+        t1 = (gmax_a - o_a) * inv_a
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    nx0, fx0 = axis_init(ox, invx, gminx, gmaxx, csx, dx)
+    ny0, fy0 = axis_init(oy, invy, gminy, gmaxy, csy, dy)
+    nz0, fz0 = axis_init(oz, invz, gminz, gmaxz, csz, dz)
+    tnear = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
+    tfar = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
     miss_box = (tnear > tfar) | (tfar < tmin) | (tnear > rays.tmax)
     start_t = jnp.maximum(jnp.maximum(tnear, tmin), 0.0)
-    pos = o + d * start_t[:, None]
-    cell = jnp.clip(
-        jnp.floor((pos - grid.grid_min[None, :]) / grid.cell_size[None, :])
-        .astype(jnp.int32), 0, g - 1)
-    step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
-    nxt_bound = (grid.grid_min[None, :]
-                 + (cell + (step > 0)).astype(jnp.float32)
-                 * grid.cell_size[None, :])
-    tmax3 = jnp.where(step != 0, (nxt_bound - o) * inv, _F32_MAX)
-    tdelta = jnp.where(step != 0,
-                       grid.cell_size[None, :] * jnp.abs(inv), _F32_MAX)
+
+    def cell_at(o_a, d_a, gmin_a, cs_a):
+        return jnp.clip(
+            jnp.floor((o_a + d_a * start_t - gmin_a) / cs_a)
+            .astype(jnp.int32), 0, g - 1)
+
+    cx = cell_at(ox, dx, gminx, csx)
+    cy = cell_at(oy, dy, gminy, csy)
+    cz = cell_at(oz, dz, gminz, csz)
+    stx = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
+    sty = jnp.where(dy > 0, 1, jnp.where(dy < 0, -1, 0)).astype(jnp.int32)
+    stz = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(jnp.int32)
+
+    def tmax_at(c_a, st_a, o_a, inv_a, gmin_a, cs_a):
+        bound = gmin_a + (c_a + (st_a > 0)).astype(jnp.float32) * cs_a
+        return jnp.where(st_a != 0, (bound - o_a) * inv_a, _F32_MAX)
+
+    tmx = tmax_at(cx, stx, ox, invx, gminx, csx)
+    tmy = tmax_at(cy, sty, oy, invy, gminy, csy)
+    tmz = tmax_at(cz, stz, oz, invz, gminz, csz)
+    tdx = jnp.where(stx != 0, csx * jnp.abs(invx), _F32_MAX)
+    tdy = jnp.where(sty != 0, csy * jnp.abs(invy), _F32_MAX)
+    tdz = jnp.where(stz != 0, csz * jnp.abs(invz), _F32_MAX)
 
     done = ~active | miss_box
-    # any-hit can retire big-list winners immediately
     if any_hit:
         done = done | (best_tri >= 0)
     off = jnp.zeros((num,), jnp.int32)
     steps = jnp.zeros((num,), jnp.int32)
 
+    # macro-skip nudge: advance ~1e-3 of a cell along the dominant axis
+    dmax = jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)), jnp.abs(dz))
+    dt_nudge = 1e-3 * jnp.minimum(jnp.minimum(csx, csy), csz) / jnp.maximum(
+        dmax, 1e-20)
+
     def cond(s):
         return jnp.any(~s["done"]) & (s["iter"] < 8 * g + (1 << 17))
 
     def body(s):
-        cell, tm3, off, done = s["cell"], s["tmax3"], s["off"], s["done"]
+        cx, cy, cz = s["cx"], s["cy"], s["cz"]
+        tmx, tmy, tmz = s["tmx"], s["tmy"], s["tmz"]
+        off, done = s["off"], s["done"]
         bt, btr, tt, steps = s["bt"], s["btr"], s["tt"], s["steps"]
-        cid = jnp.where(
-            done, g3,
-            (cell[:, 2] * g + cell[:, 1]) * g + cell[:, 0])
+
+        cid = jnp.where(done, g3, (cz * g + cy) * g + cx)
         start = grid.cell_start[cid]
         count = grid.cell_count[cid]
         rem = count - off
@@ -186,87 +222,105 @@ def trace_rays_grid(
             ridx = grid.refs[jnp.clip(start + off + j, 0,
                                       grid.refs.shape[0] - 1)]
             ridx = jnp.minimum(ridx, num_rows - 1)
-            prow = take_rows(rows, ridx)
-            t, enc = _mt_rows(prow, o, d, tmin, bt)
+            pt = take_cols(rows, ridx)  # [16, R] channel-major
+            t, enc = _mt_cols(pt, ox, oy, oz, dx, dy, dz, tmin, bt)
             upd = live_j & (enc >= 0) & (t < bt)
             bt = jnp.where(upd, t, bt)
             btr = jnp.where(upd, (ridx << 1) | enc, btr)
             tt = tt + 2 * live_j.astype(jnp.int32)
 
         drained = ~done & (rem <= block)
-        texit = jnp.min(tm3, axis=1)
+        texit = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
         if any_hit:
-            finished = drained & (btr >= 0)
+            # occlusion needs no cell drain — first accepted hit retires
+            finished = ~done & (btr >= 0)
         else:
             # front-to-back: a hit at or before this cell's exit is final
             finished = drained & (bt <= texit)
 
-        # one DDA step for drained, unfinished rays
-        axis = jnp.argmin(tm3, axis=1)
+        # one fine DDA step for drained, unfinished rays
         stepping = drained & ~finished
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        cell_n = cell + jnp.where(stepping[:, None], onehot * step, 0)
-        tm3_n = tm3 + jnp.where(stepping[:, None],
-                                onehot.astype(jnp.float32) * tdelta, 0.0)
-        oob = (jnp.any((cell_n < 0) | (cell_n >= g), axis=1)
-               | (texit > s["tfar"]))
+        ax_x = (tmx <= tmy) & (tmx <= tmz)
+        ax_y = ~ax_x & (tmy <= tmz)
+        ax_z = ~ax_x & ~ax_y
+        cx_n = cx + jnp.where(stepping & ax_x, stx, 0)
+        cy_n = cy + jnp.where(stepping & ax_y, sty, 0)
+        cz_n = cz + jnp.where(stepping & ax_z, stz, 0)
+        tmx_n = jnp.where(stepping & ax_x, tmx + tdx, tmx)
+        tmy_n = jnp.where(stepping & ax_y, tmy + tdy, tmy)
+        tmz_n = jnp.where(stepping & ax_z, tmz + tdz, tmz)
+        oob = ((cx_n < 0) | (cx_n >= g) | (cy_n < 0) | (cy_n >= g)
+               | (cz_n < 0) | (cz_n >= g) | (texit > s["tfar"]))
         done_n = done | finished | (stepping & oob)
         off_n = jnp.where(drained, 0, off + block)
 
         # --- macrocell empty-space skip: jump a whole 2^mshift block ---
         # (overrides the fine step; an empty macrocell implies count == 0,
         # so the block tests above were no-ops for these rays)
-        mcell = cell >> mshift
-        mid = jnp.where(done, gm3,
-                        (mcell[:, 2] * gm + mcell[:, 1]) * gm + mcell[:, 0])
+        mx, my, mz = cx >> mshift, cy >> mshift, cz >> mshift
+        mid = jnp.where(done, gm3, (mz * gm + my) * gm + mx)
         occ = grid.macro_occ[jnp.minimum(mid, gm3)]
         skip = ~done & ~occ
-        mnext = mcell + (step > 0).astype(jnp.int32)
-        mbound = (grid.grid_min[None, :]
-                  + (mnext << mshift).astype(jnp.float32)
-                  * grid.cell_size[None, :])
-        t_axis = jnp.where(step != 0, (mbound - o) * inv, _F32_MAX)
-        texit_m = jnp.min(t_axis, axis=1)
-        axis_m = jnp.argmin(t_axis, axis=1)
+
+        def maxis(m_a, st_a, o_a, inv_a, gmin_a, cs_a):
+            b = gmin_a + ((m_a + (st_a > 0)) << mshift).astype(
+                jnp.float32) * cs_a
+            return jnp.where(st_a != 0, (b - o_a) * inv_a, _F32_MAX)
+
+        tx_m = maxis(mx, stx, ox, invx, gminx, csx)
+        ty_m = maxis(my, sty, oy, invy, gminy, csy)
+        tz_m = maxis(mz, stz, oz, invz, gminz, csz)
+        texit_m = jnp.minimum(jnp.minimum(tx_m, ty_m), tz_m)
+        axm_x = (tx_m <= ty_m) & (tx_m <= tz_m)
+        axm_y = ~axm_x & (ty_m <= tz_m)
+        axm_z = ~axm_x & ~axm_y
         # land: crossing-axis fine layer forced (guaranteed progress),
-        # other axes from the position at macro exit (+ a ~1e-3-cell nudge)
-        dt = 1e-3 * jnp.min(grid.cell_size) / jnp.maximum(
-            jnp.max(jnp.abs(d), axis=1), 1e-20)
-        pos_l = o + d * (texit_m + dt)[:, None]
-        cell_l = jnp.clip(
-            jnp.floor((pos_l - grid.grid_min[None, :])
-                      / grid.cell_size[None, :]).astype(jnp.int32),
-            0, g - 1)
-        forced = jnp.where(step > 0, (mcell + 1) << mshift,
-                           (mcell << mshift) - 1)  # may be -1 / >= g: oob
-        oh_m = jax.nn.one_hot(axis_m, 3, dtype=jnp.int32)
-        cell_l = cell_l * (1 - oh_m) + forced * oh_m
-        tm3_l = jnp.where(
-            step != 0,
-            (grid.grid_min[None, :]
-             + (cell_l + (step > 0)).astype(jnp.float32)
-             * grid.cell_size[None, :] - o) * inv,
-            _F32_MAX)
+        # other axes from the position at macro exit (+ the nudge)
+        t_land = texit_m + dt_nudge
+
+        def land(o_a, d_a, gmin_a, cs_a):
+            return jnp.clip(
+                jnp.floor((o_a + d_a * t_land - gmin_a) / cs_a)
+                .astype(jnp.int32), 0, g - 1)
+
+        def forced(m_a, st_a):
+            return jnp.where(st_a > 0, (m_a + 1) << mshift,
+                             (m_a << mshift) - 1)
+
+        cx_l = jnp.where(axm_x, forced(mx, stx), land(ox, dx, gminx, csx))
+        cy_l = jnp.where(axm_y, forced(my, sty), land(oy, dy, gminy, csy))
+        cz_l = jnp.where(axm_z, forced(mz, stz), land(oz, dz, gminz, csz))
         done_s = (done | (texit_m > s["tfar"])
-                  | jnp.any((cell_l < 0) | (cell_l >= g), axis=1))
+                  | (cx_l < 0) | (cx_l >= g) | (cy_l < 0) | (cy_l >= g)
+                  | (cz_l < 0) | (cz_l >= g))
         if not any_hit:
             done_s = done_s | (bt <= texit_m)
-        cell_l = jnp.clip(cell_l, 0, g - 1)
+        cx_l = jnp.clip(cx_l, 0, g - 1)
+        cy_l = jnp.clip(cy_l, 0, g - 1)
+        cz_l = jnp.clip(cz_l, 0, g - 1)
+        tmx_l = tmax_at(cx_l, stx, ox, invx, gminx, csx)
+        tmy_l = tmax_at(cy_l, sty, oy, invy, gminy, csy)
+        tmz_l = tmax_at(cz_l, stz, oz, invz, gminz, csz)
 
-        sk = skip[:, None]
-        cell_n = jnp.where(sk, cell_l, cell_n)
-        tm3_n = jnp.where(sk, tm3_l, tm3_n)
+        cx_n = jnp.where(skip, cx_l, cx_n)
+        cy_n = jnp.where(skip, cy_l, cy_n)
+        cz_n = jnp.where(skip, cz_l, cz_n)
+        tmx_n = jnp.where(skip, tmx_l, tmx_n)
+        tmy_n = jnp.where(skip, tmy_l, tmy_n)
+        tmz_n = jnp.where(skip, tmz_l, tmz_n)
         done_n = jnp.where(skip, done_s, done_n)
         off_n = jnp.where(skip, 0, off_n)
 
         steps = steps + (~done).astype(jnp.int32)
-        return dict(cell=cell_n, tmax3=tm3_n, off=off_n, done=done_n,
-                    bt=bt, btr=btr, tt=tt, steps=steps, tfar=s["tfar"],
+        return dict(cx=cx_n, cy=cy_n, cz=cz_n, tmx=tmx_n, tmy=tmy_n,
+                    tmz=tmz_n, off=off_n, done=done_n, bt=bt, btr=btr,
+                    tt=tt, steps=steps, tfar=s["tfar"],
                     iter=s["iter"] + 1)
 
     out = jax.lax.while_loop(cond, body, dict(
-        cell=cell, tmax3=tmax3, off=off, done=done, bt=best_t, btr=best_tri,
-        tt=tri_tests, steps=steps, tfar=tfar, iter=jnp.int32(0)))
+        cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy, tmz=tmz, off=off,
+        done=done, bt=best_t, btr=best_tri, tt=tri_tests, steps=steps,
+        tfar=tfar, iter=jnp.int32(0)))
 
     rec = _reconstruct(pairs, rays, out["bt"], out["btr"])
     if any_hit:
@@ -275,11 +329,13 @@ def trace_rays_grid(
     return rec, stats
 
 
-def make_grid_tracer(any_hit: bool = False, block: int = 4):
+def make_grid_tracer(any_hit: bool = False, block: int = 4,
+                     segments: int = 1):
     """Tracer with the (trav, pairs, rays, active) signature the render
     pipeline expects — trav is the UniformGrid."""
     def tracer(grid, pairs, rays, max_width=2, active=None):
         del max_width
         return trace_rays_grid(grid, pairs, rays, active=active,
-                               any_hit=any_hit, block=block)
+                               any_hit=any_hit, block=block,
+                               segments=segments)
     return tracer
