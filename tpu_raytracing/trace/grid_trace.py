@@ -153,8 +153,11 @@ def trace_rays_grid(
         tt = tt + 2 * (active & (i < nbig)).astype(jnp.int32)
         return bt, btr, tt
 
+    # traced bound: bcap is a ~P/256 static capacity but num_big is
+    # usually tiny — a full-width MT per EMPTY slot would dwarf the trace
     best_t, best_tri, tri_tests = jax.lax.fori_loop(
-        0, bcap, big_body, (best_t, best_tri, tri_tests))
+        0, jnp.minimum(nbig, bcap), big_body,
+        (best_t, best_tri, tri_tests))
 
     # --- DDA init (per-axis slab + first cell) ---
     def axis_init(o_a, inv_a, gmin_a, gmax_a, cs_a, d_a):
