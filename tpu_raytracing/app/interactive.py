@@ -79,8 +79,8 @@ def ansi_preview(img: np.ndarray, max_cols: int, max_rows: int) -> str:
     """Render an RGB(A) uint8 image as 24-bit half-block characters
     (one character = two vertically stacked pixels)."""
     h, w = img.shape[:2]
-    cols = min(max_cols, w)
-    rows2 = min(max_rows * 2, h)
+    cols = max(min(max_cols, w), 1)
+    rows2 = max(min(max_rows * 2, h), 2)
     ys = (np.arange(rows2) * (h / rows2)).astype(int)
     xs = (np.arange(cols) * (w / cols)).astype(int)
     small = img[np.ix_(ys, xs)][:, :, :3].astype(int)
@@ -119,6 +119,8 @@ def interactive_loop(args, camera, render_one, scene):
         tcols, trows = size.columns, max(size.lines - 3, 8)
     except OSError:
         tcols, trows = 100, 40
+    if tcols <= 0:  # fresh ptys can report a 0x0 winsize
+        tcols = 100
 
     sys.stdout.write("\x1b[2J")  # clear once
     with RawTerminal() as term:
