@@ -142,21 +142,74 @@ def main():
                                                   c_slots=8,
                                                   sort_mode="origin")
 
-    # TPURT_BOUNCE_TRACER=grid: run the incoherent passes (bounce closest
-    # + bounce shadows) through the uniform-grid DDA tracer
-    # (bvh/grid.py, trace/grid_trace.py) over the same pair rows.
+    # Bounce-pass structure selection. TPURT_BOUNCE_TRACER forces
+    # 'split' or 'grid'; the default ('auto') CALIBRATES: it derives the
+    # frame's real first-bounce ray set once, times one pass through the
+    # packet kernel and one through the uniform-grid DDA tracer
+    # (bvh/grid.py, trace/grid_trace.py — both over the same pair rows),
+    # and picks the winner for the timed loop. The structures differ by
+    # ~an order of magnitude on incoherent rays depending on hardware
+    # behaviour, so a runtime choice beats a baked-in guess.
     bounce_trav = None
-    if os.environ.get("TPURT_BOUNCE_TRACER") == "grid":
+    choice = os.environ.get("TPURT_BOUNCE_TRACER", "auto")
+    if choice in ("auto", "grid"):
         from tpu_raytracing.bvh.grid import build_grid, check_grid_capacity
-        from tpu_raytracing.trace.grid_trace import make_grid_tracer
+        from tpu_raytracing.trace.grid_trace import (
+            make_grid_tracer,
+            trace_rays_grid,
+        )
 
         grid = jax.jit(build_grid)(packed.rows, split_f0.num_leaves)
         check_grid_capacity(grid)
-        bounce_trav = grid
-        bounce_tracer = make_grid_tracer()
-        shadow_tracer_b = make_grid_tracer(any_hit=True)
-        log(f"bounce passes: uniform grid res={grid.res}, "
-            f"big={int(grid.num_big)}")
+        segs = int(os.environ.get("TPURT_GRID_SEGMENTS", "1"))
+
+        if choice == "auto":
+            from tpu_raytracing.trace import pathtrace as pt
+            from tpu_raytracing.trace.ray import generate_primary_rays
+
+            num = res * res
+            rays0 = jax.jit(generate_primary_rays,
+                            static_argnames=("width", "height"))(
+                camera, res, res)
+            alive0 = jnp.ones((num,), bool)
+            rec0, _ = jax.jit(
+                lambda v, p, r, a: tracer(v, p, r, active=a))(
+                views, packed, rays0, alive0)
+            u0 = jax.random.uniform(jax.random.PRNGKey(0), (num, 2))
+            _, _, alive_b, _, rays_b = pt._jit_bounce_stage(True, True, True)(
+                dev_scene, packed, rays0, rec0, jnp.zeros((num,), bool),
+                jnp.ones((num, 3), jnp.float32),
+                jnp.zeros((num, 3), jnp.float32), alive0,
+                jnp.arange(num, dtype=jnp.int32), u0,
+                camera["max_depth"])
+
+            fsp = jax.jit(lambda r, a, j: bounce_tracer(
+                views, packed, r.replace(origin=r.origin + j), active=a))
+            fgr = jax.jit(lambda r, a, j: trace_rays_grid(
+                grid, packed, r.replace(origin=r.origin + j), active=a,
+                segments=segs))
+
+            def _cal(f):
+                out = f(rays_b, alive_b, 0.0)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for i in range(2):
+                    out = f(rays_b, alive_b, (i + 1) * 1e-5)
+                float(jnp.sum(out[0].t))
+                return (time.perf_counter() - t0) / 2 * 1000.0
+
+            ms_split = _cal(fsp)
+            ms_grid = _cal(fgr)
+            log(f"bounce calibration: split {ms_split:.0f} ms, "
+                f"grid {ms_grid:.0f} ms")
+            choice = "grid" if ms_grid < ms_split else "split"
+
+        if choice == "grid":
+            bounce_trav = grid
+            bounce_tracer = make_grid_tracer(segments=segs)
+            shadow_tracer_b = make_grid_tracer(any_hit=True, segments=segs)
+            log(f"bounce passes: uniform grid res={grid.res}, "
+                f"big={int(grid.num_big)}, segments={segs}")
         if os.environ.get("TPURT_PRIMARY_TRACER") == "grid":
             # whole frame on the grid: primaries + primary shadows too
             views = grid
