@@ -163,6 +163,16 @@ def main():
         check_grid_capacity(grid)
         segs = int(os.environ.get("TPURT_GRID_SEGMENTS", "1"))
 
+        def _cal_rays(f, r_, a_):
+            out = f(r_, a_, 0.0)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for i in range(2):
+                out = f(r_, a_, (i + 1) * 1e-5)
+            float(jnp.sum(out[0].t))
+            return (time.perf_counter() - t0) / 2 * 1000.0
+
+        rays0 = alive0 = None
         if choice == "auto":
             from tpu_raytracing.trace import pathtrace as pt
             from tpu_raytracing.trace.ray import generate_primary_rays
@@ -188,18 +198,8 @@ def main():
             fgr = jax.jit(lambda r, a, j: trace_rays_grid(
                 grid, packed, r.replace(origin=r.origin + j), active=a,
                 segments=segs))
-
-            def _cal(f):
-                out = f(rays_b, alive_b, 0.0)
-                jax.block_until_ready(out)
-                t0 = time.perf_counter()
-                for i in range(2):
-                    out = f(rays_b, alive_b, (i + 1) * 1e-5)
-                float(jnp.sum(out[0].t))
-                return (time.perf_counter() - t0) / 2 * 1000.0
-
-            ms_split = _cal(fsp)
-            ms_grid = _cal(fgr)
+            ms_split = _cal_rays(fsp, rays_b, alive_b)
+            ms_grid = _cal_rays(fgr, rays_b, alive_b)
             log(f"bounce calibration: split {ms_split:.0f} ms, "
                 f"grid {ms_grid:.0f} ms")
             choice = "grid" if ms_grid < ms_split else "split"
@@ -210,7 +210,22 @@ def main():
             shadow_tracer_b = make_grid_tracer(any_hit=True, segments=segs)
             log(f"bounce passes: uniform grid res={grid.res}, "
                 f"big={int(grid.num_big)}, segments={segs}")
-        if os.environ.get("TPURT_PRIMARY_TRACER") == "grid":
+        pchoice = os.environ.get("TPURT_PRIMARY_TRACER", "auto")
+        if pchoice == "auto" and not (choice == "grid" and rays0 is not None):
+            pchoice = "split"  # no calibration context; keep the default
+        if pchoice == "auto":
+            # the grid won the incoherent pass — also calibrate the
+            # coherent primaries (the packet kernel's best regime)
+            fsp_p = jax.jit(lambda r, a, j: tracer(
+                views, packed, r.replace(origin=r.origin + j), active=a))
+            fgr_p = jax.jit(lambda r, a, j: trace_rays_grid(
+                grid, packed, r.replace(origin=r.origin + j), active=a))
+            ms_sp_p = _cal_rays(fsp_p, rays0, alive0)
+            ms_gr_p = _cal_rays(fgr_p, rays0, alive0)
+            log(f"primary calibration: split {ms_sp_p:.0f} ms, "
+                f"grid {ms_gr_p:.0f} ms")
+            pchoice = "grid" if ms_gr_p < ms_sp_p else "split"
+        if pchoice == "grid":
             # whole frame on the grid: primaries + primary shadows too
             views = grid
             tracer = make_grid_tracer()

@@ -11,9 +11,8 @@ timeout 2800 python -u benchmarks/probe_grid.py > /tmp/m_grid.log 2>&1
 timeout 2800 python -u benchmarks/probe_tree.py > /tmp/m_tree.log 2>&1
 # 3. split-build stage profile after the two-tier table + ladder cap
 timeout 1800 python -u benchmarks/profile_build.py > /tmp/m_build.log 2>&1
-# 4. headline bench: default, grid bounce, leaf-sort bounce
-timeout 2400 python -u bench.py > /tmp/m_bench.log 2>&1
-TPURT_BOUNCE_TRACER=grid timeout 2400 python -u bench.py > /tmp/m_bench_grid.log 2>&1
-TPURT_BOUNCE_SORT=leaf timeout 2400 python -u bench.py > /tmp/m_bench_leafsort.log 2>&1
-TPURT_BOUNCE_TRACER=grid TPURT_PRIMARY_TRACER=grid timeout 2400 python -u bench.py > /tmp/m_bench_allgrid.log 2>&1
+# 4. headline bench: auto-calibrated (default), forced split, leaf-sort
+timeout 3000 python -u bench.py > /tmp/m_bench.log 2>&1
+TPURT_BOUNCE_TRACER=split timeout 2400 python -u bench.py > /tmp/m_bench_split.log 2>&1
+TPURT_BOUNCE_SORT=leaf TPURT_BOUNCE_TRACER=split timeout 2400 python -u bench.py > /tmp/m_bench_leafsort.log 2>&1
 echo DONE
