@@ -163,12 +163,15 @@ def main():
         check_grid_capacity(grid)
         segs = int(os.environ.get("TPURT_GRID_SEGMENTS", "1"))
 
-        def _cal_rays(f, r_, a_):
-            out = f(r_, a_, 0.0)
+        # Calibration closures must take the big arrays as jit ARGUMENTS
+        # — closure constants overflow the remote-compile payload
+        # (docs/TPU_NOTES.md, HTTP 413).
+        def _cal_rays(f, trav_, r_, a_):
+            out = f(trav_, packed, r_, a_, 0.0)
             jax.block_until_ready(out)
             t0 = time.perf_counter()
             for i in range(2):
-                out = f(r_, a_, (i + 1) * 1e-5)
+                out = f(trav_, packed, r_, a_, (i + 1) * 1e-5)
             float(jnp.sum(out[0].t))
             return (time.perf_counter() - t0) / 2 * 1000.0
 
@@ -193,13 +196,13 @@ def main():
                 jnp.arange(num, dtype=jnp.int32), u0,
                 camera["max_depth"])
 
-            fsp = jax.jit(lambda r, a, j: bounce_tracer(
-                views, packed, r.replace(origin=r.origin + j), active=a))
-            fgr = jax.jit(lambda r, a, j: trace_rays_grid(
-                grid, packed, r.replace(origin=r.origin + j), active=a,
+            fsp = jax.jit(lambda v, p, r, a, j: bounce_tracer(
+                v, p, r.replace(origin=r.origin + j), active=a))
+            fgr = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
+                v, p, r.replace(origin=r.origin + j), active=a,
                 segments=segs))
-            ms_split = _cal_rays(fsp, rays_b, alive_b)
-            ms_grid = _cal_rays(fgr, rays_b, alive_b)
+            ms_split = _cal_rays(fsp, views, rays_b, alive_b)
+            ms_grid = _cal_rays(fgr, grid, rays_b, alive_b)
             log(f"bounce calibration: split {ms_split:.0f} ms, "
                 f"grid {ms_grid:.0f} ms")
             choice = "grid" if ms_grid < ms_split else "split"
@@ -216,12 +219,12 @@ def main():
         if pchoice == "auto":
             # the grid won the incoherent pass — also calibrate the
             # coherent primaries (the packet kernel's best regime)
-            fsp_p = jax.jit(lambda r, a, j: tracer(
-                views, packed, r.replace(origin=r.origin + j), active=a))
-            fgr_p = jax.jit(lambda r, a, j: trace_rays_grid(
-                grid, packed, r.replace(origin=r.origin + j), active=a))
-            ms_sp_p = _cal_rays(fsp_p, rays0, alive0)
-            ms_gr_p = _cal_rays(fgr_p, rays0, alive0)
+            fsp_p = jax.jit(lambda v, p, r, a, j: tracer(
+                v, p, r.replace(origin=r.origin + j), active=a))
+            fgr_p = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
+                v, p, r.replace(origin=r.origin + j), active=a))
+            ms_sp_p = _cal_rays(fsp_p, views, rays0, alive0)
+            ms_gr_p = _cal_rays(fgr_p, grid, rays0, alive0)
             log(f"primary calibration: split {ms_sp_p:.0f} ms, "
                 f"grid {ms_gr_p:.0f} ms")
             pchoice = "grid" if ms_gr_p < ms_sp_p else "split"

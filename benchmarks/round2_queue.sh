@@ -4,6 +4,10 @@
 #   nohup bash benchmarks/round2_queue.sh > /tmp/queue.log 2>&1 &
 # Logs land in /tmp/m_*.log; inspect as each completes.
 cd "$(dirname "$0")/.." || exit 1
+# pre-flight: abort early if the TPU tunnel is down (init hangs forever)
+if ! timeout 300 python -c "import jax; print(jax.devices())"; then
+  echo "TPU tunnel down - aborting queue"; exit 1
+fi
 set -x
 # 1. grid vs split kernel on the bounce workload + grid build cost
 timeout 2800 python -u benchmarks/probe_grid.py > /tmp/m_grid.log 2>&1
