@@ -112,3 +112,21 @@ def test_tlas_rebuild_is_jittable_per_frame():
         tf = jnp.asarray(_transforms(8, rng))
         inst_as = build_fn(blas, tf)
         assert inst_as.trav.rows.shape[0] == 2 * (8 - 1) + blas.num_slots
+
+
+def test_single_instance_tlas():
+    """A one-instance TLAS must still hit (Karras needs >= 2 leaves; the
+    degenerate case emits the root pair directly)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_raytracing.bvh.lbvh import build_lbvh_from_aabbs
+
+    lo = jnp.asarray([[1.0, 2.0, 3.0]], jnp.float32)
+    hi = lo + 1.0
+    bvh = build_lbvh_from_aabbs(lo, hi, jnp.asarray([7], jnp.int32),
+                                leaf_type=5)
+    assert int(bvh.type[0]) == 5
+    assert int(bvh.child[0]) == 7
+    np.testing.assert_array_equal(np.asarray(bvh.node_min[0]),
+                                  np.asarray(lo[0]))

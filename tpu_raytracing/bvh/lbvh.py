@@ -520,6 +520,23 @@ def build_lbvh_from_aabbs(
     field and ``leaf_count`` in count. Root is the slot pair 0..1.
     """
     num = leaf_min.shape[0]
+    if num == 1:
+        # Degenerate single-instance TLAS: Karras needs >= 2 leaves (one
+        # code has no internal nodes and would emit an all-NONE arena,
+        # silently dropping the instance). Emit the root pair directly:
+        # slot 0 = the leaf, slot 1 = NONE (inverted box, never hits).
+        from tpu_raytracing.bvh.types import CHILD_NONE, empty_bvh
+
+        bvh = empty_bvh(2)
+        return bvh.replace(
+            node_min=bvh.node_min.at[0].set(leaf_min[0]),
+            node_max=bvh.node_max.at[0].set(leaf_max[0]),
+            child=bvh.child.at[0].set(leaf_payload[0].astype(jnp.int32)),
+            count=bvh.count.at[0].set(leaf_count),
+            type=bvh.type.at[0].set(leaf_type),
+            root=jnp.int32(0),
+            root_count=jnp.int32(2),
+        )
     centre = (leaf_min + leaf_max) * 0.5
     cmin = jnp.min(centre, axis=0)
     cmax = jnp.max(centre, axis=0)
