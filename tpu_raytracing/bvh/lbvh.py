@@ -520,6 +520,8 @@ def build_lbvh_from_aabbs(
     field and ``leaf_count`` in count. Root is the slot pair 0..1.
     """
     num = leaf_min.shape[0]
+    if num == 0:
+        raise ValueError("build_lbvh_from_aabbs needs at least one leaf")
     if num == 1:
         # Degenerate single-instance TLAS: Karras needs >= 2 leaves (one
         # code has no internal nodes and would emit an all-NONE arena,
