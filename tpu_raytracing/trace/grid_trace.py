@@ -170,6 +170,9 @@ def trace_rays_grid(
     nz0, fz0 = axis_init(oz, invz, gminz, gmaxz, csz, dz)
     tnear = jnp.maximum(jnp.maximum(nx0, ny0), nz0)
     tfar = jnp.minimum(jnp.minimum(fx0, fy0), fz0)
+    # no acceptable hit exists beyond the ray's own tmax (finite for
+    # shadow rays toward a light) — stop marching there, not at the box
+    tfar = jnp.minimum(tfar, rays.tmax)
     miss_box = (tnear > tfar) | (tfar < tmin) | (tnear > rays.tmax)
     start_t = jnp.maximum(jnp.maximum(tnear, tmin), 0.0)
 
