@@ -184,9 +184,11 @@ def build_grid(rows: jnp.ndarray, num_live,
         ok = direct & (kk < total)
         ok &= (total == 1) | _tri_cell_overlap(v, clo_k, gmin, cs)
         keys.append(jnp.where(ok, cell, g3))
-    key_flat = jnp.stack(keys, axis=1).reshape(-1)  # [P*K]
-    row_flat = jnp.broadcast_to(iota[:, None],
-                                (p, K_FOOTPRINT)).reshape(-1)
+    # k-major flat layout: pure 1-D concatenations (a [P, K] stack would
+    # tile-pad K -> 128 lanes, ~16x the bytes at 1M). Ref order within a
+    # cell is immaterial — duplicated refs produce identical winners.
+    key_flat = jnp.concatenate(keys)  # [K*P]
+    row_flat = jnp.concatenate([iota] * K_FOOTPRINT)
     key_sorted, refs = jax.lax.sort_key_val(key_flat, row_flat)
 
     m = key_flat.shape[0]
