@@ -37,9 +37,13 @@ import jax.numpy as jnp
 
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 
-# Max cells a row may reference directly; larger footprints go to the
-# big list. 8 covers rows up to ~2 cells on every axis.
+# Max cells a row may reference directly; rows up to K2_FOOTPRINT go
+# through a second, COMPACTED enumeration tier (few rows are that large
+# — steep terrain quads span up to ~24 cells — so the extra slots ride
+# on ~P/16 gathered rows, not the full axis); anything larger joins the
+# global big list (walls, floors).
 K_FOOTPRINT = 8
+K2_FOOTPRINT = 32
 
 
 @flax.struct.dataclass
@@ -59,7 +63,9 @@ class UniformGrid:
     # iteration instead of crawling fine cells (terrain scenes are mostly
     # empty space above the surface).
     macro_occ: jnp.ndarray = None  # [Gm^3 + 1] bool
-    res: int = flax.struct.field(pytree_node=False, default=64)
+    # Per-axis resolution (gx, gy, gz): anisotropic domains (heightfield
+    # slabs) keep CUBIC cells but drop the empty-axis table waste.
+    res: tuple = flax.struct.field(pytree_node=False, default=(64, 64, 64))
     mshift: int = flax.struct.field(pytree_node=False, default=3)
 
 
@@ -132,8 +138,16 @@ def build_grid(rows: jnp.ndarray, num_live,
     0-11; ``num_live`` is the live prefix — sentinel tail rows are
     ignored)."""
     p = rows.shape[0]
-    g = _grid_res(p) if res is None else res
-    g3 = g * g * g
+    if res is None:
+        g0 = _grid_res(p)
+        res3 = (g0, g0, g0)
+    elif isinstance(res, int):
+        res3 = (res, res, res)
+    else:
+        res3 = tuple(int(r) for r in res)
+    gx, gy, gz = res3
+    g3 = gx * gy * gz
+    gvec = jnp.asarray(res3, jnp.int32)
     bcap = _big_cap(p)
     iota = jnp.arange(p, dtype=jnp.int32)
     live = iota < num_live
@@ -146,26 +160,33 @@ def build_grid(rows: jnp.ndarray, num_live,
     gmin = jnp.min(jnp.where(live[:, None], lo, _F32_MAX), axis=0)
     gmax = jnp.max(jnp.where(live[:, None], hi, -_F32_MAX), axis=0)
     span = jnp.maximum(gmax - gmin, 1e-6)
-    # Cubify: pad every axis to the longest span so cells are CUBES —
-    # anisotropic domains (a heightfield's thin y slab) otherwise give
-    # sliver cells on the short axis and blow up footprints. The padded
-    # cells are empty; the dense [G^3] table is allocated either way.
-    cube = jnp.max(span)
-    gmax = gmin + cube
+    # Equal per-axis counts get a CUBIFIED box (cubic cells, padded axes
+    # are empty table rows); explicit per-axis counts size each axis to
+    # its own span — pass counts proportional to the spans for cubic
+    # cells without the padding.
+    if res3[0] == res3[1] == res3[2]:
+        cube = jnp.max(span)
+        gmax = gmin + cube
+        pad_eps = cube
+    else:
+        pad_eps = jnp.max(span)
     # Grow the box slightly so boundary vertices bin strictly inside.
-    gmin = gmin - cube * 1e-4
-    gmax = gmax + cube * 1e-4
-    cs = (gmax - gmin) / g
+    gmin = gmin - pad_eps * 1e-4
+    gmax = gmax + pad_eps * 1e-4
+    cs = (gmax - gmin) / gvec.astype(jnp.float32)
     inv_cs = 1.0 / cs
 
-    clo = jnp.clip(jnp.floor((lo - gmin) * inv_cs).astype(jnp.int32), 0, g - 1)
-    chi = jnp.clip(jnp.floor((hi - gmin) * inv_cs).astype(jnp.int32), 0, g - 1)
+    clo = jnp.clip(jnp.floor((lo - gmin) * inv_cs).astype(jnp.int32),
+                   0, gvec - 1)
+    chi = jnp.clip(jnp.floor((hi - gmin) * inv_cs).astype(jnp.int32),
+                   0, gvec - 1)
     dx = chi[:, 0] - clo[:, 0] + 1
     dy = chi[:, 1] - clo[:, 1] + 1
     dz = chi[:, 2] - clo[:, 2] + 1
     total = dx * dy * dz
-    is_big = live & (total > K_FOOTPRINT)
-    direct = live & ~is_big
+    is_med = live & (total > K_FOOTPRINT) & (total <= K2_FOOTPRINT)
+    is_big = live & (total > K2_FOOTPRINT)
+    direct = live & (total <= K_FOOTPRINT)
 
     # --- direct refs: K static slots per row, sentinel-keyed when unused.
     # Rows with a multi-cell footprint get an exact triangle-box overlap
@@ -180,15 +201,38 @@ def build_grid(rows: jnp.ndarray, num_live,
         ky = (kk // dx) % dy
         kz = kk // (dx * dy)
         clo_k = clo + jnp.stack([kx, ky, kz], axis=1)
-        cell = (clo_k[:, 2] * g + clo_k[:, 1]) * g + clo_k[:, 0]
+        cell = (clo_k[:, 2] * gy + clo_k[:, 1]) * gx + clo_k[:, 0]
         ok = direct & (kk < total)
         ok &= (total == 1) | _tri_cell_overlap(v, clo_k, gmin, cs)
         keys.append(jnp.where(ok, cell, g3))
+    # --- medium tier: compacted rows, K2 candidate slots each ---
+    med_cap = max(p // 16, 256)
+    (midx,) = jnp.nonzero(is_med, size=med_cap, fill_value=p)
+    num_med = jnp.sum(is_med.astype(jnp.int32))
+    mvalid = midx < p
+    midx = jnp.minimum(midx, p - 1).astype(jnp.int32)
+    mclo = clo[midx]
+    mdx, mdy = dx[midx], dy[midx]
+    mtotal = total[midx]
+    mv = v[midx]
+    mkeys = []
+    for k in range(K2_FOOTPRINT):
+        kk = jnp.int32(k)
+        kx = kk % mdx
+        ky = (kk // mdx) % mdy
+        kz = kk // (mdx * mdy)
+        mclo_k = mclo + jnp.stack([kx, ky, kz], axis=1)
+        cell = (mclo_k[:, 2] * gy + mclo_k[:, 1]) * gx + mclo_k[:, 0]
+        ok = mvalid & (kk < mtotal)
+        ok &= _tri_cell_overlap(mv, mclo_k, gmin, cs)
+        mkeys.append(jnp.where(ok, cell, g3))
+
     # k-major flat layout: pure 1-D concatenations (a [P, K] stack would
     # tile-pad K -> 128 lanes, ~16x the bytes at 1M). Ref order within a
     # cell is immaterial — duplicated refs produce identical winners.
-    key_flat = jnp.concatenate(keys)  # [K*P]
-    row_flat = jnp.concatenate([iota] * K_FOOTPRINT)
+    key_flat = jnp.concatenate(keys + mkeys)  # [K*P + K2*M]
+    row_flat = jnp.concatenate([iota] * K_FOOTPRINT
+                               + [midx] * K2_FOOTPRINT)
     key_sorted, refs = jax.lax.sort_key_val(key_flat, row_flat)
 
     m = key_flat.shape[0]
@@ -212,27 +256,28 @@ def build_grid(rows: jnp.ndarray, num_live,
     # --- macrocell occupancy (see UniformGrid.macro_occ) ---
     mshift = 3
     m = 1 << mshift
-    gm = -(-g // m)
-    occ3 = (cell_count[:g3] > 0).reshape(g, g, g)
-    pad = gm * m - g
-    if pad:
-        occ3 = jnp.pad(occ3, ((0, pad),) * 3)
+    gmx, gmy, gmz = (-(-a // m) for a in (gx, gy, gz))
+    # linear cell id is x-fastest: reshape to [z, y, x]
+    occ3 = (cell_count[:g3] > 0).reshape(gz, gy, gx)
+    occ3 = jnp.pad(occ3, ((0, gmz * m - gz), (0, gmy * m - gy),
+                          (0, gmx * m - gx)))
     macro_occ = jnp.any(
-        occ3.reshape(gm, m, gm, m, gm, m), axis=(1, 3, 5)).reshape(-1)
+        occ3.reshape(gmz, m, gmy, m, gmx, m), axis=(1, 3, 5)).reshape(-1)
     macro_occ = jnp.concatenate(
         [macro_occ, jnp.ones((1,), bool)])  # sentinel: never skip
 
     # --- big list: rows tested once by every ray ---
     (bidx,) = jnp.nonzero(is_big, size=bcap, fill_value=p)
     num_big = jnp.sum(is_big.astype(jnp.int32))
-    overflow = jnp.maximum(num_big - bcap, 0)
+    overflow = (jnp.maximum(num_big - bcap, 0)
+                + jnp.maximum(num_med - med_cap, 0))
     big = jnp.minimum(bidx, p - 1).astype(jnp.int32)
 
     return UniformGrid(
         cell_start=cell_start, cell_count=cell_count, refs=refs,
         big=big, num_big=jnp.minimum(num_big, bcap), overflow=overflow,
         grid_min=gmin, grid_max=gmax, cell_size=cs,
-        macro_occ=macro_occ, res=g, mshift=mshift)
+        macro_occ=macro_occ, res=res3, mshift=mshift)
 
 
 def check_grid_capacity(grid: UniformGrid) -> None:
@@ -241,8 +286,8 @@ def check_grid_capacity(grid: UniformGrid) -> None:
     ov = int(grid.overflow)
     if ov > 0:
         raise RuntimeError(
-            f"UniformGrid big-list overflow: {ov} oversized rows past the "
-            f"static bound {grid.big.shape[0]} — raise _big_cap or the "
+            f"UniformGrid tier overflow: {ov} rows past the medium/big "
+            f"static bounds — raise _big_cap / the medium cap or the "
             f"grid resolution (bvh/grid.py)")
 
 

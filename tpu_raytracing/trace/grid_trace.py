@@ -113,11 +113,11 @@ def trace_rays_grid(
             lambda *a: jnp.concatenate(a, axis=0), *xs)
         return cat(recs), cat(stats)
 
-    g = grid.res
-    g3 = g * g * g
+    gx, gy, gz = grid.res
+    g3 = gx * gy * gz
     mshift = grid.mshift
-    gm = -(-g // (1 << mshift))
-    gm3 = gm * gm * gm  # macro_occ sentinel slot (always occupied)
+    gmx, gmy, gmz = (-(-a // (1 << mshift)) for a in (gx, gy, gz))
+    gm3 = gmx * gmy * gmz  # macro_occ sentinel slot (always occupied)
     rows = pairs.rows
     num_rows = rows.shape[0]
     num = rays.origin.shape[0]
@@ -176,14 +176,14 @@ def trace_rays_grid(
     miss_box = (tnear > tfar) | (tfar < tmin) | (tnear > rays.tmax)
     start_t = jnp.maximum(jnp.maximum(tnear, tmin), 0.0)
 
-    def cell_at(o_a, d_a, gmin_a, cs_a):
+    def cell_at(o_a, d_a, gmin_a, cs_a, g_a):
         return jnp.clip(
             jnp.floor((o_a + d_a * start_t - gmin_a) / cs_a)
-            .astype(jnp.int32), 0, g - 1)
+            .astype(jnp.int32), 0, g_a - 1)
 
-    cx = cell_at(ox, dx, gminx, csx)
-    cy = cell_at(oy, dy, gminy, csy)
-    cz = cell_at(oz, dz, gminz, csz)
+    cx = cell_at(ox, dx, gminx, csx, gx)
+    cy = cell_at(oy, dy, gminy, csy, gy)
+    cz = cell_at(oz, dz, gminz, csz, gz)
     stx = jnp.where(dx > 0, 1, jnp.where(dx < 0, -1, 0)).astype(jnp.int32)
     sty = jnp.where(dy > 0, 1, jnp.where(dy < 0, -1, 0)).astype(jnp.int32)
     stz = jnp.where(dz > 0, 1, jnp.where(dz < 0, -1, 0)).astype(jnp.int32)
@@ -211,7 +211,8 @@ def trace_rays_grid(
         dmax, 1e-20)
 
     def cond(s):
-        return jnp.any(~s["done"]) & (s["iter"] < 8 * g + (1 << 17))
+        return jnp.any(~s["done"]) & (
+            s["iter"] < 8 * max(gx, gy, gz) + (1 << 17))
 
     def body(s):
         cx, cy, cz = s["cx"], s["cy"], s["cz"]
@@ -219,7 +220,7 @@ def trace_rays_grid(
         off, done = s["off"], s["done"]
         bt, btr, tt, steps = s["bt"], s["btr"], s["tt"], s["steps"]
 
-        cid = jnp.where(done, g3, (cz * g + cy) * g + cx)
+        cid = jnp.where(done, g3, (cz * gy + cy) * gx + cx)
         start = grid.cell_start[cid]
         count = grid.cell_count[cid]
         rem = count - off
@@ -255,8 +256,8 @@ def trace_rays_grid(
         tmx_n = jnp.where(stepping & ax_x, tmx + tdx, tmx)
         tmy_n = jnp.where(stepping & ax_y, tmy + tdy, tmy)
         tmz_n = jnp.where(stepping & ax_z, tmz + tdz, tmz)
-        oob = ((cx_n < 0) | (cx_n >= g) | (cy_n < 0) | (cy_n >= g)
-               | (cz_n < 0) | (cz_n >= g) | (texit > s["tfar"]))
+        oob = ((cx_n < 0) | (cx_n >= gx) | (cy_n < 0) | (cy_n >= gy)
+               | (cz_n < 0) | (cz_n >= gz) | (texit > s["tfar"]))
         done_n = done | finished | (stepping & oob)
         off_n = jnp.where(drained, 0, off + block)
 
@@ -264,7 +265,7 @@ def trace_rays_grid(
         # (overrides the fine step; an empty macrocell implies count == 0,
         # so the block tests above were no-ops for these rays)
         mx, my, mz = cx >> mshift, cy >> mshift, cz >> mshift
-        mid = jnp.where(done, gm3, (mz * gm + my) * gm + mx)
+        mid = jnp.where(done, gm3, (mz * gmy + my) * gmx + mx)
         occ = grid.macro_occ[jnp.minimum(mid, gm3)]
         skip = ~done & ~occ
 
@@ -284,26 +285,29 @@ def trace_rays_grid(
         # other axes from the position at macro exit (+ the nudge)
         t_land = texit_m + dt_nudge
 
-        def land(o_a, d_a, gmin_a, cs_a):
+        def land(o_a, d_a, gmin_a, cs_a, g_a):
             return jnp.clip(
                 jnp.floor((o_a + d_a * t_land - gmin_a) / cs_a)
-                .astype(jnp.int32), 0, g - 1)
+                .astype(jnp.int32), 0, g_a - 1)
 
         def forced(m_a, st_a):
             return jnp.where(st_a > 0, (m_a + 1) << mshift,
                              (m_a << mshift) - 1)
 
-        cx_l = jnp.where(axm_x, forced(mx, stx), land(ox, dx, gminx, csx))
-        cy_l = jnp.where(axm_y, forced(my, sty), land(oy, dy, gminy, csy))
-        cz_l = jnp.where(axm_z, forced(mz, stz), land(oz, dz, gminz, csz))
+        cx_l = jnp.where(axm_x, forced(mx, stx),
+                         land(ox, dx, gminx, csx, gx))
+        cy_l = jnp.where(axm_y, forced(my, sty),
+                         land(oy, dy, gminy, csy, gy))
+        cz_l = jnp.where(axm_z, forced(mz, stz),
+                         land(oz, dz, gminz, csz, gz))
         done_s = (done | (texit_m > s["tfar"])
-                  | (cx_l < 0) | (cx_l >= g) | (cy_l < 0) | (cy_l >= g)
-                  | (cz_l < 0) | (cz_l >= g))
+                  | (cx_l < 0) | (cx_l >= gx) | (cy_l < 0) | (cy_l >= gy)
+                  | (cz_l < 0) | (cz_l >= gz))
         if not any_hit:
             done_s = done_s | (bt <= texit_m)
-        cx_l = jnp.clip(cx_l, 0, g - 1)
-        cy_l = jnp.clip(cy_l, 0, g - 1)
-        cz_l = jnp.clip(cz_l, 0, g - 1)
+        cx_l = jnp.clip(cx_l, 0, gx - 1)
+        cy_l = jnp.clip(cy_l, 0, gy - 1)
+        cz_l = jnp.clip(cz_l, 0, gz - 1)
         tmx_l = tmax_at(cx_l, stx, ox, invx, gminx, csx)
         tmy_l = tmax_at(cy_l, sty, oy, invy, gminy, csy)
         tmz_l = tmax_at(cz_l, stz, oz, invz, gminz, csz)
