@@ -153,13 +153,19 @@ def main():
     bounce_trav = None
     choice = os.environ.get("TPURT_BOUNCE_TRACER", "auto")
     if choice in ("auto", "grid"):
-        from tpu_raytracing.bvh.grid import build_grid, check_grid_capacity
+        from tpu_raytracing.bvh.grid import (
+            auto_res3,
+            build_grid,
+            check_grid_capacity,
+        )
         from tpu_raytracing.trace.grid_trace import (
             make_grid_tracer,
             trace_rays_grid,
         )
 
-        grid = jax.jit(build_grid)(packed.rows, split_f0.num_leaves)
+        res3 = auto_res3(scene.aabb_max - scene.aabb_min, num_tris)
+        grid = jax.jit(build_grid, static_argnames=("res",))(
+            packed.rows, split_f0.num_leaves, res=res3)
         check_grid_capacity(grid)
         segs = int(os.environ.get("TPURT_GRID_SEGMENTS", "1"))
 

@@ -39,7 +39,11 @@ def main():
     block = int(os.environ.get("TPURT_GRID_BLOCK", "4"))
 
     from tpu_raytracing.bvh import bucket
-    from tpu_raytracing.bvh.grid import build_grid, check_grid_capacity
+    from tpu_raytracing.bvh.grid import (
+        auto_res3,
+        build_grid,
+        check_grid_capacity,
+    )
     from tpu_raytracing.scene import camera as cam
     from tpu_raytracing.scene import procedural
     from tpu_raytracing.scene.types import scene_to_device
@@ -72,6 +76,8 @@ def main():
     jax.block_until_ready(views)
 
     # --- grid build over the same rows ---
+    if grid_res is None:
+        grid_res = auto_res3(scene.aabb_max - scene.aabb_min, num_tris)
     _build_grid = jax.jit(lambda rows, nl: build_grid(rows, nl, res=grid_res))
     grid = _build_grid(packed.rows, split.num_leaves)
     check_grid_capacity(grid)

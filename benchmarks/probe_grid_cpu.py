@@ -50,12 +50,13 @@ def main():
     # size s = (cube span / G0) * cell_scale, each axis sized to its span
     span = np.asarray(scene.aabb_max - scene.aabb_min, np.float64)
     scale = float(os.environ.get("TPURT_GRID_SCALE", "1.0"))
-    if grid_res is None:
-        from tpu_raytracing.bvh.grid import _grid_res
+    res3_env = os.environ.get("TPURT_GRID_RES3")
+    if res3_env:
+        grid_res = tuple(int(x) for x in res3_env.split(","))
+    elif grid_res is None:
+        from tpu_raytracing.bvh.grid import auto_res3
 
-        g0 = _grid_res(num_tris)
-        s = float(span.max()) / g0 * scale
-        grid_res = tuple(int(np.clip(np.ceil(a / s), 1, 512)) for a in span)
+        grid_res = auto_res3(span, num_tris, scale=scale)
     t0 = time.perf_counter()
     grid, packed = jax.jit(
         lambda t: build_grid_from_triangles(t, True, res=grid_res))(tris)

@@ -80,6 +80,21 @@ def _big_cap(num_rows: int) -> int:
     return max(64, num_rows // 256)
 
 
+def auto_res3(span, num_rows: int, scale: float = 1.0):
+    """HOST-side per-axis resolution: cubic cells of size
+    (max span / G0) * scale, each axis sized to its own span. Measured
+    at 1M (benchmarks/probe_grid_cpu.py): the tight per-axis box cuts
+    primary DDA steps ~1.8x vs the cubified default (rays stop crawling
+    the padded empty axis) at identical footprints. ``span`` is the
+    host-known scene extent (e.g. scene.aabb_max - scene.aabb_min);
+    resolutions must be static, so this cannot run under jit."""
+    import numpy as _np
+
+    span = _np.maximum(_np.asarray(span, _np.float64), 1e-6)
+    s = float(span.max()) / _grid_res(num_rows) * scale
+    return tuple(int(_np.clip(_np.ceil(a / s), 1, 512)) for a in span)
+
+
 def _tri_cell_overlap(v, clo_k, gmin, cs):
     """Separating-axis overlap of both triangles of each pair row with
     cell (clo_k) — Akenine-Moller reduced to the axes that matter after
