@@ -77,10 +77,13 @@ def main():
     host_cam.pitch = 0.7
     camera = cam.camera_to_device(cam.update_camera(host_cam))
 
+    block = int(os.environ.get("TPURT_GRID_BLOCK", "4"))
+
     def report(name, rays, active=None):
         t0 = time.perf_counter()
         rec, stats = jax.jit(
-            lambda g, p, r: trace_rays_grid(g, p, r, active=active))(
+            lambda g, p, r: trace_rays_grid(g, p, r, active=active,
+                                            block=block))(
             grid, packed, rays)
         steps = np.asarray(stats.box_tests)
         tri = np.asarray(stats.tri_tests)
