@@ -59,6 +59,17 @@ def pytest_configure(config):
         "markers", "quick: fast one-per-subsystem subset (<60s CPU)")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: with the whole
+    suite in one process, XLA's CPU compiler segfaults after ~70 tests'
+    worth of accumulated programs (reproduced twice at the same spot,
+    test_sah_hoststep; each module passes standalone). The persistent
+    compilation cache keeps re-runs cheap."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         rel = f"{item.path.name}::{item.name}"
