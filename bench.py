@@ -168,6 +168,7 @@ def main():
             packed.rows, split_f0.num_leaves, res=res3)
         check_grid_capacity(grid)
         segs = int(os.environ.get("TPURT_GRID_SEGMENTS", "1"))
+        blk = int(os.environ.get("TPURT_GRID_BLOCK", "4"))
 
         # Calibration closures must take the big arrays as jit ARGUMENTS
         # — closure constants overflow the remote-compile payload
@@ -206,7 +207,7 @@ def main():
                 v, p, r.replace(origin=r.origin + j), active=a))
             fgr = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
                 v, p, r.replace(origin=r.origin + j), active=a,
-                segments=segs))
+                segments=segs, block=blk))
             ms_split = _cal_rays(fsp, views, rays_b, alive_b)
             ms_grid = _cal_rays(fgr, grid, rays_b, alive_b)
             log(f"bounce calibration: split {ms_split:.0f} ms, "
@@ -215,8 +216,9 @@ def main():
 
         if choice == "grid":
             bounce_trav = grid
-            bounce_tracer = make_grid_tracer(segments=segs)
-            shadow_tracer_b = make_grid_tracer(any_hit=True, segments=segs)
+            bounce_tracer = make_grid_tracer(segments=segs, block=blk)
+            shadow_tracer_b = make_grid_tracer(
+                any_hit=True, segments=segs, block=blk)
             log(f"bounce passes: uniform grid res={grid.res}, "
                 f"big={int(grid.num_big)}, segments={segs}")
         pchoice = os.environ.get("TPURT_PRIMARY_TRACER", "auto")
@@ -228,7 +230,8 @@ def main():
             fsp_p = jax.jit(lambda v, p, r, a, j: tracer(
                 v, p, r.replace(origin=r.origin + j), active=a))
             fgr_p = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
-                v, p, r.replace(origin=r.origin + j), active=a))
+                v, p, r.replace(origin=r.origin + j), active=a,
+                block=blk))
             ms_sp_p = _cal_rays(fsp_p, views, rays0, alive0)
             ms_gr_p = _cal_rays(fgr_p, grid, rays0, alive0)
             log(f"primary calibration: split {ms_sp_p:.0f} ms, "
@@ -237,8 +240,8 @@ def main():
         if pchoice == "grid":
             # whole frame on the grid: primaries + primary shadows too
             views = grid
-            tracer = make_grid_tracer()
-            shadow_tracer = make_grid_tracer(any_hit=True)
+            tracer = make_grid_tracer(block=blk)
+            shadow_tracer = make_grid_tracer(any_hit=True, block=blk)
             log("primary passes: uniform grid")
 
     def frame(key, jitter):
