@@ -221,6 +221,18 @@ def main():
                 any_hit=True, segments=segs, block=blk)
             log(f"bounce passes: uniform grid res={grid.res}, "
                 f"big={int(grid.num_big)}, segments={segs}")
+            # grid FULL rebuild (footprints + one sort + tables): the
+            # per-frame path when the grid carries the frame — measured
+            # here so the animated-scene rebuild story rides the bench
+            # log next to the split-BVH rebuild/refit numbers above.
+            _gbuild = jax.jit(build_grid, static_argnames=("res",))
+            t0 = time.perf_counter()
+            for i in range(iters):
+                g2 = _gbuild(packed.rows.at[:, 0].add(i + 1),
+                             split_f0.num_leaves, res=res3)
+            float(jnp.sum(g2.cell_count.astype(jnp.float32)))
+            log(f"grid rebuild: "
+                f"{(time.perf_counter() - t0) / iters * 1000:.2f} ms/frame")
         pchoice = os.environ.get("TPURT_PRIMARY_TRACER", "auto")
         if pchoice == "auto" and not (choice == "grid" and rays0 is not None):
             pchoice = "split"  # no calibration context; keep the default
