@@ -169,6 +169,11 @@ def main():
         check_grid_capacity(grid)
         segs = int(os.environ.get("TPURT_GRID_SEGMENTS", "1"))
         blk = int(os.environ.get("TPURT_GRID_BLOCK", "4"))
+        # Residue compaction (trace/grid_trace.py): -1 = auto-calibrate
+        # on/off, 0 = off, >0 = forced phase-1 iteration budget.
+        resid = int(os.environ.get("TPURT_GRID_RESIDUE", "-1"))
+        residw = int(os.environ.get("TPURT_GRID_RESIDUE_W", "0"))
+        RESID_DEFAULT = 32  # covers the ~20-23 mean DDA steps at 1M
 
         # Calibration closures must take the big arrays as jit ARGUMENTS
         # — closure constants overflow the remote-compile payload
@@ -210,9 +215,28 @@ def main():
                 segments=segs, block=blk))
             ms_split = _cal_rays(fsp, views, rays_b, alive_b)
             ms_grid = _cal_rays(fgr, grid, rays_b, alive_b)
-            log(f"bounce calibration: split {ms_split:.0f} ms, "
-                f"grid {ms_grid:.0f} ms")
+            if resid == -1:
+                # third candidate: grid + residue compaction (the
+                # lockstep-tail cure; ~10x fewer full-width iterations
+                # at 1M per benchmarks/probe_grid_cpu.py)
+                fgr_r = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
+                    v, p, r.replace(origin=r.origin + j), active=a,
+                    segments=segs, block=blk,
+                    residue_after=RESID_DEFAULT, residue_width=residw))
+                ms_grid_r = _cal_rays(fgr_r, grid, rays_b, alive_b)
+                log(f"bounce calibration: split {ms_split:.0f} ms, "
+                    f"grid {ms_grid:.0f} ms, "
+                    f"grid+residue {ms_grid_r:.0f} ms")
+                if ms_grid_r < ms_grid:
+                    resid, ms_grid = RESID_DEFAULT, ms_grid_r
+                else:
+                    resid = 0
+            else:
+                log(f"bounce calibration: split {ms_split:.0f} ms, "
+                    f"grid {ms_grid:.0f} ms (residue={resid} forced)")
             choice = "grid" if ms_grid < ms_split else "split"
+        if resid == -1:
+            resid = 0  # forced grid choice without calibration: off
 
         if choice == "grid":
             bounce_trav = grid

@@ -97,6 +97,55 @@ def test_grid_tiny_and_coarse():
     _check(procedural.random_triangle_soup(5, seed=1), False, res=8)
 
 
+@pytest.mark.quick
+def test_grid_residue_compaction_parity():
+    """Residue compaction (bounded phase 1 + compacted chunked finish)
+    must be bit-identical to the single-phase loop: every ray walks its
+    exact original path, so hits, t, prim ids AND per-ray stats match."""
+    scene = procedural.terrain(2000)
+    tris = jnp.asarray(scene.triangles)
+    grid, packed = jax.jit(
+        lambda t: build_grid_from_triangles(t, True))(tris)
+    check_grid_capacity(grid)
+
+    # 2304 scattered interior rays -> multiple 1024-wide residue chunks
+    rng = np.random.default_rng(7)
+    num = 2304
+    span = np.asarray(scene.aabb_max - scene.aabb_min)
+    orig = (np.asarray(scene.aabb_min)
+            + rng.uniform(0.05, 0.95, (num, 3)) * span).astype(np.float32)
+    dirs = rng.normal(size=(num, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    from tpu_raytracing.trace.ray import Rays
+
+    rays = Rays(origin=jnp.asarray(orig), direction=jnp.asarray(dirs),
+                tmin=jnp.zeros((num,), jnp.float32),
+                tmax=jnp.full((num,), 1e9, jnp.float32))
+
+    rec0, st0 = jax.jit(lambda g, p, r: trace_rays_grid(g, p, r))(
+        grid, packed, rays)
+    rec1, st1 = jax.jit(lambda g, p, r: trace_rays_grid(
+        g, p, r, residue_after=4, residue_width=1024))(grid, packed, rays)
+
+    np.testing.assert_array_equal(np.asarray(rec1.hit), np.asarray(rec0.hit))
+    np.testing.assert_array_equal(np.asarray(rec1.t), np.asarray(rec0.t))
+    np.testing.assert_array_equal(np.asarray(rec1.prim_id),
+                                  np.asarray(rec0.prim_id))
+    np.testing.assert_array_equal(np.asarray(st1.tri_tests),
+                                  np.asarray(st0.tri_tests))
+    np.testing.assert_array_equal(np.asarray(st1.box_tests),
+                                  np.asarray(st0.box_tests))
+
+    # any-hit variant through the residue path as well
+    arec0, _ = jax.jit(lambda g, p, r: trace_rays_grid(
+        g, p, r, any_hit=True))(grid, packed, rays)
+    arec1, _ = jax.jit(lambda g, p, r: trace_rays_grid(
+        g, p, r, any_hit=True, residue_after=4,
+        residue_width=1024))(grid, packed, rays)
+    np.testing.assert_array_equal(np.asarray(arec1.hit),
+                                  np.asarray(arec0.hit))
+
+
 def test_grid_macro_skip_bounds_steps():
     """Two tiny clusters at opposite corners of a big empty box: without
     empty-space skipping a corner-to-corner ray crawls ~3G fine cells;

@@ -87,6 +87,8 @@ def trace_rays_grid(
     any_hit: bool = False,
     block: int = 4,
     segments: int = 1,
+    residue_after: int = 0,
+    residue_width: int = 0,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit (or any-hit) trace of a ray batch through the grid.
 
@@ -94,7 +96,16 @@ def trace_rays_grid(
     while_loops over equal ray slices: a lockstep loop pays its SLOWEST
     ray's step count across the full width, so slicing origin-sorted
     rays (correlated path lengths) into segments lets short segments
-    retire early instead of idling behind the global tail."""
+    retire early instead of idling behind the global tail.
+
+    ``residue_after`` > 0 enables RESIDUE COMPACTION, the stronger tail
+    cure: run at most that many full-width iterations (covering the
+    ~20-step mean), then sort the survivors to the front (one cheap
+    1-key/1-payload sort) and finish them in ``residue_width``-wide
+    chunks, each run to completion. The lockstep max (~200 steps at 1M,
+    benchmarks/probe_grid_cpu.py) is then paid at ~R/8 width instead of
+    full width — every ray still walks its exact original path, so hits
+    and stats are bit-identical to the single-phase loop."""
     del max_width
     if segments > 1:
         num = rays.origin.shape[0]
@@ -106,7 +117,8 @@ def trace_rays_grid(
         for i in range(segments):
             r, s = trace_rays_grid(
                 grid, pairs, sl(rays, i), active=sl(act, i),
-                any_hit=any_hit, block=block)
+                any_hit=any_hit, block=block,
+                residue_after=residue_after, residue_width=residue_width)
             recs.append(r)
             stats.append(s)
         cat = lambda xs: jax.tree.map(  # noqa: E731
@@ -210,130 +222,193 @@ def trace_rays_grid(
     dt_nudge = 1e-3 * jnp.minimum(jnp.minimum(csx, csy), csz) / jnp.maximum(
         dmax, 1e-20)
 
-    def cond(s):
-        return jnp.any(~s["done"]) & (
-            s["iter"] < 8 * max(gx, gy, gz) + (1 << 17))
+    # Per-ray loop invariants, bundled so the residue phase can gather a
+    # compact chunk of them (all flat [R] — see the layout rule above).
+    ctx0 = dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                invx=invx, invy=invy, invz=invz,
+                stx=stx, sty=sty, stz=stz,
+                tdx=tdx, tdy=tdy, tdz=tdz,
+                tmin=tmin, nudge=dt_nudge)
+    st0 = dict(cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy, tmz=tmz, off=off,
+               done=done, bt=best_t, btr=best_tri, tt=tri_tests,
+               steps=steps, tfar=tfar)
+    iter_cap = 8 * max(gx, gy, gz) + (1 << 17)
 
-    def body(s):
-        cx, cy, cz = s["cx"], s["cy"], s["cz"]
-        tmx, tmy, tmz = s["tmx"], s["tmy"], s["tmz"]
-        off, done = s["off"], s["done"]
-        bt, btr, tt, steps = s["bt"], s["btr"], s["tt"], s["steps"]
+    def run_dda(ctx, st, max_iter):
+        """The DDA while_loop over state ``st`` with per-ray invariants
+        ``ctx`` (any width), bounded to ``max_iter`` iterations."""
+        ox, oy, oz = ctx["ox"], ctx["oy"], ctx["oz"]
+        dx, dy, dz = ctx["dx"], ctx["dy"], ctx["dz"]
+        invx, invy, invz = ctx["invx"], ctx["invy"], ctx["invz"]
+        stx, sty, stz = ctx["stx"], ctx["sty"], ctx["stz"]
+        tdx, tdy, tdz = ctx["tdx"], ctx["tdy"], ctx["tdz"]
+        tmin, dt_nudge = ctx["tmin"], ctx["nudge"]
 
-        cid = jnp.where(done, g3, (cz * gy + cy) * gx + cx)
-        start = grid.cell_start[cid]
-        count = grid.cell_count[cid]
-        rem = count - off
-        for j in range(block):
-            live_j = ~done & (j < rem)
-            ridx = grid.refs[jnp.clip(start + off + j, 0,
-                                      grid.refs.shape[0] - 1)]
-            ridx = jnp.minimum(ridx, num_rows - 1)
-            # vertex words only (12 of 16): the [12, P] transposed
-            # operand is loop-invariant and the gather moves 25% fewer
-            # bytes; prim/rot words are reconstructed post-loop.
-            pt = take_cols(rows[:, :12], ridx)  # [12, R] channel-major
-            t, enc = _mt_cols(pt, ox, oy, oz, dx, dy, dz, tmin, bt)
-            upd = live_j & (enc >= 0) & (t < bt)
-            bt = jnp.where(upd, t, bt)
-            btr = jnp.where(upd, (ridx << 1) | enc, btr)
-            tt = tt + 2 * live_j.astype(jnp.int32)
+        def cond(s):
+            return jnp.any(~s["done"]) & (s["iter"] < max_iter)
 
-        drained = ~done & (rem <= block)
-        texit = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
-        if any_hit:
-            # occlusion needs no cell drain — first accepted hit retires
-            finished = ~done & (btr >= 0)
-        else:
-            # front-to-back: a hit at or before this cell's exit is final
-            finished = drained & (bt <= texit)
+        def body(s):
+            cx, cy, cz = s["cx"], s["cy"], s["cz"]
+            tmx, tmy, tmz = s["tmx"], s["tmy"], s["tmz"]
+            off, done = s["off"], s["done"]
+            bt, btr, tt, steps = s["bt"], s["btr"], s["tt"], s["steps"]
 
-        # one fine DDA step for drained, unfinished rays
-        stepping = drained & ~finished
-        ax_x = (tmx <= tmy) & (tmx <= tmz)
-        ax_y = ~ax_x & (tmy <= tmz)
-        ax_z = ~ax_x & ~ax_y
-        cx_n = cx + jnp.where(stepping & ax_x, stx, 0)
-        cy_n = cy + jnp.where(stepping & ax_y, sty, 0)
-        cz_n = cz + jnp.where(stepping & ax_z, stz, 0)
-        tmx_n = jnp.where(stepping & ax_x, tmx + tdx, tmx)
-        tmy_n = jnp.where(stepping & ax_y, tmy + tdy, tmy)
-        tmz_n = jnp.where(stepping & ax_z, tmz + tdz, tmz)
-        oob = ((cx_n < 0) | (cx_n >= gx) | (cy_n < 0) | (cy_n >= gy)
-               | (cz_n < 0) | (cz_n >= gz) | (texit > s["tfar"]))
-        done_n = done | finished | (stepping & oob)
-        off_n = jnp.where(drained, 0, off + block)
+            cid = jnp.where(done, g3, (cz * gy + cy) * gx + cx)
+            start = grid.cell_start[cid]
+            count = grid.cell_count[cid]
+            rem = count - off
+            for j in range(block):
+                live_j = ~done & (j < rem)
+                ridx = grid.refs[jnp.clip(start + off + j, 0,
+                                          grid.refs.shape[0] - 1)]
+                ridx = jnp.minimum(ridx, num_rows - 1)
+                # vertex words only (12 of 16): the [12, P] transposed
+                # operand is loop-invariant and the gather moves 25% fewer
+                # bytes; prim/rot words are reconstructed post-loop.
+                pt = take_cols(rows[:, :12], ridx)  # [12, R] channel-major
+                t, enc = _mt_cols(pt, ox, oy, oz, dx, dy, dz, tmin, bt)
+                upd = live_j & (enc >= 0) & (t < bt)
+                bt = jnp.where(upd, t, bt)
+                btr = jnp.where(upd, (ridx << 1) | enc, btr)
+                tt = tt + 2 * live_j.astype(jnp.int32)
 
-        # --- macrocell empty-space skip: jump a whole 2^mshift block ---
-        # (overrides the fine step; an empty macrocell implies count == 0,
-        # so the block tests above were no-ops for these rays)
-        mx, my, mz = cx >> mshift, cy >> mshift, cz >> mshift
-        mid = jnp.where(done, gm3, (mz * gmy + my) * gmx + mx)
-        occ = grid.macro_occ[jnp.minimum(mid, gm3)]
-        skip = ~done & ~occ
+            drained = ~done & (rem <= block)
+            texit = jnp.minimum(jnp.minimum(tmx, tmy), tmz)
+            if any_hit:
+                # occlusion needs no cell drain — first accepted hit retires
+                finished = ~done & (btr >= 0)
+            else:
+                # front-to-back: a hit at or before this cell's exit is final
+                finished = drained & (bt <= texit)
 
-        def maxis(m_a, st_a, o_a, inv_a, gmin_a, cs_a):
-            b = gmin_a + ((m_a + (st_a > 0)) << mshift).astype(
-                jnp.float32) * cs_a
-            return jnp.where(st_a != 0, (b - o_a) * inv_a, _F32_MAX)
+            # one fine DDA step for drained, unfinished rays
+            stepping = drained & ~finished
+            ax_x = (tmx <= tmy) & (tmx <= tmz)
+            ax_y = ~ax_x & (tmy <= tmz)
+            ax_z = ~ax_x & ~ax_y
+            cx_n = cx + jnp.where(stepping & ax_x, stx, 0)
+            cy_n = cy + jnp.where(stepping & ax_y, sty, 0)
+            cz_n = cz + jnp.where(stepping & ax_z, stz, 0)
+            tmx_n = jnp.where(stepping & ax_x, tmx + tdx, tmx)
+            tmy_n = jnp.where(stepping & ax_y, tmy + tdy, tmy)
+            tmz_n = jnp.where(stepping & ax_z, tmz + tdz, tmz)
+            oob = ((cx_n < 0) | (cx_n >= gx) | (cy_n < 0) | (cy_n >= gy)
+                   | (cz_n < 0) | (cz_n >= gz) | (texit > s["tfar"]))
+            done_n = done | finished | (stepping & oob)
+            off_n = jnp.where(drained, 0, off + block)
 
-        tx_m = maxis(mx, stx, ox, invx, gminx, csx)
-        ty_m = maxis(my, sty, oy, invy, gminy, csy)
-        tz_m = maxis(mz, stz, oz, invz, gminz, csz)
-        texit_m = jnp.minimum(jnp.minimum(tx_m, ty_m), tz_m)
-        axm_x = (tx_m <= ty_m) & (tx_m <= tz_m)
-        axm_y = ~axm_x & (ty_m <= tz_m)
-        axm_z = ~axm_x & ~axm_y
-        # land: crossing-axis fine layer forced (guaranteed progress),
-        # other axes from the position at macro exit (+ the nudge)
-        t_land = texit_m + dt_nudge
+            # --- macrocell empty-space skip: jump a whole 2^mshift block ---
+            # (overrides the fine step; an empty macrocell implies count == 0,
+            # so the block tests above were no-ops for these rays)
+            mx, my, mz = cx >> mshift, cy >> mshift, cz >> mshift
+            mid = jnp.where(done, gm3, (mz * gmy + my) * gmx + mx)
+            occ = grid.macro_occ[jnp.minimum(mid, gm3)]
+            skip = ~done & ~occ
 
-        def land(o_a, d_a, gmin_a, cs_a, g_a):
-            return jnp.clip(
-                jnp.floor((o_a + d_a * t_land - gmin_a) / cs_a)
-                .astype(jnp.int32), 0, g_a - 1)
+            def maxis(m_a, st_a, o_a, inv_a, gmin_a, cs_a):
+                b = gmin_a + ((m_a + (st_a > 0)) << mshift).astype(
+                    jnp.float32) * cs_a
+                return jnp.where(st_a != 0, (b - o_a) * inv_a, _F32_MAX)
 
-        def forced(m_a, st_a):
-            return jnp.where(st_a > 0, (m_a + 1) << mshift,
-                             (m_a << mshift) - 1)
+            tx_m = maxis(mx, stx, ox, invx, gminx, csx)
+            ty_m = maxis(my, sty, oy, invy, gminy, csy)
+            tz_m = maxis(mz, stz, oz, invz, gminz, csz)
+            texit_m = jnp.minimum(jnp.minimum(tx_m, ty_m), tz_m)
+            axm_x = (tx_m <= ty_m) & (tx_m <= tz_m)
+            axm_y = ~axm_x & (ty_m <= tz_m)
+            axm_z = ~axm_x & ~axm_y
+            # land: crossing-axis fine layer forced (guaranteed progress),
+            # other axes from the position at macro exit (+ the nudge)
+            t_land = texit_m + dt_nudge
 
-        cx_l = jnp.where(axm_x, forced(mx, stx),
-                         land(ox, dx, gminx, csx, gx))
-        cy_l = jnp.where(axm_y, forced(my, sty),
-                         land(oy, dy, gminy, csy, gy))
-        cz_l = jnp.where(axm_z, forced(mz, stz),
-                         land(oz, dz, gminz, csz, gz))
-        done_s = (done | (texit_m > s["tfar"])
-                  | (cx_l < 0) | (cx_l >= gx) | (cy_l < 0) | (cy_l >= gy)
-                  | (cz_l < 0) | (cz_l >= gz))
-        if not any_hit:
-            done_s = done_s | (bt <= texit_m)
-        cx_l = jnp.clip(cx_l, 0, gx - 1)
-        cy_l = jnp.clip(cy_l, 0, gy - 1)
-        cz_l = jnp.clip(cz_l, 0, gz - 1)
-        tmx_l = tmax_at(cx_l, stx, ox, invx, gminx, csx)
-        tmy_l = tmax_at(cy_l, sty, oy, invy, gminy, csy)
-        tmz_l = tmax_at(cz_l, stz, oz, invz, gminz, csz)
+            def land(o_a, d_a, gmin_a, cs_a, g_a):
+                return jnp.clip(
+                    jnp.floor((o_a + d_a * t_land - gmin_a) / cs_a)
+                    .astype(jnp.int32), 0, g_a - 1)
 
-        cx_n = jnp.where(skip, cx_l, cx_n)
-        cy_n = jnp.where(skip, cy_l, cy_n)
-        cz_n = jnp.where(skip, cz_l, cz_n)
-        tmx_n = jnp.where(skip, tmx_l, tmx_n)
-        tmy_n = jnp.where(skip, tmy_l, tmy_n)
-        tmz_n = jnp.where(skip, tmz_l, tmz_n)
-        done_n = jnp.where(skip, done_s, done_n)
-        off_n = jnp.where(skip, 0, off_n)
+            def forced(m_a, st_a):
+                return jnp.where(st_a > 0, (m_a + 1) << mshift,
+                                 (m_a << mshift) - 1)
 
-        steps = steps + (~done).astype(jnp.int32)
-        return dict(cx=cx_n, cy=cy_n, cz=cz_n, tmx=tmx_n, tmy=tmy_n,
-                    tmz=tmz_n, off=off_n, done=done_n, bt=bt, btr=btr,
-                    tt=tt, steps=steps, tfar=s["tfar"],
-                    iter=s["iter"] + 1)
+            cx_l = jnp.where(axm_x, forced(mx, stx),
+                             land(ox, dx, gminx, csx, gx))
+            cy_l = jnp.where(axm_y, forced(my, sty),
+                             land(oy, dy, gminy, csy, gy))
+            cz_l = jnp.where(axm_z, forced(mz, stz),
+                             land(oz, dz, gminz, csz, gz))
+            done_s = (done | (texit_m > s["tfar"])
+                      | (cx_l < 0) | (cx_l >= gx) | (cy_l < 0) | (cy_l >= gy)
+                      | (cz_l < 0) | (cz_l >= gz))
+            if not any_hit:
+                done_s = done_s | (bt <= texit_m)
+            cx_l = jnp.clip(cx_l, 0, gx - 1)
+            cy_l = jnp.clip(cy_l, 0, gy - 1)
+            cz_l = jnp.clip(cz_l, 0, gz - 1)
+            tmx_l = tmax_at(cx_l, stx, ox, invx, gminx, csx)
+            tmy_l = tmax_at(cy_l, sty, oy, invy, gminy, csy)
+            tmz_l = tmax_at(cz_l, stz, oz, invz, gminz, csz)
 
-    out = jax.lax.while_loop(cond, body, dict(
-        cx=cx, cy=cy, cz=cz, tmx=tmx, tmy=tmy, tmz=tmz, off=off,
-        done=done, bt=best_t, btr=best_tri, tt=tri_tests, steps=steps,
-        tfar=tfar, iter=jnp.int32(0)))
+            cx_n = jnp.where(skip, cx_l, cx_n)
+            cy_n = jnp.where(skip, cy_l, cy_n)
+            cz_n = jnp.where(skip, cz_l, cz_n)
+            tmx_n = jnp.where(skip, tmx_l, tmx_n)
+            tmy_n = jnp.where(skip, tmy_l, tmy_n)
+            tmz_n = jnp.where(skip, tmz_l, tmz_n)
+            done_n = jnp.where(skip, done_s, done_n)
+            off_n = jnp.where(skip, 0, off_n)
+
+            steps = steps + (~done).astype(jnp.int32)
+            return dict(cx=cx_n, cy=cy_n, cz=cz_n, tmx=tmx_n, tmy=tmy_n,
+                        tmz=tmz_n, off=off_n, done=done_n, bt=bt, btr=btr,
+                        tt=tt, steps=steps, tfar=s["tfar"],
+                        iter=s["iter"] + 1)
+
+        return jax.lax.while_loop(cond, body,
+                                  {**st, "iter": jnp.int32(0)})
+
+    if residue_after <= 0:
+        out = run_dda(ctx0, st0, iter_cap)
+    else:
+        # Phase 1: full width, bounded to the mean-covering iteration
+        # budget (still exits early if everything retires sooner).
+        out1 = run_dda(ctx0, st0, residue_after)
+        live_count = jnp.sum((~out1["done"]).astype(jnp.int32))
+        # Stable sort-by-done: survivors first, in ray order. One int32
+        # payload — all other state is GATHERED per chunk, so the >9
+        # sort-payload compile cliff (docs/TPU_NOTES.md) never applies.
+        order = jnp.argsort(out1["done"].astype(jnp.int32),
+                            stable=True).astype(jnp.int32)
+        w2 = residue_width
+        if w2 <= 0:
+            w2 = max(4096, -(-num // 8))
+        w2 = min(-(-w2 // 1024) * 1024, num)  # lane-tile aligned
+        st1 = {k: out1[k] for k in st0}
+
+        def chunk_cond(c):
+            return c["i"] * w2 < live_count
+
+        def chunk_body(c):
+            pos = c["i"] * w2 + jnp.arange(w2, dtype=jnp.int32)
+            mask = pos < live_count
+            idx = order[jnp.minimum(pos, num - 1)]
+            g = lambda a: a[idx]  # noqa: E731
+            ctx2 = jax.tree.map(g, ctx0)
+            st2 = {k: g(c[k]) for k in st1}
+            st2["done"] = ~mask  # pos < live_count => a live ray
+            out2 = run_dda(ctx2, st2, iter_cap)
+            sidx = jnp.where(mask, idx, num)  # masked lanes drop
+            upd = lambda a, v: a.at[sidx].set(v, mode="drop")  # noqa: E731
+            return dict(
+                i=c["i"] + 1,
+                **{k: upd(c[k], out2[k]) for k in
+                   ("bt", "btr", "tt", "steps")},
+                **{k: c[k] for k in st1
+                   if k not in ("bt", "btr", "tt", "steps")})
+
+        fin = jax.lax.while_loop(
+            chunk_cond, chunk_body, dict(i=jnp.int32(0), **st1))
+        out = {**out1, "bt": fin["bt"], "btr": fin["btr"],
+               "tt": fin["tt"], "steps": fin["steps"]}
 
     rec = _reconstruct(pairs, rays, out["bt"], out["btr"])
     if any_hit:
@@ -343,12 +418,15 @@ def trace_rays_grid(
 
 
 def make_grid_tracer(any_hit: bool = False, block: int = 4,
-                     segments: int = 1):
+                     segments: int = 1, residue_after: int = 0,
+                     residue_width: int = 0):
     """Tracer with the (trav, pairs, rays, active) signature the render
     pipeline expects — trav is the UniformGrid."""
     def tracer(grid, pairs, rays, max_width=2, active=None):
         del max_width
         return trace_rays_grid(grid, pairs, rays, active=active,
                                any_hit=any_hit, block=block,
-                               segments=segments)
+                               segments=segments,
+                               residue_after=residue_after,
+                               residue_width=residue_width)
     return tracer
