@@ -240,11 +240,17 @@ def main():
 
         if choice == "grid":
             bounce_trav = grid
-            bounce_tracer = make_grid_tracer(segments=segs, block=blk)
+            # residue applies to the closest-hit bounce pass it was
+            # calibrated on; any-hit shadows retire at first hit (short
+            # tail) so they stay single-phase.
+            bounce_tracer = make_grid_tracer(
+                segments=segs, block=blk,
+                residue_after=resid, residue_width=residw)
             shadow_tracer_b = make_grid_tracer(
                 any_hit=True, segments=segs, block=blk)
             log(f"bounce passes: uniform grid res={grid.res}, "
-                f"big={int(grid.num_big)}, segments={segs}")
+                f"big={int(grid.num_big)}, segments={segs}, "
+                f"residue={resid}")
             # grid FULL rebuild (footprints + one sort + tables): the
             # per-frame path when the grid carries the frame — measured
             # here so the animated-scene rebuild story rides the bench
