@@ -373,42 +373,52 @@ def trace_rays_grid(
         # budget (still exits early if everything retires sooner).
         out1 = run_dda(ctx0, st0, residue_after)
         live_count = jnp.sum((~out1["done"]).astype(jnp.int32))
-        # Stable sort-by-done: survivors first, in ray order. One int32
-        # payload — all other state is GATHERED per chunk, so the >9
-        # sort-payload compile cliff (docs/TPU_NOTES.md) never applies.
-        order = jnp.argsort(out1["done"].astype(jnp.int32),
-                            stable=True).astype(jnp.int32)
         w2 = residue_width
         if w2 <= 0:
             w2 = max(4096, -(-num // 8))
         w2 = min(-(-w2 // 1024) * 1024, num)  # lane-tile aligned
         st1 = {k: out1[k] for k in st0}
+        upd_keys = ("bt", "btr", "tt", "steps")
 
-        def chunk_cond(c):
-            return c["i"] * w2 < live_count
+        def finish(st1):
+            # Stable sort-by-done: survivors first, in ray order. One
+            # int32 payload — all other state is GATHERED per chunk, so
+            # the >9 sort-payload compile cliff (docs/TPU_NOTES.md)
+            # never applies.
+            order = jnp.argsort(out1["done"].astype(jnp.int32),
+                                stable=True).astype(jnp.int32)
 
-        def chunk_body(c):
-            pos = c["i"] * w2 + jnp.arange(w2, dtype=jnp.int32)
-            mask = pos < live_count
-            idx = order[jnp.minimum(pos, num - 1)]
-            g = lambda a: a[idx]  # noqa: E731
-            ctx2 = jax.tree.map(g, ctx0)
-            st2 = {k: g(c[k]) for k in st1}
-            st2["done"] = ~mask  # pos < live_count => a live ray
-            out2 = run_dda(ctx2, st2, iter_cap)
-            sidx = jnp.where(mask, idx, num)  # masked lanes drop
-            upd = lambda a, v: a.at[sidx].set(v, mode="drop")  # noqa: E731
-            return dict(
-                i=c["i"] + 1,
-                **{k: upd(c[k], out2[k]) for k in
-                   ("bt", "btr", "tt", "steps")},
-                **{k: c[k] for k in st1
-                   if k not in ("bt", "btr", "tt", "steps")})
+            def chunk_cond(c):
+                return c["i"] * w2 < live_count
 
-        fin = jax.lax.while_loop(
-            chunk_cond, chunk_body, dict(i=jnp.int32(0), **st1))
-        out = {**out1, "bt": fin["bt"], "btr": fin["btr"],
-               "tt": fin["tt"], "steps": fin["steps"]}
+            def chunk_body(c):
+                pos = c["i"] * w2 + jnp.arange(w2, dtype=jnp.int32)
+                mask = pos < live_count
+                idx = order[jnp.minimum(pos, num - 1)]
+                g = lambda a: a[idx]  # noqa: E731
+                ctx2 = jax.tree.map(g, ctx0)
+                st2 = {k: g(c[k]) for k in st1}
+                st2["done"] = ~mask  # pos < live_count => a live ray
+                out2 = run_dda(ctx2, st2, iter_cap)
+                sidx = jnp.where(mask, idx, num)  # masked lanes drop
+                upd = lambda a, v: a.at[sidx].set(  # noqa: E731
+                    v, mode="drop")
+                return dict(
+                    i=c["i"] + 1,
+                    **{k: upd(c[k], out2[k]) for k in upd_keys},
+                    **{k: c[k] for k in st1 if k not in upd_keys})
+
+            fin = jax.lax.while_loop(
+                chunk_cond, chunk_body, dict(i=jnp.int32(0), **st1))
+            return tuple(fin[k] for k in upd_keys)
+
+        # Skip the sort + chunk machinery entirely when phase 1 retired
+        # everything (the common case for late path-trace bounces where
+        # most lanes are already dead).
+        done_vals = jax.lax.cond(
+            live_count > 0, finish,
+            lambda s: tuple(s[k] for k in upd_keys), st1)
+        out = {**out1, **dict(zip(upd_keys, done_vals))}
 
     rec = _reconstruct(pairs, rays, out["bt"], out["btr"])
     if any_hit:
