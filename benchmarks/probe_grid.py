@@ -145,6 +145,18 @@ def main():
         timeit(f"bounce closest [grid, {segs} segments]", fgN, grid,
                packed, rays2, alive2)
 
+    # residue compaction sweep: phase-1 budget around the ~20-step mean
+    # (sizes bench.py's RESID_DEFAULT on real hardware)
+    for ra in (16, 32, 64):
+        fgR = jax.jit(lambda g, p, r, a, j, ra=ra: trace_rays_grid(
+            g, p, r.replace(origin=r.origin + j), active=a, block=block,
+            residue_after=ra))
+        outr = timeit(f"bounce closest [grid, residue {ra}]", fgR, grid,
+                      packed, rays2, alive2)
+        live = float(jnp.mean(
+            (outr[1].box_tests > ra).astype(jnp.float32)))
+        log(f"  survivors past phase 1: {live * 100:.1f}%")
+
     # equivalence spot check (same rays, tie-insensitive fields)
     rec_s, _ = fsp(views, packed, rays2, alive2, 0.0)
     rec_g, _ = fg(grid, packed, rays2, alive2, 0.0)
