@@ -20,6 +20,32 @@ if os.environ.get("TPURT_PLATFORM") == "cpu":
     # Debug/CI escape hatch (the env-var form is too late on this image —
     # sitecustomize imports jax first; the config update still works).
     jax.config.update("jax_platforms", "cpu")
+elif os.environ.get("TPURT_NO_PROBE") != "1":
+    # Tunnel watchdog: a down TPU tunnel makes backend init HANG (not
+    # fail), which would leave the bench with no output at all. Probe in
+    # a SUBPROCESS (backend init state is per-process, so a hung probe
+    # doesn't poison us) and fall back to CPU — a labeled slow number
+    # beats a silent hang.
+    import subprocess
+
+    _ok = False
+    try:
+        _probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('PLAT', jax.devices()[0].platform)"],
+            capture_output=True, text=True, check=False,
+            timeout=int(os.environ.get("TPURT_PROBE_TIMEOUT", "300")))
+        _ok = _probe.returncode == 0 and "PLAT" in (_probe.stdout or "")
+    except subprocess.TimeoutExpired:
+        pass
+    if not _ok:
+        print("WARNING: accelerator backend did not initialise within the "
+              "probe timeout (tunnel down?) - falling back to CPU at smoke "
+              "scale", file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        os.environ.setdefault("TPURT_BENCH_TRIS", "20000")
+        os.environ.setdefault("TPURT_BENCH_RES", "256")
+        os.environ["TPURT_CPU_FALLBACK"] = "1"
 import jax.numpy as jnp
 
 
@@ -307,8 +333,12 @@ def main():
     log(f"trace: {total_rays} rays in {elapsed:.3f}s -> {mrays:.1f} Mrays/s "
         f"(target >= 300)")
 
+    metric = "Mrays/s/chip (primary+bounce) at 1M tris"
+    if os.environ.get("TPURT_CPU_FALLBACK") == "1":
+        metric = (f"Mrays/s CPU-FALLBACK smoke ({num_tris} tris; "
+                  f"TPU tunnel was down at bench time)")
     print(json.dumps({
-        "metric": "Mrays/s/chip (primary+bounce) at 1M tris",
+        "metric": metric,
         "value": round(mrays, 2),
         "unit": "Mray/s",
         "vs_baseline": round(mrays / 300.0, 4),
