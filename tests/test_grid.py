@@ -146,10 +146,11 @@ def test_grid_residue_compaction_parity():
                                   np.asarray(arec0.hit))
 
 
-def test_grid_macro_skip_bounds_steps():
+def test_grid_distance_skip_bounds_steps():
     """Two tiny clusters at opposite corners of a big empty box: without
     empty-space skipping a corner-to-corner ray crawls ~3G fine cells;
-    macrocell jumps must keep the step count near 3G/8."""
+    distance-field jumps (bvh/grid.py:cell_word, radius cap 15) must keep
+    the step count near 3G/14 plus the entry/exit cluster cells."""
     rng = np.random.default_rng(0)
     tri_a = rng.normal(scale=0.5, size=(50, 3, 3)).astype(np.float32)
     tri_b = tri_a + 200.0
@@ -175,9 +176,9 @@ def test_grid_macro_skip_bounds_steps():
 
     rec, stats = trace_rays_grid(grid, packed, rays)
     max_steps = int(np.asarray(stats.box_tests).max())
-    # 3G corner path = 288 fine steps; with 8-wide macro jumps the empty
-    # middle costs ~3G/8 = 36, plus entry/exit cluster cells.
-    assert max_steps < 150, max_steps
+    # 3G corner path = 288 fine steps; distance jumps cover the empty
+    # middle in ~3G/14 = 21 iterations, plus entry/exit cluster cells.
+    assert max_steps < 100, max_steps
 
     # and the hits still match brute force
     brute = make_brute_tracer(tris_j)
@@ -185,3 +186,32 @@ def test_grid_macro_skip_bounds_steps():
     np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(brec.hit))
     np.testing.assert_allclose(np.asarray(rec.t), np.asarray(brec.t),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_distance_transform_exact():
+    """_dist_transform's logarithmic doubling must equal the brute-force
+    capped L-inf distance on random occupancy fields (the skip's safety
+    argument is d <= true distance; exactness also proves no skip range
+    is left on the table)."""
+    from tpu_raytracing.bvh.grid import DCAP, _dist_transform
+
+    rng = np.random.default_rng(7)
+    for shape, p in (((9, 13, 11), 0.02), ((6, 6, 6), 0.2),
+                     ((40, 3, 17), 0.004), ((5, 1, 64), 0.02)):
+        occ = rng.random(shape) < p
+        got = np.asarray(_dist_transform(jnp.asarray(occ)))
+        # brute force: for every cell, min L-inf distance to a True cell
+        idx = np.argwhere(occ)
+        gz, gy, gx = shape
+        zz, yy, xx = np.meshgrid(np.arange(gz), np.arange(gy),
+                                 np.arange(gx), indexing="ij")
+        if idx.size == 0:
+            want = np.full(shape, DCAP)
+        else:
+            d = np.full(shape, np.inf)
+            for (z, y, x) in idx:
+                cand = np.maximum(np.maximum(np.abs(zz - z), np.abs(yy - y)),
+                                  np.abs(xx - x))
+                d = np.minimum(d, cand)
+            want = np.minimum(d, DCAP).astype(np.int32)
+        np.testing.assert_array_equal(got, want)

@@ -37,6 +37,47 @@ import jax.numpy as jnp
 
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 
+# cell_word packing: low bits = ref count, high bits = capped L-inf
+# distance to the nearest nonempty cell. A count can never reach
+# 1 << DIST_SHIFT (it is bounded by the ref table size, host-asserted in
+# build_grid), so the fields never collide.
+DIST_SHIFT = 27
+DCAP = 15  # skip radius cap; 4 doubling rounds (1+2+4+8) reach it
+
+
+def _dist_transform(occ3: jnp.ndarray) -> jnp.ndarray:
+    """Capped L-inf distance transform of a [gz, gy, gx] occupancy mask:
+    out[c] = min(DCAP, distance to the nearest True cell). DCAP chamfer
+    rounds, each a radius-1 separable min-filter (three axes x two
+    shifted mins — pure dense XLA pad + slice, no gathers): after round
+    k the field is exact wherever the true distance is <= k. A 3-tap
+    filter at radius r > 1 would only see offsets {-r, 0, +r} per axis,
+    overestimating diagonal distances (UNSAFE for the skip), so doubling
+    does not apply; 15 dense rounds over the cell table are negligible
+    next to the build's footprint sort."""
+    d = jnp.where(occ3, jnp.int32(0), jnp.int32(DCAP))
+
+    def shifted_min(a, axis):
+        pad = [(0, 0)] * 3
+        lead, trail = list(pad), list(pad)
+        lead[axis] = (1, 0)
+        trail[axis] = (0, 1)
+        big = jnp.int32(DCAP)
+        fwd = jnp.pad(a, lead, constant_values=big)
+        bwd = jnp.pad(a, trail, constant_values=big)
+        sl = [slice(None)] * 3
+        sf, sb = list(sl), list(sl)
+        sf[axis] = slice(0, a.shape[axis])
+        sb[axis] = slice(1, 1 + a.shape[axis])
+        return jnp.minimum(a, jnp.minimum(fwd[tuple(sf)], bwd[tuple(sb)]))
+
+    for _ in range(DCAP):
+        e = d
+        for axis in range(3):
+            e = shifted_min(e, axis)
+        d = jnp.minimum(d, e + 1)
+    return d
+
 # Max cells a row may reference directly; rows up to K2_FOOTPRINT go
 # through a second, COMPACTED enumeration tier (few rows are that large
 # — steep terrain quads span up to ~24 cells — so the extra slots ride
@@ -57,16 +98,23 @@ class UniformGrid:
     grid_min: jnp.ndarray    # [3] f32
     grid_max: jnp.ndarray    # [3] f32
     cell_size: jnp.ndarray   # [3] f32
-    # Macrocell occupancy for empty-space skipping: macro_occ[m] is True
-    # iff any fine cell inside the 2^mshift-wide block m holds a ref.
-    # A ray in an empty macrocell jumps to the block boundary in one DDA
-    # iteration instead of crawling fine cells (terrain scenes are mostly
-    # empty space above the surface).
-    macro_occ: jnp.ndarray = None  # [Gm^3 + 1] bool
+    # Empty-space skipping word, one per cell: count | (dist << DIST_SHIFT)
+    # where dist = min(L-inf distance to the nearest NONEMPTY cell, DCAP)
+    # — a capped distance transform ("proximity clouds", Cohen &
+    # Sheffer '94), built as log2(DCAP+1) rounds of separable shifted-min
+    # passes (dense XLA, no scatter). A ray in an empty cell with
+    # dist = D >= 2 may advance to just before its (D-1)-th boundary
+    # crossing on ANY axis in ONE DDA iteration: every cell it can touch
+    # lies within the L-inf ball of radius D-1, which the transform
+    # guarantees empty. Replaces a fixed 8^3 macrocell occupancy grid:
+    # adaptive skip radius, fires from any empty cell (not only when the
+    # whole containing block is empty), and the trace loop reads ONE
+    # packed word instead of count + occupancy (one fewer gather per
+    # iteration).
+    cell_word: jnp.ndarray = None  # [G^3 + 1] int32 packed count|dist
     # Per-axis resolution (gx, gy, gz): anisotropic domains (heightfield
     # slabs) keep CUBIC cells but drop the empty-axis table waste.
     res: tuple = flax.struct.field(pytree_node=False, default=(64, 64, 64))
-    mshift: int = flax.struct.field(pytree_node=False, default=3)
 
 
 def _grid_res(num_rows: int, density: float = 4.0) -> int:
@@ -268,18 +316,14 @@ def build_grid(rows: jnp.ndarray, num_live,
     # sentinel cell g3 (out-of-range queries) has count 0:
     cell_count = cell_count.at[g3].set(0)
 
-    # --- macrocell occupancy (see UniformGrid.macro_occ) ---
-    mshift = 3
-    m = 1 << mshift
-    gmx, gmy, gmz = (-(-a // m) for a in (gx, gy, gz))
-    # linear cell id is x-fastest: reshape to [z, y, x]
+    # --- capped distance transform for empty-space skipping (see
+    # UniformGrid.cell_word) --- linear cell id is x-fastest: [z, y, x]
+    assert refs.shape[0] < (1 << DIST_SHIFT), refs.shape
     occ3 = (cell_count[:g3] > 0).reshape(gz, gy, gx)
-    occ3 = jnp.pad(occ3, ((0, gmz * m - gz), (0, gmy * m - gy),
-                          (0, gmx * m - gx)))
-    macro_occ = jnp.any(
-        occ3.reshape(gmz, m, gmy, m, gmx, m), axis=(1, 3, 5)).reshape(-1)
-    macro_occ = jnp.concatenate(
-        [macro_occ, jnp.ones((1,), bool)])  # sentinel: never skip
+    dist = _dist_transform(occ3).reshape(-1)
+    cell_word = jnp.concatenate(
+        [cell_count[:g3] | (dist << DIST_SHIFT),
+         jnp.zeros((1,), jnp.int32)])  # sentinel: count 0, no skip
 
     # --- big list: rows tested once by every ray ---
     (bidx,) = jnp.nonzero(is_big, size=bcap, fill_value=p)
@@ -292,7 +336,7 @@ def build_grid(rows: jnp.ndarray, num_live,
         cell_start=cell_start, cell_count=cell_count, refs=refs,
         big=big, num_big=jnp.minimum(num_big, bcap), overflow=overflow,
         grid_min=gmin, grid_max=gmax, cell_size=cs,
-        macro_occ=macro_occ, res=res3, mshift=mshift)
+        cell_word=cell_word, res=res3)
 
 
 def check_grid_capacity(grid: UniformGrid) -> None:

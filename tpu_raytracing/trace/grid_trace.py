@@ -29,6 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from tpu_raytracing.bvh.grid import DIST_SHIFT as GD_SHIFT
 from tpu_raytracing.bvh.grid import UniformGrid
 from tpu_raytracing.ops.gather import take_cols
 from tpu_raytracing.trace.brute import HitRecord
@@ -127,9 +128,6 @@ def trace_rays_grid(
 
     gx, gy, gz = grid.res
     g3 = gx * gy * gz
-    mshift = grid.mshift
-    gmx, gmy, gmz = (-(-a // (1 << mshift)) for a in (gx, gy, gz))
-    gm3 = gmx * gmy * gmz  # macro_occ sentinel slot (always occupied)
     rows = pairs.rows
     num_rows = rows.shape[0]
     num = rays.origin.shape[0]
@@ -255,7 +253,9 @@ def trace_rays_grid(
 
             cid = jnp.where(done, g3, (cz * gy + cy) * gx + cx)
             start = grid.cell_start[cid]
-            count = grid.cell_count[cid]
+            word = grid.cell_word[cid]
+            count = word & ((1 << GD_SHIFT) - 1)
+            dist = word >> GD_SHIFT  # L-inf empty radius (bvh/grid.py)
             rem = count - off
             for j in range(block):
                 live_j = ~done & (j < rem)
@@ -297,53 +297,34 @@ def trace_rays_grid(
             done_n = done | finished | (stepping & oob)
             off_n = jnp.where(drained, 0, off + block)
 
-            # --- macrocell empty-space skip: jump a whole 2^mshift block ---
-            # (overrides the fine step; an empty macrocell implies count == 0,
-            # so the block tests above were no-ops for these rays)
-            mx, my, mz = cx >> mshift, cy >> mshift, cz >> mshift
-            mid = jnp.where(done, gm3, (mz * gmy + my) * gmx + mx)
-            occ = grid.macro_occ[jnp.minimum(mid, gm3)]
-            skip = ~done & ~occ
-
-            def maxis(m_a, st_a, o_a, inv_a, gmin_a, cs_a):
-                b = gmin_a + ((m_a + (st_a > 0)) << mshift).astype(
-                    jnp.float32) * cs_a
-                return jnp.where(st_a != 0, (b - o_a) * inv_a, _F32_MAX)
-
-            tx_m = maxis(mx, stx, ox, invx, gminx, csx)
-            ty_m = maxis(my, sty, oy, invy, gminy, csy)
-            tz_m = maxis(mz, stz, oz, invz, gminz, csz)
-            texit_m = jnp.minimum(jnp.minimum(tx_m, ty_m), tz_m)
-            axm_x = (tx_m <= ty_m) & (tx_m <= tz_m)
-            axm_y = ~axm_x & (ty_m <= tz_m)
-            axm_z = ~axm_x & ~axm_y
-            # land: crossing-axis fine layer forced (guaranteed progress),
-            # other axes from the position at macro exit (+ the nudge)
-            t_land = texit_m + dt_nudge
+            # --- distance-field empty-space skip (bvh/grid.py:cell_word):
+            # a ray in an empty cell whose packed dist is D >= 2 advances
+            # to just before its (D-1)-th boundary crossing on ANY axis —
+            # every cell it can touch lies in the L-inf ball of radius
+            # D-1 around the current cell, which the distance transform
+            # guarantees empty. Overrides the single fine step; count==0
+            # made this iteration's block tests no-ops for these rays. ---
+            skip = ~done & (dist >= 2)
+            dd = (dist - 1).astype(jnp.float32)
+            # crossing k on axis a happens at tm_a + (k-1)*td_a; stay
+            # strictly before crossing D on every axis (dt_nudge is the
+            # backward margin; td sentinels for st==0 axes are F32_MAX
+            # and fall out of the min)
+            t_land = (jnp.minimum(
+                jnp.minimum(tmx + dd * tdx, tmy + dd * tdy),
+                tmz + dd * tdz) - dt_nudge)
 
             def land(o_a, d_a, gmin_a, cs_a, g_a):
                 return jnp.clip(
                     jnp.floor((o_a + d_a * t_land - gmin_a) / cs_a)
                     .astype(jnp.int32), 0, g_a - 1)
 
-            def forced(m_a, st_a):
-                return jnp.where(st_a > 0, (m_a + 1) << mshift,
-                                 (m_a << mshift) - 1)
-
-            cx_l = jnp.where(axm_x, forced(mx, stx),
-                             land(ox, dx, gminx, csx, gx))
-            cy_l = jnp.where(axm_y, forced(my, sty),
-                             land(oy, dy, gminy, csy, gy))
-            cz_l = jnp.where(axm_z, forced(mz, stz),
-                             land(oz, dz, gminz, csz, gz))
-            done_s = (done | (texit_m > s["tfar"])
-                      | (cx_l < 0) | (cx_l >= gx) | (cy_l < 0) | (cy_l >= gy)
-                      | (cz_l < 0) | (cz_l >= gz))
+            cx_l = land(ox, dx, gminx, csx, gx)
+            cy_l = land(oy, dy, gminy, csy, gy)
+            cz_l = land(oz, dz, gminz, csz, gz)
+            done_s = done | (t_land > s["tfar"])
             if not any_hit:
-                done_s = done_s | (bt <= texit_m)
-            cx_l = jnp.clip(cx_l, 0, gx - 1)
-            cy_l = jnp.clip(cy_l, 0, gy - 1)
-            cz_l = jnp.clip(cz_l, 0, gz - 1)
+                done_s = done_s | (bt <= t_land)
             tmx_l = tmax_at(cx_l, stx, ox, invx, gminx, csx)
             tmy_l = tmax_at(cy_l, sty, oy, invy, gminy, csy)
             tmz_l = tmax_at(cz_l, stz, oz, invz, gminz, csz)
