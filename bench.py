@@ -189,10 +189,21 @@ def main():
             trace_rays_grid,
         )
 
-        res3 = auto_res3(scene.aabb_max - scene.aabb_min, num_tris)
-        grid = jax.jit(build_grid, static_argnames=("res",))(
-            packed.rows, split_f0.num_leaves, res=res3)
-        check_grid_capacity(grid)
+        from tpu_raytracing.bvh.grid import tier_params
+
+        gscale = float(os.environ.get("TPURT_GRID_SCALE", "1.0"))
+
+        def make_grid(s):
+            r3 = auto_res3(scene.aabb_max - scene.aabb_min, num_tris,
+                           scale=s)
+            tp = tier_params(s)
+            g = jax.jit(build_grid,
+                        static_argnames=("res", "k", "k2", "med_frac"))(
+                packed.rows, split_f0.num_leaves, res=r3, **tp)
+            check_grid_capacity(g)
+            return g, r3, tp
+
+        grid, res3, gtp = make_grid(gscale)
         segs = int(os.environ.get("TPURT_GRID_SEGMENTS", "1"))
         blk = int(os.environ.get("TPURT_GRID_BLOCK", "4"))
         # Residue compaction (trace/grid_trace.py): -1 = auto-calibrate
@@ -236,20 +247,21 @@ def main():
 
             fsp = jax.jit(lambda v, p, r, a, j: bounce_tracer(
                 v, p, r.replace(origin=r.origin + j), active=a))
-            fgr = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
-                v, p, r.replace(origin=r.origin + j), active=a,
-                segments=segs, block=blk))
+
+            def _fgr(res_after):
+                return jax.jit(lambda v, p, r, a, j: trace_rays_grid(
+                    v, p, r.replace(origin=r.origin + j), active=a,
+                    segments=segs, block=blk,
+                    residue_after=res_after, residue_width=residw))
+
             ms_split = _cal_rays(fsp, views, rays_b, alive_b)
-            ms_grid = _cal_rays(fgr, grid, rays_b, alive_b)
+            ms_grid = _cal_rays(_fgr(0), grid, rays_b, alive_b)
             if resid == -1:
                 # third candidate: grid + residue compaction (the
                 # lockstep-tail cure; ~10x fewer full-width iterations
                 # at 1M per benchmarks/probe_grid_cpu.py)
-                fgr_r = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
-                    v, p, r.replace(origin=r.origin + j), active=a,
-                    segments=segs, block=blk,
-                    residue_after=RESID_DEFAULT, residue_width=residw))
-                ms_grid_r = _cal_rays(fgr_r, grid, rays_b, alive_b)
+                ms_grid_r = _cal_rays(_fgr(RESID_DEFAULT), grid,
+                                      rays_b, alive_b)
                 log(f"bounce calibration: split {ms_split:.0f} ms, "
                     f"grid {ms_grid:.0f} ms, "
                     f"grid+residue {ms_grid_r:.0f} ms")
@@ -260,6 +272,24 @@ def main():
             else:
                 log(f"bounce calibration: split {ms_split:.0f} ms, "
                     f"grid {ms_grid:.0f} ms (residue={resid} forced)")
+            # fourth candidate: finer cells. Structurally dominant at 1M
+            # (fewer DDA steps AND fewer tri tests per ray at both test
+            # block sizes — benchmarks/sweep_grid_cpu.sh), but the build
+            # is bigger; measured head-to-head, never assumed.
+            alt = float(os.environ.get("TPURT_GRID_ALT_SCALE", "0.75"))
+            if alt > 0 and abs(alt - gscale) > 1e-6:
+                try:
+                    grid_a, res3_a, gtp_a = make_grid(alt)
+                    ms_alt = _cal_rays(_fgr(resid), grid_a,
+                                       rays_b, alive_b)
+                    log(f"bounce calibration: grid(scale={alt}) "
+                        f"{ms_alt:.0f} ms")
+                    if ms_alt < ms_grid:
+                        ms_grid, grid, res3, gtp = (ms_alt, grid_a,
+                                                    res3_a, gtp_a)
+                        gscale = alt
+                except Exception as e:  # a candidate may not kill the run
+                    log(f"grid(scale={alt}) candidate skipped: {e}")
             choice = "grid" if ms_grid < ms_split else "split"
         if resid == -1:
             resid = 0  # forced grid choice without calibration: off
@@ -274,18 +304,20 @@ def main():
                 residue_after=resid, residue_width=residw)
             shadow_tracer_b = make_grid_tracer(
                 any_hit=True, segments=segs, block=blk)
-            log(f"bounce passes: uniform grid res={grid.res}, "
-                f"big={int(grid.num_big)}, segments={segs}, "
-                f"residue={resid}")
+            log(f"bounce passes: uniform grid res={grid.res} "
+                f"(scale={gscale}), big={int(grid.num_big)}, "
+                f"segments={segs}, residue={resid}")
             # grid FULL rebuild (footprints + one sort + tables): the
             # per-frame path when the grid carries the frame — measured
             # here so the animated-scene rebuild story rides the bench
             # log next to the split-BVH rebuild/refit numbers above.
-            _gbuild = jax.jit(build_grid, static_argnames=("res",))
+            _gbuild = jax.jit(build_grid,
+                              static_argnames=("res", "k", "k2",
+                                               "med_frac"))
             t0 = time.perf_counter()
             for i in range(iters):
                 g2 = _gbuild(packed.rows.at[:, 0].add(i + 1),
-                             split_f0.num_leaves, res=res3)
+                             split_f0.num_leaves, res=res3, **gtp)
             float(jnp.sum(g2.cell_count.astype(jnp.float32)))
             log(f"grid rebuild: "
                 f"{(time.perf_counter() - t0) / iters * 1000:.2f} ms/frame")
@@ -333,7 +365,7 @@ def main():
     log(f"trace: {total_rays} rays in {elapsed:.3f}s -> {mrays:.1f} Mrays/s "
         f"(target >= 300)")
 
-    metric = "Mrays/s/chip (primary+bounce) at 1M tris"
+    metric = f"Mrays/s/chip (primary+bounce) at {num_tris} tris"
     if os.environ.get("TPURT_CPU_FALLBACK") == "1":
         metric = (f"Mrays/s CPU-FALLBACK smoke ({num_tris} tris; "
                   f"TPU tunnel was down at bench time)")

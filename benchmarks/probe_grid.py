@@ -76,9 +76,19 @@ def main():
     jax.block_until_ready(views)
 
     # --- grid build over the same rows ---
+    scale = float(os.environ.get("TPURT_GRID_SCALE", "1.0"))
     if grid_res is None:
-        grid_res = auto_res3(scene.aabb_max - scene.aabb_min, num_tris)
-    _build_grid = jax.jit(lambda rows, nl: build_grid(rows, nl, res=grid_res))
+        grid_res = auto_res3(scene.aabb_max - scene.aabb_min, num_tris,
+                             scale=scale)
+    # footprint tiers scale ~1/scale^2 (bvh/grid.py:tier_params)
+    from tpu_raytracing.bvh.grid import tier_params
+
+    tp = tier_params(scale)
+    k2 = int(os.environ.get("TPURT_GRID_K2", str(tp["k2"])))
+    med_frac = int(os.environ.get("TPURT_GRID_MEDFRAC",
+                                  str(tp["med_frac"])))
+    _build_grid = jax.jit(lambda rows, nl: build_grid(
+        rows, nl, res=grid_res, k2=k2, med_frac=med_frac))
     grid = _build_grid(packed.rows, split.num_leaves)
     check_grid_capacity(grid)
     jax.block_until_ready(grid.refs)

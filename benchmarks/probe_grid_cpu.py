@@ -57,9 +57,16 @@ def main():
         from tpu_raytracing.bvh.grid import auto_res3
 
         grid_res = auto_res3(span, num_tris, scale=scale)
+    # Footprint tiers: finer scales grow footprints ~1/scale^2, so scale
+    # the direct/medium caps with the cell count unless overridden.
+    k = int(os.environ.get("TPURT_GRID_K", "8"))
+    k2 = int(os.environ.get(
+        "TPURT_GRID_K2", str(max(32, int(32 / (scale * scale))))))
+    med_frac = int(os.environ.get("TPURT_GRID_MEDFRAC", "16"))
     t0 = time.perf_counter()
     grid, packed = jax.jit(
-        lambda t: build_grid_from_triangles(t, True, res=grid_res))(tris)
+        lambda t: build_grid_from_triangles(
+            t, True, res=grid_res, k=k, k2=k2, med_frac=med_frac))(tris)
     check_grid_capacity(grid)
     cc = np.asarray(grid.cell_count)
     log(f"grid: res={grid.res} scale={scale} built in "

@@ -11,6 +11,12 @@ fi
 set -x
 # 1. grid vs split kernel on the bounce workload + grid build cost
 timeout 2800 python -u benchmarks/probe_grid.py > /tmp/m_grid.log 2>&1
+# 1b. finer cells (structural winner on iterations; build cost is the
+#     open question) and a bigger test block at the default scale
+TPURT_GRID_SCALE=0.75 timeout 2800 python -u benchmarks/probe_grid.py \
+  > /tmp/m_grid_s075.log 2>&1
+TPURT_GRID_BLOCK=8 timeout 2800 python -u benchmarks/probe_grid.py \
+  > /tmp/m_grid_b8.log 2>&1
 # 2. SAH vs bucket tree quality through the flagship kernel (host-stepped SAH)
 timeout 2800 python -u benchmarks/probe_tree.py > /tmp/m_tree.log 2>&1
 # 3. split-build stage profile after the two-tier table + ladder cap

@@ -215,3 +215,29 @@ def test_distance_transform_exact():
                 d = np.minimum(d, cand)
             want = np.minimum(d, DCAP).astype(np.int32)
         np.testing.assert_array_equal(got, want)
+
+
+def test_grid_tier_overrides_parity():
+    """k/k2/med_frac only redistribute rows between the direct and the
+    compacted medium footprint tiers — the traced hit set must be
+    invariant. Tiny k forces nearly every row through the medium tier
+    (the big-list tier is covered by the cornell-wall tests; its cap is
+    deliberately too small to absorb bulk geometry)."""
+    scene = procedural.terrain(2000)
+    tris = jnp.asarray(scene.triangles)
+    rays = _scene_rays(scene)
+    recs = []
+    for kw in ({}, dict(k=2, k2=64, med_frac=1), dict(k=3, k2=48,
+                                                      med_frac=1)):
+        grid, packed = jax.jit(lambda t, kw=kw: build_grid_from_triangles(
+            t, True, res=(16, 8, 16), **kw))(tris)
+        check_grid_capacity(grid)
+        rec, _ = jax.jit(lambda g, p, r: trace_rays_grid(g, p, r))(
+            grid, packed, rays)
+        recs.append(rec)
+    for rec in recs[1:]:
+        np.testing.assert_array_equal(np.asarray(rec.hit),
+                                      np.asarray(recs[0].hit))
+        np.testing.assert_allclose(np.asarray(rec.t),
+                                   np.asarray(recs[0].t),
+                                   rtol=1e-5, atol=1e-6)

@@ -80,11 +80,27 @@ def _dist_transform(occ3: jnp.ndarray) -> jnp.ndarray:
 
 # Max cells a row may reference directly; rows up to K2_FOOTPRINT go
 # through a second, COMPACTED enumeration tier (few rows are that large
-# — steep terrain quads span up to ~24 cells — so the extra slots ride
-# on ~P/16 gathered rows, not the full axis); anything larger joins the
-# global big list (walls, floors).
+# — steep terrain quads span up to ~24 cells at cell scale 1.0 — so the
+# extra slots ride on ~P/med_frac gathered rows, not the full axis);
+# anything larger joins the global big list (walls, floors). Finer cell
+# scales grow every footprint ~1/scale^2: build_grid takes k/k2/med_frac
+# overrides so sub-1.0 scales stay in the tiers instead of overflowing
+# the big list (benchmarks/probe_grid_cpu.py sweeps them).
 K_FOOTPRINT = 8
 K2_FOOTPRINT = 32
+
+
+def tier_params(scale: float) -> dict:
+    """Footprint-tier sizing for a given cell scale: row footprints grow
+    ~1/scale^2 as cells shrink, so sub-1.0 scales widen the medium tier
+    (k2) and deepen its row budget (med_frac) to keep bulk geometry out
+    of the per-ray big list. Shared by bench.py and the probes so the
+    calibration candidates and the sweeps agree."""
+    return dict(
+        k=K_FOOTPRINT,
+        k2=max(K2_FOOTPRINT, int(K2_FOOTPRINT / (scale * scale))),
+        med_frac=16 if scale >= 1.0 else 4,
+    )
 
 
 @flax.struct.dataclass
@@ -196,10 +212,13 @@ def _tri_cell_overlap(v, clo_k, gmin, cs):
 
 
 def build_grid(rows: jnp.ndarray, num_live,
-               res: Optional[int] = None) -> UniformGrid:
+               res: Optional[int] = None,
+               k: int = K_FOOTPRINT, k2: int = K2_FOOTPRINT,
+               med_frac: int = 16) -> UniformGrid:
     """Build the grid over live pair rows ([P, 16] int32, vertex words
     0-11; ``num_live`` is the live prefix — sentinel tail rows are
-    ignored)."""
+    ignored). ``k``/``k2``/``med_frac`` size the direct/medium footprint
+    tiers (see K_FOOTPRINT above); raise them for cell scales < 1."""
     p = rows.shape[0]
     if res is None:
         g0 = _grid_res(p)
@@ -247,9 +266,9 @@ def build_grid(rows: jnp.ndarray, num_live,
     dy = chi[:, 1] - clo[:, 1] + 1
     dz = chi[:, 2] - clo[:, 2] + 1
     total = dx * dy * dz
-    is_med = live & (total > K_FOOTPRINT) & (total <= K2_FOOTPRINT)
-    is_big = live & (total > K2_FOOTPRINT)
-    direct = live & (total <= K_FOOTPRINT)
+    is_med = live & (total > k) & (total <= k2)
+    is_big = live & (total > k2)
+    direct = live & (total <= k)
 
     # --- direct refs: K static slots per row, sentinel-keyed when unused.
     # Rows with a multi-cell footprint get an exact triangle-box overlap
@@ -258,8 +277,8 @@ def build_grid(rows: jnp.ndarray, num_live,
     # counts with zero effect on hits (a removed cell cannot contain any
     # point of the triangle). Single-cell footprints skip the test. ---
     keys = []
-    for k in range(K_FOOTPRINT):
-        kk = jnp.int32(k)
+    for ki in range(k):
+        kk = jnp.int32(ki)
         kx = kk % dx
         ky = (kk // dx) % dy
         kz = kk // (dx * dy)
@@ -269,7 +288,7 @@ def build_grid(rows: jnp.ndarray, num_live,
         ok &= (total == 1) | _tri_cell_overlap(v, clo_k, gmin, cs)
         keys.append(jnp.where(ok, cell, g3))
     # --- medium tier: compacted rows, K2 candidate slots each ---
-    med_cap = max(p // 16, 256)
+    med_cap = max(p // med_frac, 256)
     (midx,) = jnp.nonzero(is_med, size=med_cap, fill_value=p)
     num_med = jnp.sum(is_med.astype(jnp.int32))
     mvalid = midx < p
@@ -279,8 +298,8 @@ def build_grid(rows: jnp.ndarray, num_live,
     mtotal = total[midx]
     mv = v[midx]
     mkeys = []
-    for k in range(K2_FOOTPRINT):
-        kk = jnp.int32(k)
+    for ki in range(k2):
+        kk = jnp.int32(ki)
         kx = kk % mdx
         ky = (kk // mdx) % mdy
         kz = kk // (mdx * mdy)
@@ -294,8 +313,7 @@ def build_grid(rows: jnp.ndarray, num_live,
     # tile-pad K -> 128 lanes, ~16x the bytes at 1M). Ref order within a
     # cell is immaterial — duplicated refs produce identical winners.
     key_flat = jnp.concatenate(keys + mkeys)  # [K*P + K2*M]
-    row_flat = jnp.concatenate([iota] * K_FOOTPRINT
-                               + [midx] * K2_FOOTPRINT)
+    row_flat = jnp.concatenate([iota] * k + [midx] * k2)
     key_sorted, refs = jax.lax.sort_key_val(key_flat, row_flat)
 
     m = key_flat.shape[0]
@@ -353,6 +371,7 @@ def check_grid_capacity(grid: UniformGrid) -> None:
 def build_grid_from_triangles(
     triangles: jnp.ndarray, enable_pairs: bool = False,
     res: Optional[int] = None,
+    k: int = K_FOOTPRINT, k2: int = K2_FOOTPRINT, med_frac: int = 16,
 ) -> Tuple[UniformGrid, "PackedPairs"]:
     """Standalone build: pairing setup (no Morton sort needed — the
     cell-key sort organizes everything) + grid over the pair rows."""
@@ -365,7 +384,8 @@ def build_grid_from_triangles(
     # zero the sentinel tail so stray window/ref tests never hit
     iota = jnp.arange(rows.shape[0], dtype=jnp.int32)
     rows = jnp.where((iota < leaves.num_leaves)[:, None], rows, 0)
-    grid = build_grid(rows, leaves.num_leaves, res=res)
+    grid = build_grid(rows, leaves.num_leaves, res=res,
+                      k=k, k2=k2, med_frac=med_frac)
     from tpu_raytracing.trace.traverse import PackedPairs
 
     return grid, PackedPairs(rows=rows)
