@@ -197,10 +197,23 @@ def main():
             r3 = auto_res3(scene.aabb_max - scene.aabb_min, num_tris,
                            scale=s)
             tp = tier_params(s)
-            g = jax.jit(build_grid,
-                        static_argnames=("res", "k", "k2", "med_frac"))(
-                packed.rows, split_f0.num_leaves, res=r3, **tp)
-            check_grid_capacity(g)
+            # compacted key sort first; fall back to the uncompacted
+            # build if this scene's live refs exceed the 6/row default
+            # cap (bvh/grid.py) — the bench must never die on a guard.
+            for cc in (None, 0):
+                g = jax.jit(build_grid,
+                            static_argnames=("res", "k", "k2",
+                                             "med_frac", "compact_cap"))(
+                    packed.rows, split_f0.num_leaves, res=r3,
+                    compact_cap=cc, **tp)
+                try:
+                    check_grid_capacity(g)
+                    return g, r3, tp
+                except RuntimeError as e:
+                    if cc == 0:
+                        raise
+                    log(f"grid compaction cap exceeded, retrying "
+                        f"uncompacted: {e}")
             return g, r3, tp
 
         grid, res3, gtp = make_grid(gscale)
@@ -314,6 +327,9 @@ def main():
             _gbuild = jax.jit(build_grid,
                               static_argnames=("res", "k", "k2",
                                                "med_frac"))
+            g2 = _gbuild(packed.rows, split_f0.num_leaves,
+                         res=res3, **gtp)  # untimed compile+warmup
+            float(jnp.sum(g2.cell_count.astype(jnp.float32)))
             t0 = time.perf_counter()
             for i in range(iters):
                 g2 = _gbuild(packed.rows.at[:, 0].add(i + 1),

@@ -101,6 +101,19 @@ def main():
     float(jnp.sum(g2.cell_count.astype(jnp.float32)))
     log(f"grid build: {(time.perf_counter() - t0) / iters * 1000:.1f} ms "
         f"(rows->tables only)")
+    # same build without the live-key compaction, to price the
+    # compacted-sort stage on this backend (bvh/grid.py:build_grid)
+    _build_grid_nc = jax.jit(lambda rows, nl: build_grid(
+        rows, nl, res=grid_res, k2=k2, med_frac=med_frac, compact_cap=0))
+    g2 = _build_grid_nc(packed.rows, split.num_leaves)
+    jax.block_until_ready(g2.refs)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rows_i = packed.rows.at[:, 0].add(i + 1)
+        g2 = _build_grid_nc(rows_i, split.num_leaves)
+    float(jnp.sum(g2.cell_count.astype(jnp.float32)))
+    log(f"grid build (uncompacted sort): "
+        f"{(time.perf_counter() - t0) / iters * 1000:.1f} ms")
 
     # --- bounce ray set (same derivation as probe_tree) ---
     num = res * res

@@ -217,6 +217,32 @@ def test_distance_transform_exact():
         np.testing.assert_array_equal(got, want)
 
 
+def test_grid_compaction_parity():
+    """Live-key compaction before the cell-key sort only drops sentinel
+    slots (never consumed downstream): the cell tables and the traced
+    hit set must match the uncompacted build exactly."""
+    scene = procedural.terrain(2000)
+    tris = jnp.asarray(scene.triangles)
+    rays = _scene_rays(scene)
+    outs = []
+    for cc in (None, 0):
+        grid, packed = jax.jit(lambda t, cc=cc: build_grid_from_triangles(
+            t, True, res=(16, 8, 16), compact_cap=cc))(tris)
+        check_grid_capacity(grid)
+        rec, _ = jax.jit(lambda g, p, r: trace_rays_grid(g, p, r))(
+            grid, packed, rays)
+        outs.append((grid, rec))
+    gc, rc = outs[0]
+    gu, ru = outs[1]
+    np.testing.assert_array_equal(np.asarray(gc.cell_count),
+                                  np.asarray(gu.cell_count))
+    np.testing.assert_array_equal(np.asarray(gc.num_big),
+                                  np.asarray(gu.num_big))
+    np.testing.assert_array_equal(np.asarray(rc.hit), np.asarray(ru.hit))
+    np.testing.assert_allclose(np.asarray(rc.t), np.asarray(ru.t),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_grid_tier_overrides_parity():
     """k/k2/med_frac only redistribute rows between the direct and the
     compacted medium footprint tiers — the traced hit set must be

@@ -214,11 +214,14 @@ def _tri_cell_overlap(v, clo_k, gmin, cs):
 def build_grid(rows: jnp.ndarray, num_live,
                res: Optional[int] = None,
                k: int = K_FOOTPRINT, k2: int = K2_FOOTPRINT,
-               med_frac: int = 16) -> UniformGrid:
+               med_frac: int = 16,
+               compact_cap: Optional[int] = None) -> UniformGrid:
     """Build the grid over live pair rows ([P, 16] int32, vertex words
     0-11; ``num_live`` is the live prefix — sentinel tail rows are
     ignored). ``k``/``k2``/``med_frac`` size the direct/medium footprint
-    tiers (see K_FOOTPRINT above); raise them for cell scales < 1."""
+    tiers (see K_FOOTPRINT above); raise them for cell scales < 1.
+    ``compact_cap`` bounds the live-key compaction before the cell-key
+    sort (None = 6 rows/ref default, 0 = disabled)."""
     p = rows.shape[0]
     if res is None:
         g0 = _grid_res(p)
@@ -314,6 +317,27 @@ def build_grid(rows: jnp.ndarray, num_live,
     # cell is immaterial — duplicated refs produce identical winners.
     key_flat = jnp.concatenate(keys + mkeys)  # [K*P + K2*M]
     row_flat = jnp.concatenate([iota] * k + [midx] * k2)
+
+    # --- live-key compaction before the sort: the direct tier emits k
+    # static slots per row but terrain rows average ~3 live cells
+    # (benchmarks/probe_grid_cpu.py), so most of key_flat is sentinel.
+    # One cumsum+scatter compaction (linear passes) shrinks the
+    # O(n log n) sort input ~2.5x. Exactly parity-preserving: sentinel
+    # keys (g3) are never consumed downstream — heads/pos_of drop them —
+    # so removing them pre-sort changes nothing live. Static cap with
+    # the same host-sync overflow guard as the tiers. ---
+    m0 = key_flat.shape[0]
+    if compact_cap is None:
+        compact_cap = max(6 * p, 4096)
+    key_overflow = jnp.zeros((), jnp.int32)
+    if 0 < compact_cap < m0:
+        livemask = key_flat < g3
+        n_live = jnp.sum(livemask.astype(jnp.int32))
+        (cidx,) = jnp.nonzero(livemask, size=compact_cap, fill_value=m0)
+        safe_idx = jnp.minimum(cidx, m0 - 1)
+        key_flat = jnp.where(cidx < m0, key_flat[safe_idx], g3)
+        row_flat = row_flat[safe_idx]
+        key_overflow = jnp.maximum(n_live - compact_cap, 0)
     key_sorted, refs = jax.lax.sort_key_val(key_flat, row_flat)
 
     m = key_flat.shape[0]
@@ -347,7 +371,7 @@ def build_grid(rows: jnp.ndarray, num_live,
     (bidx,) = jnp.nonzero(is_big, size=bcap, fill_value=p)
     num_big = jnp.sum(is_big.astype(jnp.int32))
     overflow = (jnp.maximum(num_big - bcap, 0)
-                + jnp.maximum(num_med - med_cap, 0))
+                + jnp.maximum(num_med - med_cap, 0) + key_overflow)
     big = jnp.minimum(bidx, p - 1).astype(jnp.int32)
 
     return UniformGrid(
@@ -363,15 +387,17 @@ def check_grid_capacity(grid: UniformGrid) -> None:
     ov = int(grid.overflow)
     if ov > 0:
         raise RuntimeError(
-            f"UniformGrid tier overflow: {ov} rows past the medium/big "
-            f"static bounds — raise _big_cap / the medium cap or the "
-            f"grid resolution (bvh/grid.py)")
+            f"UniformGrid capacity overflow: {ov} rows/refs past the "
+            f"medium/big/compaction static bounds — raise _big_cap, the "
+            f"medium cap, compact_cap, or the grid resolution "
+            f"(bvh/grid.py)")
 
 
 def build_grid_from_triangles(
     triangles: jnp.ndarray, enable_pairs: bool = False,
     res: Optional[int] = None,
     k: int = K_FOOTPRINT, k2: int = K2_FOOTPRINT, med_frac: int = 16,
+    compact_cap: Optional[int] = None,
 ) -> Tuple[UniformGrid, "PackedPairs"]:
     """Standalone build: pairing setup (no Morton sort needed — the
     cell-key sort organizes everything) + grid over the pair rows."""
@@ -385,7 +411,8 @@ def build_grid_from_triangles(
     iota = jnp.arange(rows.shape[0], dtype=jnp.int32)
     rows = jnp.where((iota < leaves.num_leaves)[:, None], rows, 0)
     grid = build_grid(rows, leaves.num_leaves, res=res,
-                      k=k, k2=k2, med_frac=med_frac)
+                      k=k, k2=k2, med_frac=med_frac,
+                      compact_cap=compact_cap)
     from tpu_raytracing.trace.traverse import PackedPairs
 
     return grid, PackedPairs(rows=rows)
