@@ -178,6 +178,14 @@ def main():
     # behaviour, so a runtime choice beats a baked-in guess.
     bounce_trav = None
     choice = os.environ.get("TPURT_BOUNCE_TRACER", "auto")
+    # Calibration deadline: each candidate costs a 1M-scale compile
+    # (~1-3 min cold); if the budget runs out, keep what's measured so
+    # far rather than risk the whole bench window on compiles.
+    _deadline = time.monotonic() + float(
+        os.environ.get("TPURT_BENCH_CAL_BUDGET_S", "1500"))
+
+    def _cal_time_left() -> bool:
+        return time.monotonic() < _deadline
     if choice in ("auto", "grid"):
         from tpu_raytracing.bvh.grid import (
             auto_res3,
@@ -290,7 +298,7 @@ def main():
             # block sizes — benchmarks/sweep_grid_cpu.sh), but the build
             # is bigger; measured head-to-head, never assumed.
             alt = float(os.environ.get("TPURT_GRID_ALT_SCALE", "0.75"))
-            if alt > 0 and abs(alt - gscale) > 1e-6:
+            if alt > 0 and abs(alt - gscale) > 1e-6 and _cal_time_left():
                 try:
                     grid_a, res3_a, gtp_a = make_grid(alt)
                     ms_alt = _cal_rays(_fgr(resid), grid_a,
@@ -338,7 +346,8 @@ def main():
             log(f"grid rebuild: "
                 f"{(time.perf_counter() - t0) / iters * 1000:.2f} ms/frame")
         pchoice = os.environ.get("TPURT_PRIMARY_TRACER", "auto")
-        if pchoice == "auto" and not (choice == "grid" and rays0 is not None):
+        if pchoice == "auto" and not (choice == "grid" and rays0 is not None
+                                      and _cal_time_left()):
             pchoice = "split"  # no calibration context; keep the default
         if pchoice == "auto":
             # the grid won the incoherent pass — also calibrate the
