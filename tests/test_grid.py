@@ -217,6 +217,77 @@ def test_distance_transform_exact():
         np.testing.assert_array_equal(got, want)
 
 
+def test_grid_fuzz_adversarial():
+    """Seeded fuzz: geometry and rays built to stress the DDA's edge
+    cases — axis-plane-aligned quads (footprints that sit exactly on
+    cell boundaries), zero-area/collinear degenerate triangles (the MT
+    det-epsilon path), rays with exactly axis-aligned directions (DDA
+    step sentinels on two axes) and origins on the cell lattice. The
+    grid must agree with the brute-force oracle on the hit set and
+    distances (prim ids are skipped: duplicate degenerate geometry can
+    tie at identical t with either winner valid)."""
+    rng = np.random.default_rng(7)
+    n_r = 300
+    centers = rng.uniform(-2.0, 2.0, (n_r, 1, 3))
+    tris_rand = (centers + rng.uniform(-0.3, 0.3, (n_r, 3, 3)))
+    # axis-aligned quads on exact integer planes (two tris each)
+    quads = []
+    for plane_axis, coord in ((0, 0.0), (1, 1.0), (2, -1.0)):
+        a, b = [ax for ax in range(3) if ax != plane_axis]
+        for lo in (-1.5, 0.25):
+            p = np.zeros((4, 3), np.float32)
+            p[:, plane_axis] = coord
+            p[0, a], p[0, b] = lo, lo
+            p[1, a], p[1, b] = lo + 1, lo
+            p[2, a], p[2, b] = lo + 1, lo + 1
+            p[3, a], p[3, b] = lo, lo + 1
+            quads.append(p[[0, 1, 2]])
+            quads.append(p[[0, 2, 3]])
+    # degenerate: zero-area (repeated vertex) and collinear
+    degen = np.array([
+        [[0.1, 0.1, 0.1], [0.1, 0.1, 0.1], [0.5, 0.5, 0.5]],
+        [[-1.0, 0.0, 0.0], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]],
+    ], np.float32)
+    tris = np.concatenate(
+        [tris_rand, np.stack(quads), degen]).astype(np.float32)
+
+    grid, packed = jax.jit(lambda t: build_grid_from_triangles(
+        t, True))(jnp.asarray(tris))
+    check_grid_capacity(grid)
+
+    num = 256
+    orig = np.concatenate([
+        rng.uniform(-2.5, 2.5, (num - 64, 3)),          # random interior
+        np.round(rng.uniform(-2, 2, (32, 3))),          # on the lattice
+        rng.uniform(-8.0, -4.0, (32, 3)),               # outside the box
+    ]).astype(np.float32)
+    dirs = rng.normal(size=(num, 3)).astype(np.float32)
+    axes = np.zeros((48, 3), np.float32)
+    axes[np.arange(48), np.arange(48) % 3] = np.where(
+        np.arange(48) % 2 == 0, 1.0, -1.0)              # exactly axis-aligned
+    dirs[:48] = axes
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    from tpu_raytracing.trace.ray import Rays
+
+    rays = Rays(origin=jnp.asarray(orig), direction=jnp.asarray(dirs),
+                tmin=jnp.zeros((num,), jnp.float32),
+                tmax=jnp.full((num,), 1e9, jnp.float32))
+
+    rec, _ = jax.jit(lambda g, p, r: trace_rays_grid(g, p, r))(
+        grid, packed, rays)
+    brute = make_brute_tracer(jnp.asarray(tris))
+    brec, _ = brute(None, pack_pairs(identity_pairs(jnp.asarray(tris))),
+                    rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit),
+                                  np.asarray(brec.hit))
+    np.testing.assert_allclose(np.asarray(rec.t), np.asarray(brec.t),
+                               rtol=1e-4, atol=1e-5)
+    arec, _ = jax.jit(lambda g, p, r: trace_rays_grid(
+        g, p, r, any_hit=True))(grid, packed, rays)
+    np.testing.assert_array_equal(np.asarray(arec.hit),
+                                  np.asarray(brec.hit))
+
+
 def test_grid_compaction_parity():
     """Live-key compaction before the cell-key sort only drops sentinel
     slots (never consumed downstream): the cell tables and the traced
