@@ -54,6 +54,10 @@ def parse_cmd(argv=None) -> argparse.Namespace:
                         "packet, wide, split (flagship Pallas kernel), or "
                         "grid (uniform-grid DDA — stackless, best for "
                         "incoherent rays)")
+    p.add_argument("--grid-scale", type=float, default=1.0,
+                   help="with --tracer grid: cell-size scale (<1 = finer "
+                        "cells; footprint tiers widen automatically — "
+                        "bvh/grid.py:tier_params)")
     p.add_argument("--profile-build", action="store_true",
                    help="time each build stage separately (the run() report)")
     p.add_argument("--debug-checks", action="store_true",

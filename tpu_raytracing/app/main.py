@@ -272,15 +272,17 @@ def main(argv=None):
             build_grid,
             check_grid_capacity,
         )
+        from tpu_raytracing.bvh.grid import tier_params
         from tpu_raytracing.trace.grid_trace import make_grid_tracer
 
         tracer = make_grid_tracer()
         _gchecked = []
         _res3 = auto_res3(scene.aabb_max - scene.aabb_min,
-                          triangles.shape[0])
+                          triangles.shape[0], scale=args.grid_scale)
+        _gtp = tier_params(args.grid_scale)
         _grid_build = jax.jit(
             lambda rows: build_grid(rows, jnp.int32(rows.shape[0]),
-                                    res=_res3))
+                                    res=_res3, **_gtp))
 
         def make_trav(bvh, packed, tris):
             grid = _grid_build(packed.rows)
@@ -294,7 +296,7 @@ def main(argv=None):
         from tpu_raytracing.bvh.grid import build_grid_from_triangles
 
         _grid_rebuild = jax.jit(lambda tris: build_grid_from_triangles(
-            tris, enable_pairs=args.pairs, res=_res3))
+            tris, enable_pairs=args.pairs, res=_res3, **_gtp))
     elif args.tracer == "wide":
         from tpu_raytracing.bvh.wide import build_wide_fat
         from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer
