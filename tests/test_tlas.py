@@ -103,6 +103,77 @@ def test_instanced_trace_matches_flattened_brute():
     np.testing.assert_array_equal(got_inst[check], ref_inst[check])
 
 
+def test_instanced_grid_matches_flattened_brute():
+    """Stackless two-phase instanced tracing (trace/grid_instanced.py)
+    vs the flattened world-space oracle — same checks as the stack
+    tracer's test above, plus any-hit occlusion equality."""
+    from tpu_raytracing.trace.grid_instanced import (
+        build_instanced_grid,
+        check_instanced_grid_capacity,
+        trace_rays_instanced_grid,
+    )
+
+    rng = np.random.default_rng(7)
+    mesh = icosphere(subdivisions=1, radius=0.8)
+    transforms = _transforms(12, rng)
+
+    _, pairs = _build(jnp.asarray(mesh))
+    packed = pack_pairs(pairs)
+    ias = jax.jit(build_instanced_grid)(packed, jnp.asarray(transforms))
+    rays = _rays_grid(np.zeros(3), 6.0)
+    rec, inst_id, stats, ov = jax.jit(
+        lambda i, p, r: trace_rays_instanced_grid(i, p, r, m_cand=16))(
+        ias, packed, rays)
+    check_instanced_grid_capacity(ov)
+
+    flat = _flatten(mesh, transforms)
+    ref = _brute(jnp.asarray(flat), rays)
+
+    hit = np.asarray(rec.hit)
+    np.testing.assert_array_equal(hit, np.asarray(ref.hit))
+    np.testing.assert_allclose(
+        np.asarray(rec.t)[hit], np.asarray(ref.t)[hit],
+        rtol=2e-4, atol=1e-5)
+    ref_inst = np.asarray(ref.prim_id) // mesh.shape[0]
+    same_t = np.isclose(np.asarray(rec.t), np.asarray(ref.t), rtol=1e-4)
+    check = hit & same_t
+    np.testing.assert_array_equal(np.asarray(inst_id)[check],
+                                  ref_inst[check])
+    assert int(np.asarray(stats.tri_tests).sum()) > 0
+
+    arec, _, _, ov2 = jax.jit(
+        lambda i, p, r: trace_rays_instanced_grid(
+            i, p, r, m_cand=16, any_hit=True))(ias, packed, rays)
+    check_instanced_grid_capacity(ov2)
+    np.testing.assert_array_equal(np.asarray(arec.hit),
+                                  np.asarray(ref.hit))
+
+
+def test_instanced_grid_overflow_guard():
+    """m_cand=1 with stacked identical instances must overflow loudly,
+    not drop hits silently."""
+    from tpu_raytracing.trace.grid_instanced import (
+        build_instanced_grid,
+        check_instanced_grid_capacity,
+        trace_rays_instanced_grid,
+    )
+
+    mesh = icosphere(subdivisions=0, radius=0.8)
+    tf = np.zeros((3, 3, 4), np.float32)
+    for i in range(3):
+        tf[i, :, :3] = np.eye(3, dtype=np.float32)
+        tf[i, 2, 3] = i * 0.1  # three nearly coincident instances
+    _, pairs = _build(jnp.asarray(mesh))
+    packed = pack_pairs(pairs)
+    ias = jax.jit(build_instanced_grid)(packed, jnp.asarray(tf))
+    rays = _rays_grid(np.zeros(3), 0.5, res=4)
+    _, _, _, ov = jax.jit(
+        lambda i, p, r: trace_rays_instanced_grid(i, p, r, m_cand=1))(
+        ias, packed, rays)
+    with np.testing.assert_raises(RuntimeError):
+        check_instanced_grid_capacity(ov)
+
+
 def test_tlas_rebuild_is_jittable_per_frame():
     rng = np.random.default_rng(1)
     mesh = icosphere(subdivisions=1)
