@@ -245,6 +245,19 @@ def main():
             float(jnp.sum(out[0].t))
             return (time.perf_counter() - t0) / 2 * 1000.0
 
+        def _cal_subset(r_, a_, frac=4):
+            # Calibrate on 1/frac of the rays: 4 contiguous chunks spread
+            # across the (compaction-sorted) array, so packet-level
+            # locality is preserved while sampling different scene
+            # regions. Ranking is what matters; both tracers scale
+            # ~linearly in ray count.
+            num = a_.shape[0]
+            chunk = max(num // frac // 4 // 256, 1) * 256
+            starts = [min((num // 4) * j, num - chunk) for j in range(4)]
+            take = lambda x: jnp.concatenate(  # noqa: E731
+                [jax.lax.dynamic_slice_in_dim(x, s, chunk) for s in starts])
+            return jax.tree.map(take, r_), take(a_)
+
         rays0 = alive0 = None
         if choice == "auto":
             from tpu_raytracing.trace import pathtrace as pt
@@ -275,34 +288,44 @@ def main():
                     segments=segs, block=blk,
                     residue_after=res_after, residue_width=residw))
 
-            ms_split = _cal_rays(fsp, views, rays_b, alive_b)
-            ms_grid = _cal_rays(_fgr(0), grid, rays_b, alive_b)
-            if resid == -1:
+            rays_c, alive_c = _cal_subset(rays_b, alive_b)
+            ms_split = _cal_rays(fsp, views, rays_c, alive_c)
+            ms_grid = _cal_rays(_fgr(0), grid, rays_c, alive_c)
+            if resid == -1 and ms_grid < 15 * ms_split:
                 # third candidate: grid + residue compaction (the
-                # lockstep-tail cure; ~10x fewer full-width iterations
-                # at 1M per benchmarks/probe_grid_cpu.py)
+                # lockstep-tail cure; ~10x fewer full-width iterations at
+                # 1M per benchmarks/probe_grid_cpu.py — so when the base
+                # grid is > 15x behind the split kernel, residue cannot
+                # close the gap and its 1M-scale compile is skipped).
                 ms_grid_r = _cal_rays(_fgr(RESID_DEFAULT), grid,
-                                      rays_b, alive_b)
+                                      rays_c, alive_c)
                 log(f"bounce calibration: split {ms_split:.0f} ms, "
                     f"grid {ms_grid:.0f} ms, "
-                    f"grid+residue {ms_grid_r:.0f} ms")
+                    f"grid+residue {ms_grid_r:.0f} ms (1/4 subset)")
                 if ms_grid_r < ms_grid:
                     resid, ms_grid = RESID_DEFAULT, ms_grid_r
                 else:
                     resid = 0
+            elif resid == -1:
+                resid = 0
+                log(f"bounce calibration: split {ms_split:.0f} ms, "
+                    f"grid {ms_grid:.0f} ms (1/4 subset; residue/alt "
+                    f"candidates skipped — grid is out of contention)")
             else:
                 log(f"bounce calibration: split {ms_split:.0f} ms, "
                     f"grid {ms_grid:.0f} ms (residue={resid} forced)")
             # fourth candidate: finer cells. Structurally dominant at 1M
             # (fewer DDA steps AND fewer tri tests per ray at both test
             # block sizes — benchmarks/sweep_grid_cpu.sh), but the build
-            # is bigger; measured head-to-head, never assumed.
+            # is bigger; measured head-to-head, never assumed. Skipped
+            # when the grid lost by > 2x (cell scale moves it ~1.3x).
             alt = float(os.environ.get("TPURT_GRID_ALT_SCALE", "0.75"))
-            if alt > 0 and abs(alt - gscale) > 1e-6 and _cal_time_left():
+            if (alt > 0 and abs(alt - gscale) > 1e-6 and _cal_time_left()
+                    and ms_grid < 2 * ms_split):
                 try:
                     grid_a, res3_a, gtp_a = make_grid(alt)
                     ms_alt = _cal_rays(_fgr(resid), grid_a,
-                                       rays_b, alive_b)
+                                       rays_c, alive_c)
                     log(f"bounce calibration: grid(scale={alt}) "
                         f"{ms_alt:.0f} ms")
                     if ms_alt < ms_grid:
@@ -357,8 +380,9 @@ def main():
             fgr_p = jax.jit(lambda v, p, r, a, j: trace_rays_grid(
                 v, p, r.replace(origin=r.origin + j), active=a,
                 block=blk))
-            ms_sp_p = _cal_rays(fsp_p, views, rays0, alive0)
-            ms_gr_p = _cal_rays(fgr_p, grid, rays0, alive0)
+            rays0_c, alive0_c = _cal_subset(rays0, alive0)
+            ms_sp_p = _cal_rays(fsp_p, views, rays0_c, alive0_c)
+            ms_gr_p = _cal_rays(fgr_p, grid, rays0_c, alive0_c)
             log(f"primary calibration: split {ms_sp_p:.0f} ms, "
                 f"grid {ms_gr_p:.0f} ms")
             pchoice = "grid" if ms_gr_p < ms_sp_p else "split"
