@@ -99,30 +99,33 @@ def _interpret() -> bool:
 def prep_split_views(split: SplitBVH, packed: PackedPairs):
     """Device-side views the kernel DMAs from.
 
-    Returns (inner_i [ICAP, w*8] i32 — the row words, DMA'd whole into
-    SMEM for the scalar meta reads; inner_v [ICAP, w, 8] f32 — the same
-    row entry-major so a (w, 8) DMA puts entry e's box on sublane e for
-    the sublane-mapped slab test; pairs_f [max(P,128), 16] f32 — the raw
-    pair rows, zero-padded to at least 128 rows so leaf windows never run
-    off the end).
+    Returns (inner_i [ICAP, 128] i32 — the 64 row words lane-padded to 128
+    (HBM row DMA slices must be 128-lane aligned; scalar meta reads come
+    from here), inner_v [ICAP, 8, 128] f32 — the same row entry-major so an
+    (8, 128) DMA puts entry e's box on sublane e for the sublane-mapped
+    slab test, pairs_f [max(P,8), 128] f32: 16 pair words lane-padded to
+    128, zero-padded to at least 8 rows so leaf windows never run off the
+    end).
 
-    All three are DENSE: the round-1 views lane-padded the rows to 128
-    (inner_v [ICAP, 8, 128], pairs_f [P, 128]), which cost two ~268 MB
-    pad materializations per rebuild (~60 ms of the 1M build) and 8-16x
-    read amplification on every pop's DMA (a 64-pair leaf window was a
-    32 KB burst for 4 KB of pair words). HBM is linear — a DMA's source
-    needs no lane alignment — so the views are now just bitcast reshapes
-    of the build's own arrays and each DMA moves only live words.
+    The 128-lane padding is REQUIRED, not a layout choice: Mosaic gives
+    HBM memrefs a (1, 128) tiling and rejects any DMA slice whose minor
+    dim is not 128-aligned ("Slice shape along dimension 1 must be
+    aligned to tiling (128), but is 64" on the real chip — interpret
+    mode does not enforce it). A dense [ICAP, w*8]/[P, 16] variant was
+    tried and reverted; recovering the ~60 ms of pad materialization
+    must instead fold the padding into the emit pass's own writes.
     """
     icap, row_words = split.inner.shape
     w = row_words // 8  # inner width (8 or 16 entries per row)
-    inner_i = split.inner
+    inner_i = jnp.pad(split.inner, ((0, 0), (0, 128 - row_words)))
     inner_v = jax.lax.bitcast_convert_type(
-        split.inner.reshape(icap, w, 8), jnp.float32)
+        jnp.pad(split.inner.reshape(icap, w, 8), ((0, 0), (0, 0), (0, 120))),
+        jnp.float32,
+    )
     rows = packed.rows
     n = rows.shape[0]
     # pad to 128 rows: covers any supported leaf window width
-    rows = jnp.pad(rows, ((0, max(128 - n, 0)), (0, 0)))
+    rows = jnp.pad(rows, ((0, max(128 - n, 0)), (0, 128 - rows.shape[1])))
     pairs_f = jax.lax.bitcast_convert_type(rows, jnp.float32)
     return inner_i, inner_v, pairs_f
 
@@ -205,7 +208,7 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
         """(w, 1) bit-packed argmin keys over the slot's inner row
         (garbage when the slot isn't doing an interior pop — the caller
         never consumes those)."""
-        row = iv_s[c]  # (w, 8): sublane e = entry e's box words
+        row = iv_s[c]  # (w, 128): sublane e = entry e's box words
         ox, oy, oz = (ray_scr[c, i : i + 1, :] for i in range(3))
         invx, invy, invz = (ray_scr[c, i : i + 1, :] for i in range(8, 11))
         tmn = ray_scr[c, 6:7, :]
@@ -238,7 +241,7 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
     def leaf_mt(c, tagv):
         """Moller-Trumbore the leafw-pair window against the packet;
         vector-state updates only (no scalars cross out)."""
-        row = leaf_scr[c]  # (leafw, 16): sublane = pair slot
+        row = leaf_scr[c]  # (leafw, 128): sublane = pair slot
         dx = ray_scr[c, 3:4, :]
         dy = ray_scr[c, 4:5, :]
         dz = ray_scr[c, 5:6, :]
@@ -551,7 +554,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
         """Slab 8 entries of the (already-DMA'd) row, push children with
         the nearest last. Pops tagv's row: the caller has already removed
         it from the stack; pushes append at sps[c]."""
-        row = iv_s[c]  # (w, 8): sublane e = entry e's box words
+        row = iv_s[c]  # (w, 128): sublane e = entry e's box words
         ox = ray_scr[c, 0:1, :]
         oy = ray_scr[c, 1:2, :]
         oz = ray_scr[c, 2:3, :]
@@ -609,7 +612,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
     def leaf_pop(c, tagv, scr):
         """Moller-Trumbore the leafw-pair window (already DMA'd into scr)
         against the whole packet, sublane-mapped."""
-        row = scr[c]  # (leafw, 16): sublane = pair slot
+        row = scr[c]  # (leafw, 128): sublane = pair slot
         dx = ray_scr[c, 3:4, :]
         dy = ray_scr[c, 4:5, :]
         dz = ray_scr[c, 5:6, :]
@@ -912,8 +915,8 @@ def trace_rays_split_pallas(
             out_shape=jax.ShapeDtypeStruct((num_p, 4, k), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((cc, 16, k), jnp.float32),  # ray_scr (8 DMA + 3 inv)
-                pltpu.VMEM((cc, leafw, 16), jnp.float32),  # leaf_scr
-                pltpu.VMEM((cc, w, 8), jnp.float32),  # iv_s (entry-major row)
+                pltpu.VMEM((cc, leafw, 128), jnp.float32),  # leaf_scr
+                pltpu.VMEM((cc, w, 128), jnp.float32),  # iv_s (entry-major row)
                 pltpu.VMEM((cc, 1, k), jnp.float32),   # st_t
                 pltpu.VMEM((cc, 1, k), jnp.int32),     # st_tri
                 pltpu.VMEM((cc, 4, k), jnp.float32),   # out_stage
@@ -925,7 +928,7 @@ def trace_rays_split_pallas(
                 pltpu.VMEM(
                     (cc, (stack_cap + 1) if stale_skip else 1, k),
                     jnp.float32),  # tstk
-                pltpu.SMEM((cc, w * 8), jnp.int32),    # ii_s
+                pltpu.SMEM((cc, 128), jnp.int32),      # ii_s
                 pltpu.SMEM((cc, stack_cap + 1), jnp.int32),  # stack (+ trash)
                 pltpu.SMEM((cc,), jnp.int32),          # sps
                 pltpu.SMEM((cc,), jnp.int32),          # tags
@@ -978,13 +981,13 @@ def trace_rays_split_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((C, 16, k), jnp.float32),  # ray_scr (8 DMA + 3 inv)
-            pltpu.VMEM((C, leafw, 16), jnp.float32),  # leaf_scr
-            pltpu.VMEM((C, leafw, 16), jnp.float32),  # leaf_scr2 (successor)
-            pltpu.VMEM((C, w, 8), jnp.float32),  # iv_s (entry-major box row)
+            pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr
+            pltpu.VMEM((C, leafw, 128), jnp.float32),  # leaf_scr2 (successor)
+            pltpu.VMEM((C, w, 128), jnp.float32),  # iv_s (entry-major box row)
             pltpu.VMEM((C, 1, k), jnp.float32),   # st_t
             pltpu.VMEM((C, 1, k), jnp.int32),     # st_tri
             pltpu.VMEM((C, 2, k), jnp.float32),   # out_stage
-            pltpu.SMEM((C, w * 8), jnp.int32),    # ii_s
+            pltpu.SMEM((C, 128), jnp.int32),      # ii_s
             pltpu.SMEM((C, stack_cap + 1), jnp.int32),  # stack (+1 trash slot)
             pltpu.SMEM((C,), jnp.int32),          # sps
             pltpu.SMEM((C,), jnp.int32),          # tags
