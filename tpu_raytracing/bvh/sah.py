@@ -647,12 +647,8 @@ def grid_partition(leaves: LeafInput):
     return ids_sorted, cell_start, cell_end, counts
 
 
-def build_sah(triangles: jnp.ndarray, enable_pairs: bool = False,
-              enable_splits: bool = False) -> Tuple[BVH, TrianglePairs]:
-    """Full SAH pipeline (reference driver: RunSahBuild,
-    src/BuildWrapper.cu:140-251): setup (pairing / spatial splits) -> grid
-    decomposition -> per-cell SAH builds -> top-of-tree stitch over cell
-    roots. Root is node 0 with count 1 (src/main.cu:222-223)."""
+def _sah_front(triangles, enable_pairs: bool, enable_splits: bool):
+    """Pre-frontier stage of build_sah: setup + grid partition + seeds."""
     if enable_splits:
         from tpu_raytracing.bvh.splits import setup_split_leaves
 
@@ -677,21 +673,20 @@ def build_sah(triangles: jnp.ndarray, enable_pairs: bool = False,
     seed_start = jnp.zeros((NUM_BLOCKS,), jnp.int32).at[slot].set(cell_start, mode="drop")
     seed_end = jnp.zeros((NUM_BLOCKS,), jnp.int32).at[slot].set(cell_end, mode="drop")
     seed_parent = 1 + jnp.arange(NUM_BLOCKS, dtype=jnp.int32)
+    return (leaves, pairs, ids_sorted, seed_start, seed_end, seed_parent,
+            num_cells, arena)
 
-    arena = frontier_build(
-        leaves, arena, seed_start, seed_end, seed_parent, num_cells,
-        ids0=ids_sorted,
-    )
 
-    # ---- top of tree over cell roots (src/BuildWrapper.cu:246-250) ----
-    # Each non-empty cell becomes a "leaf" that grafts the cell root's
-    # children (src/SharedTaskBuilder.cu:424-444).
+def _sah_top_leaves(arena, num_cells):
+    """Top-of-tree leaf inputs over the cell roots
+    (src/BuildWrapper.cu:246-250). Each non-empty cell becomes a "leaf"
+    that grafts the cell root's children (src/SharedTaskBuilder.cu:424-444).
+    Grafting copies the cell-root node wholesale (child, count, AND type):
+    a single-leaf cell's root is itself a Tri leaf and must stay one (the
+    reference forces Box here and would mis-graft that case,
+    src/SharedTaskBuilder.cu:443)."""
     root_slots = 1 + jnp.arange(NUM_BLOCKS, dtype=jnp.int32)
-    # Grafting copies the cell-root node wholesale (child, count, AND
-    # type): a single-leaf cell's root is itself a Tri leaf and must stay
-    # one (the reference forces Box here and would mis-graft that case,
-    # src/SharedTaskBuilder.cu:443).
-    top_leaves = LeafInput(
+    return LeafInput(
         aabb_min=arena.node_min[root_slots],
         aabb_max=arena.node_max[root_slots],
         child=arena.child[root_slots],
@@ -699,6 +694,44 @@ def build_sah(triangles: jnp.ndarray, enable_pairs: bool = False,
         type=arena.type[root_slots],
         num_leaves=num_cells,
     )
+
+
+# Module-level jits for the host-stepped path (cached across rebuilds).
+_sah_front_jit = jax.jit(_sah_front, static_argnums=(1, 2))
+_sah_top_jit = jax.jit(_sah_top_leaves)
+
+# Above this primitive count build_sah_auto host-steps the frontier: the
+# while_loop form scatters into loop-carried arena buffers — the measured
+# ~1000x pathology (docs/TPU_NOTES.md "SAH frontier at scale") that makes
+# a 1M-tri jitted SAH build minutes-slow. Below it, one fused while_loop
+# program avoids ~30 host round-trips of ~40 ms each.
+SAH_HOST_STEP_THRESHOLD = 131072
+
+
+def build_sah(triangles: jnp.ndarray, enable_pairs: bool = False,
+              enable_splits: bool = False,
+              host_stepped: bool = False) -> Tuple[BVH, TrianglePairs]:
+    """Full SAH pipeline (reference driver: RunSahBuild,
+    src/BuildWrapper.cu:140-251): setup (pairing / spatial splits) -> grid
+    decomposition -> per-cell SAH builds -> top-of-tree stitch over cell
+    roots. Root is node 0 with count 1 (src/main.cu:222-223).
+
+    ``host_stepped=True`` (only valid OUTSIDE jit) runs both frontier
+    loops one jitted level-step at a time with the arena as jit arguments
+    — required at large primitive counts (see SAH_HOST_STEP_THRESHOLD);
+    prefer ``build_sah_auto`` which selects the mode by scene size."""
+    front = _sah_front_jit if host_stepped else _sah_front
+    (leaves, pairs, ids_sorted, seed_start, seed_end, seed_parent,
+     num_cells, arena) = front(triangles, enable_pairs, enable_splits)
+
+    arena = frontier_build(
+        leaves, arena, seed_start, seed_end, seed_parent, num_cells,
+        ids0=ids_sorted, host_stepped=host_stepped,
+    )
+
+    # ---- top of tree over cell roots (src/BuildWrapper.cu:246-250) ----
+    top_leaves = (_sah_top_jit if host_stepped else _sah_top_leaves)(
+        arena, num_cells)
     arena = frontier_build(
         top_leaves,
         arena,
@@ -706,6 +739,7 @@ def build_sah(triangles: jnp.ndarray, enable_pairs: bool = False,
         num_cells[None].astype(jnp.int32),
         jnp.array([0], jnp.int32),
         jnp.int32(1),
+        host_stepped=host_stepped,
     )
 
     bvh = BVH(
@@ -719,3 +753,22 @@ def build_sah(triangles: jnp.ndarray, enable_pairs: bool = False,
         root_count=jnp.int32(1),
     )
     return bvh, pairs
+
+
+# Jitted whole-pipeline form for small scenes (one fused program).
+_build_sah_jit = jax.jit(build_sah, static_argnums=(1, 2))
+
+
+def build_sah_auto(triangles: jnp.ndarray, enable_pairs: bool = False,
+                   enable_splits: bool = False) -> Tuple[BVH, TrianglePairs]:
+    """build_sah with the frontier mode auto-selected by scene size.
+
+    Large scenes (>= SAH_HOST_STEP_THRESHOLD primitives) host-step the
+    level loop — a user running ``--type sah`` on a 1M scene must not hit
+    the minutes-slow loop-carried-scatter path; small scenes keep the
+    single fused while_loop program. Only valid OUTSIDE jit (the small
+    branch jits internally)."""
+    if triangles.shape[0] >= SAH_HOST_STEP_THRESHOLD:
+        return build_sah(triangles, enable_pairs, enable_splits,
+                         host_stepped=True)
+    return _build_sah_jit(triangles, enable_pairs, enable_splits)

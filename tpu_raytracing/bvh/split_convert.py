@@ -45,11 +45,17 @@ _F32_MAX = float(jnp.finfo(jnp.float32).max)
 WIDE = 8
 
 
+def _setup(triangles, enable_pairs: bool, enable_splits: bool):
+    if enable_splits:
+        from tpu_raytracing.bvh.splits import setup_split_leaves
+
+        return setup_split_leaves(triangles, enable_pairs)
+    return sah.setup_leaves(triangles, enable_pairs)
+
+
 # Module-level jits for the host-stepped path: cached across rebuilds
 # (a fresh jax.jit per call would re-trace and re-compile every build).
-_setup_leaves_jit = jax.jit(
-    lambda triangles, enable_pairs: sah.setup_leaves(triangles, enable_pairs),
-    static_argnums=(1,))
+_setup_leaves_jit = jax.jit(_setup, static_argnums=(1, 2))
 _emit_from_arena_jit = jax.jit(
     lambda arena, ids_final, leaves, pairs, leaf_width: _emit_from_arena(
         arena, ids_final, leaves, pairs, leaf_width),
@@ -65,15 +71,26 @@ def _split_cap(n: int, leaf_width: int) -> int:
 
 def build_sah_split(
     triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 64,
-    host_stepped: bool = False,
+    host_stepped: bool = False, enable_splits: bool = False,
 ) -> Tuple[SplitBVH, PackedPairs]:
     """Binned-SAH build emitting the split format.
 
     Single global SAH frontier (the 64-cell grid decomposition exists for
     the reference's GPU-block parallelism, not tree quality; one frontier
     is the same algorithm level-synchronously and keeps subtree ranges
-    trivially derivable). Spatial splits unsupported here (duplicate pair
-    references would need per-reference windows).
+    trivially derivable).
+
+    ``enable_splits``: bounded spatial splits (reference SetupSplits /
+    SetupPairSplits, src/Multiblock.cu:200-425) — primitives spanning
+    grid cells become one clipped reference per cell. The sorted "pair"
+    array then carries DUPLICATE rows (one per reference); that is safe
+    for the leaf-window tracer: windows index references, each window
+    row is real scene geometry, and Moller-Trumbore tests the full
+    triangle whatever the clip — duplicates only re-test. Entry AABBs
+    come from the clipped reference boxes (the quality win,
+    src/Multiblock.cu:200-288). Note refit_split on a splits tree
+    recomputes UNclipped boxes (correct, boxes only grow — the clip
+    planes aren't carried); rebuild to restore split quality.
 
     ``host_stepped=True`` (only valid OUTSIDE jit): run the frontier's
     level loop on the host with jitted pre/step/post stages — the
@@ -82,7 +99,8 @@ def build_sah_split(
     minutes-slow (docs/TPU_NOTES.md, benchmarks/probe_tree.py).
     """
     if host_stepped:
-        leaves, pairs = _setup_leaves_jit(triangles, enable_pairs)
+        leaves, pairs = _setup_leaves_jit(triangles, enable_pairs,
+                                          enable_splits)
         cap = leaves.aabb_min.shape[0]
         num_leaves = leaves.num_leaves
         arena = sah.make_arena(2 * cap + 2, track_segments=True)
@@ -97,7 +115,7 @@ def build_sah_split(
         return _emit_from_arena_jit(arena, ids_final, leaves, pairs,
                                     leaf_width)
 
-    leaves, pairs = sah.setup_leaves(triangles, enable_pairs)
+    leaves, pairs = _setup(triangles, enable_pairs, enable_splits)
     cap = leaves.aabb_min.shape[0]
     num_leaves = leaves.num_leaves
 
@@ -113,6 +131,29 @@ def build_sah_split(
         return_ids=True,
     )
     return _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width)
+
+
+# Fused-jit cache for small scenes, keyed by the static build flags.
+_JIT_CACHE = {}
+
+
+def build_sah_split_auto(
+    triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 64,
+    enable_splits: bool = False,
+) -> Tuple[SplitBVH, PackedPairs]:
+    """build_sah_split with the frontier mode auto-selected by scene size
+    (same policy as sah.build_sah_auto). Only valid OUTSIDE jit."""
+    if triangles.shape[0] >= sah.SAH_HOST_STEP_THRESHOLD:
+        return build_sah_split(triangles, enable_pairs, leaf_width,
+                               host_stepped=True,
+                               enable_splits=enable_splits)
+    key = (enable_pairs, leaf_width, enable_splits)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda t: build_sah_split(
+            t, enable_pairs, leaf_width, enable_splits=enable_splits))
+        _JIT_CACHE[key] = fn
+    return fn(triangles)
 
 
 def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):
