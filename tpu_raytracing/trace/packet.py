@@ -87,6 +87,33 @@ def tile_restore(a, width: int, height: int, tile_w: int = 16, tile_h: int = 8):
     return x.transpose(*perm).reshape(width * height, *lead)
 
 
+def pad_frame(a, width: int, height: int, pw: int, ph: int):
+    """Row-major [H*W, ...] -> [ph*pw, ...] edge-replicated pad, so any
+    resolution can ride packet tracers whose tiles need divisible frames
+    (e.g. 1080 % 8 != 0 at the flagship kernel's 16x16 tiles). Edge
+    replication keeps pad rays geometrically valid (no NaN inv_dir);
+    they are masked dead via the live mask below."""
+    lead = a.shape[1:]
+    x = a.reshape(height, width, *lead)
+    x = jnp.pad(x, [(0, ph - height), (0, pw - width)] + [(0, 0)] * len(lead),
+                mode="edge")
+    return x.reshape(ph * pw, *lead)
+
+
+def crop_frame(a, width: int, height: int, pw: int, ph: int):
+    """Inverse of pad_frame: [ph*pw, ...] -> row-major [H*W, ...]."""
+    lead = a.shape[1:]
+    x = a.reshape(ph, pw, *lead)
+    return x[:height, :width].reshape(height * width, *lead)
+
+
+def pad_live_mask(width: int, height: int, pw: int, ph: int):
+    """[ph*pw] bool: True on the live (unpadded) pixel region."""
+    row = jnp.arange(ph, dtype=jnp.int32)[:, None] < height
+    col = jnp.arange(pw, dtype=jnp.int32)[None, :] < width
+    return (row & col).reshape(ph * pw)
+
+
 def trace_rays_packet(
     trav: TraversalBVH,
     pairs: PackedPairs,
