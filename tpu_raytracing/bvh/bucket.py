@@ -737,23 +737,16 @@ def split_front(triangles: jnp.ndarray, enable_pairs: bool = False):
     return _sorted_leaves(triangles, enable_pairs)
 
 
-def emit_split(
-    front, leaf_width: int = 16, inner_width: int = 8,
-) -> Tuple[SplitBVH, PackedPairs]:
-    """Emit the SplitBVH from a split_front result (see build_bucket_split)."""
-    assert inner_width in (8, 16), inner_width
-    assert leaf_width >= inner_width, (
-        f"leaf_width {leaf_width} < inner_width {inner_width}")
-    bits = inner_width.bit_length() - 1
-    width = inner_width
-    (sorted_codes, packed, lo, hi, _ccount, num_leaves) = front
-    n = sorted_codes.shape[0]
+def leaf_major_tables(sorted_codes, num_leaves, n: int, width: int):
+    """Leaf-major per-level bucket tables shared by emit_split and the
+    treelet emitter (bvh/treelet.py).
 
-    # Zero sentinel pairs (same reasoning as v1: windows may overlap the
-    # padded tail; zero vertices never intersect).
+    Returns (heads [L, n] bool, starts, nxts, counts — all [L, n] int32):
+    level l's Morton buckets as head masks plus the extent of the bucket
+    containing each leaf. Includes the capped chunk ladder (see
+    emit_split's comments)."""
+    bits = width.bit_length() - 1
     iota = jnp.arange(n, dtype=jnp.int32)
-    live = iota < num_leaves
-    packed = PackedPairs(rows=jnp.where(live[:, None], packed.rows, 0))
 
     # --- level head masks, leaf-major [L, n] ---
     pad_boundary = iota == num_leaves
@@ -798,6 +791,29 @@ def emit_split(
          jnp.full((L, 1), n, jnp.int32)], axis=1)
     nxts = jax.lax.cummin(nxt_src, axis=1, reverse=True)
     counts = nxts - starts  # bucket extent containing leaf i at level l
+    return heads, starts, nxts, counts
+
+
+def emit_split(
+    front, leaf_width: int = 16, inner_width: int = 8,
+) -> Tuple[SplitBVH, PackedPairs]:
+    """Emit the SplitBVH from a split_front result (see build_bucket_split)."""
+    assert inner_width in (8, 16), inner_width
+    assert leaf_width >= inner_width, (
+        f"leaf_width {leaf_width} < inner_width {inner_width}")
+    width = inner_width
+    (sorted_codes, packed, lo, hi, _ccount, num_leaves) = front
+    n = sorted_codes.shape[0]
+
+    # Zero sentinel pairs (same reasoning as v1: windows may overlap the
+    # padded tail; zero vertices never intersect).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    live = iota < num_leaves
+    packed = PackedPairs(rows=jnp.where(live[:, None], packed.rows, 0))
+
+    heads, starts, nxts, counts = leaf_major_tables(
+        sorted_codes, num_leaves, n, width)
+    L = heads.shape[0]
 
     # --- dense classification (no gathers) ---
     small = (counts >= 1) & (counts <= leaf_width)
