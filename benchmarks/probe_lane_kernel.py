@@ -1,0 +1,155 @@
+"""Per-lane treelet kernel (trace/lane_pallas.py) vs the packet split
+kernel on the real TPU at 1M-triangle scale — the round-3 headline
+question: does the per-lane machine break the ~550 ns/pop wall?
+
+Passes (honest timing per docs/TPU_NOTES.md: vary inputs, fetch a value):
+
+  P  primary 1024x1024 (screen-tile packets, coherent)
+  B  first-bounce closest-hit: cosine-hemisphere directions from the
+     real primary hit points, sorted by origin-cell + direction octant
+     (the exact ray set + order bench.py's bounce loop consumes)
+  S  same rays through the round-2 packet split kernel for the ratio
+
+Knobs: TPURT_LANE_LEAFW (16), TPURT_LANE_C / _CHUNK (lane kernel),
+TPURT_PROBE_TRIS (1000000), TPURT_PROBE_RES (1024).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("TPURT_PLATFORM") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_raytracing.bvh import bucket, treelet
+from tpu_raytracing.scene import camera as cam
+from tpu_raytracing.scene import procedural
+from tpu_raytracing.trace import lane_pallas
+from tpu_raytracing.trace import split_pallas as sp
+from tpu_raytracing.trace.packet import tile_reorder
+from tpu_raytracing.trace.ray import Rays, generate_primary_rays
+
+N = int(os.environ.get("TPURT_PROBE_TRIS", "1000000"))
+RES = int(os.environ.get("TPURT_PROBE_RES", "1024"))
+LW = int(os.environ.get("TPURT_LANE_LEAFW", "16"))
+ITERS = int(os.environ.get("TPURT_PROBE_ITERS", "4"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def nudge_rays(rays: Rays, i: int) -> Rays:
+    """Defeat execution memoization without changing traversal shape."""
+    return rays.replace(tmin=rays.tmin + (i % 3) * 1e-7)
+
+
+def timed(label, fn, rays, nrays, n=ITERS):
+    out = fn(rays)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn(nudge_rays(rays, i + 1))
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)[:64]))
+    dt = (time.perf_counter() - t0) / n
+    log(f"{label}: {dt*1e3:.2f} ms  ({nrays/dt/1e6:.2f} Mrays/s, "
+        f"{dt/nrays*1e9:.1f} ns/ray)")
+    return out, dt
+
+
+def main():
+    log(f"device: {jax.devices()[0]}  N={N} RES={RES} LW={LW} "
+        f"C={lane_pallas.C} CHUNK={lane_pallas.CHUNK}")
+    scene = procedural.terrain(N)
+    tris = jnp.asarray(scene.triangles)
+
+    # ---- build ----
+    front_j = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))
+    front = front_j(tris)
+    t0 = time.perf_counter()
+    ntl = treelet.treelet_capacity(front, LW)
+    log(f"treelets: {ntl} (capacity sync {time.perf_counter()-t0:.1f} s)")
+    tcap = int(ntl * 1.25) + 32
+    build_j = jax.jit(
+        lambda f: treelet.build_treelet(f, tcap, leaf_width=LW))
+    t0 = time.perf_counter()
+    tb, packed = build_j(front)
+    jax.block_until_ready(tb.tables)
+    log(f"treelet build (cold): {time.perf_counter()-t0:.1f} s; "
+        f"tables {tb.tables.shape} = "
+        f"{tb.tables.size*4/1e6:.0f} MB, wh={tb.wh}")
+    treelet.check_treelet_capacity(tb)
+
+    camera = cam.camera_to_device(
+        cam.update_camera(
+            cam.initialise_camera(scene.aabb_min, scene.aabb_max)))
+    rays = generate_primary_rays(camera, RES, RES)
+    nrays = RES * RES
+    tiled = jax.tree.map(lambda a: tile_reorder(a, RES, RES, 16, 8), rays)
+    tiled = jax.block_until_ready(tiled)
+
+    # ---- P: primary through the lane kernel ----
+    lane_j = jax.jit(lambda t, p, r: lane_pallas.trace_rays_lane_pallas(
+        t, p, r, raw=True)[0])
+    out_p, _ = timed("P lane primary", lambda r: lane_j(tb, packed, r),
+                     tiled, nrays)
+
+    # ---- split kernel primary for the ratio ----
+    views = jax.jit(sp.prep_split_views)(
+        *jax.jit(lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW))(front))
+    split_primary = sp.make_split_pallas_tracer(None, None, RES, RES,
+                                                c_slots=4)
+    sp_j = jax.jit(lambda r: split_primary(views, packed, r)[0].t)
+    timed("S split primary", sp_j, rays, nrays)
+
+    # ---- B: first-bounce rays from real hit points (tiled order) ----
+    t_flat, tri_flat = out_p
+    hit = tri_flat >= 0
+    hp = tiled.origin + tiled.direction * t_flat[:, None]
+    u = jax.random.uniform(jax.random.PRNGKey(9), (nrays, 2))
+    r_ = jnp.sqrt(u[:, 0])
+    phi = 2 * np.pi * u[:, 1]
+    d = jnp.stack([r_ * jnp.cos(phi), r_ * jnp.sin(phi),
+                   jnp.sqrt(1.0 - u[:, 0])], axis=1)
+    brays = Rays(origin=hp, direction=d,
+                 tmin=jnp.full((nrays,), 1e-3, jnp.float32),
+                 tmax=jnp.full((nrays,), 1e30, jnp.float32))
+    # cell+octant sort (what the path tracer's compaction produces)
+    from tpu_raytracing.ops.gather import take_rows
+    from tpu_raytracing.ops.morton import morton3d
+
+    lo = jnp.min(hp, axis=0)
+    hi = jnp.max(hp, axis=0)
+    cell = morton3d((hp - lo) / jnp.maximum(hi - lo, 1e-20)).astype(jnp.int32)
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+    dead = (~hit).astype(jnp.int32)
+    perm = jnp.argsort((dead << 28) | ((cell >> 9) << 3) | octant,
+                       stable=True)
+    bsort = jax.tree.map(lambda a: take_rows(a, perm), brays)
+    act = hit[perm]
+    bsort, act = jax.block_until_ready((bsort, act))
+    n_act = int(jnp.sum(hit))
+    log(f"bounce set: {n_act}/{nrays} live")
+
+    lane_b = jax.jit(lambda r: lane_pallas.trace_rays_lane_pallas(
+        tb, packed, r, active=act, raw=True)[0][0])
+    timed("B lane bounce", lane_b, bsort, n_act)
+
+    split_b = sp.make_split_pallas_tracer(None, None, RES, RES, k=256,
+                                          c_slots=16, sort_mode="presorted")
+    spb_j = jax.jit(lambda r: split_b(views, packed, r, active=act)[0].t)
+    timed("S split bounce", spb_j, bsort, n_act)
+
+
+if __name__ == "__main__":
+    main()

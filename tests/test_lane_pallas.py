@@ -1,0 +1,125 @@
+"""Per-lane treelet kernel (trace/lane_pallas.py) in interpret mode:
+must match brute force (and the structure's NumPy reference walker is
+validated separately in test_treelet.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_raytracing.bvh import bucket, treelet
+from tpu_raytracing.scene import camera as cam
+from tpu_raytracing.scene import procedural
+from tpu_raytracing.trace import lane_pallas
+from tpu_raytracing.trace.brute import brute_force_trace
+from tpu_raytracing.trace.ray import Rays, generate_primary_rays
+
+
+def _build(scene, enable_pairs, lw=16, tcap=None):
+    tris = jnp.asarray(scene.triangles)
+    front = jax.jit(
+        lambda t: bucket.split_front(t, enable_pairs=enable_pairs))(tris)
+    if tcap is None:
+        tcap = treelet.treelet_capacity(front, lw) + 8
+    tb, packed = jax.jit(
+        lambda f: treelet.build_treelet(f, tcap, leaf_width=lw))(front)
+    treelet.check_treelet_capacity(tb)
+    return tris, tb, packed
+
+
+def _rays(scene, w=16, h=8):
+    camera = cam.camera_to_device(
+        cam.update_camera(
+            cam.initialise_camera(scene.aabb_min, scene.aabb_max)))
+    return generate_primary_rays(camera, w, h)
+
+
+def _check(tris, tb, packed, rays, active=None, **kw):
+    rec, stats = lane_pallas.trace_rays_lane_pallas(
+        tb, packed, rays, active=active, **kw)
+    ref = brute_force_trace(tris, rays)
+    hit = np.asarray(rec.hit)
+    rhit = np.asarray(ref.hit)
+    if active is not None:
+        rhit = rhit & np.asarray(active)
+    np.testing.assert_array_equal(hit, rhit)
+    both = hit & rhit
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(rec.t), 0.0),
+        np.where(both, np.asarray(ref.t), 0.0), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.where(both, np.asarray(rec.prim_id), 0),
+        np.where(both, np.asarray(ref.prim_id), 0))
+    return rec, stats
+
+
+@pytest.mark.quick
+def test_lane_cornell(cornell):
+    tris, tb, packed = _build(cornell, False)
+    _check(tris, tb, packed, _rays(cornell))
+
+
+def test_lane_sphere_pairs(sphere):
+    tris, tb, packed = _build(sphere, True)
+    rec, stats = _check(tris, tb, packed, _rays(sphere))
+    assert int(np.asarray(stats.box_tests).max()) > 8  # real traversal
+
+
+def test_lane_portals(soup):
+    # small capacity -> many treelets -> portal crossings + table swaps
+    tris, tb, packed = _build(soup, True)
+    assert int(tb.num_treelets) > 1
+    _check(tris, tb, packed, _rays(soup))
+
+
+def test_lane_multi_packet(sphere):
+    # 4 packets through C=2 slots exercises the drain/refill path
+    tris, tb, packed = _build(sphere, False)
+    _check(tris, tb, packed, _rays(sphere, 32, 16))
+
+
+def test_lane_dead_lanes(sphere):
+    tris, tb, packed = _build(sphere, False)
+    rays = _rays(sphere)
+    active = (jnp.arange(rays.origin.shape[0]) % 3) != 0
+    rec, _ = _check(tris, tb, packed, rays, active=active)
+    assert not np.asarray(rec.hit)[::3].any()
+
+
+def test_lane_any_hit(sphere):
+    tris, tb, packed = _build(sphere, True)
+    rays = _rays(sphere)
+    rec, _ = lane_pallas.trace_rays_lane_pallas(
+        tb, packed, rays, any_hit=True)
+    ref = brute_force_trace(tris, rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+
+
+def test_lane_small_window(sphere):
+    tris, tb, packed = _build(sphere, True, lw=8)
+    _check(tris, tb, packed, _rays(sphere))
+
+
+def test_lane_matches_walker_bounce(soup):
+    # incoherent rays (random directions from scene interior) against the
+    # NumPy walker: portals + deep stacks under divergence
+    tris, tb, packed = _build(soup, True)
+    rng = np.random.default_rng(11)
+    n = 128
+    ctr = (np.asarray(soup.aabb_min) + np.asarray(soup.aabb_max)) / 2
+    ext = (np.asarray(soup.aabb_max) - np.asarray(soup.aabb_min))
+    o = ctr + (rng.random((n, 3)) - 0.5) * ext * 0.5
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(origin=jnp.asarray(o, jnp.float32),
+                direction=jnp.asarray(d, jnp.float32),
+                tmin=jnp.zeros((n,), jnp.float32),
+                tmax=jnp.full((n,), 1e30, jnp.float32))
+    rec, _ = lane_pallas.trace_rays_lane_pallas(tb, packed, rays)
+    wt, wtri = treelet.reference_walk(
+        tb, o, d, np.zeros((n,)), np.full((n,), 1e30))
+    np.testing.assert_array_equal(np.asarray(rec.hit), wtri >= 0)
+    both = np.asarray(rec.hit) & (wtri >= 0)
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(rec.t), 0.0),
+        np.where(both, wt, 0.0), rtol=1e-4)

@@ -1,0 +1,424 @@
+"""Per-lane treelet traversal — the round-3 flagship Pallas kernel.
+
+The round-2 packet kernel (trace/split_pallas.py) pops ONE node per
+scalar-loop iteration: ~480-550 ns of serialized scalar control per pop,
+times packet-union divergence (~23x the per-ray-ideal pop count on
+incoherent rays). This kernel inverts the mapping: **every ray owns a
+VPU lane** and advances through its OWN traversal one tree element per
+iteration — 128 independent lane-advances per iteration with zero
+scalar control in the hot loop. Measured basis (docs/TPU_NOTES.md
+"Round 3", benchmarks/probe_lane_machine*.py):
+
+* per-lane dynamic gather (`take_along_axis(table, idx, axis=1)`) lets
+  128 lanes fetch 128 different columns of a VMEM table in ~130 ns —
+  but only within ONE 128-lane tile, hence the treelet structure
+  (bvh/treelet.py): the tree cut into <=128-element subtrees, each a
+  [WH, 128] column table.
+* per-lane stacks are pure vector ops: variable per-lane shift by
+  k in [-1, 7] = 4 static `pltpu.roll`s + bit selects.
+* loop-carried lane state lives in dedicated (8,128)-tiled VMEM
+  scratches read as FULL tiles (sub-tile out_ref feedback compiled
+  20,000x slower in 2 of 4 byte-identical builds).
+* two+ interleaved packets hide the serial fetch->use->state chain:
+  290 ns per packet-iteration at C=2 (~2.3 ns per lane-visit).
+
+Traversal state per lane is one int32 **entry word**
+``tid << 9 | col << 2 | typ`` (typ: 0 dead/empty, 1 inner column,
+2 window column). Portal entries (CHILD_INST metas in the table)
+convert at push time into the child treelet's root entry
+(``child_tid << 9 | 1``), so the stack needs no portal kind: a lane
+whose current entry's tid differs from the slot's resident treelet
+simply stalls until the scheduler swaps tables. The scheduler (after
+every CHUNK iterations, per slot): if any lane matches the resident
+treelet, keep going; else DMA the min wanted tid's table from HBM
+(~100 KB, roughly one iteration's cost); else the packet is done —
+stage results out and refill the slot from the packet cursor.
+
+Ordering preserves the reference semantics per lane (near child first,
+higher entry id on distance ties — src/Tracer.cu:341-362): hits are
+ranked by (near, -entry_id) with a vectorized 8x8 comparison matrix and
+scattered into push slots by rank. Within a window, later pair slots /
+second triangles win distance ties (<=), matching the fat tracers.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_raytracing.bvh.treelet import INNER_WIDTH, TreeletBVH
+from tpu_raytracing.trace.brute import HitRecord
+from tpu_raytracing.trace.ray import Rays
+from tpu_raytracing.trace.traverse import PackedPairs, TraceStats
+from tpu_raytracing.trace.wide_fat import _reconstruct
+
+# Packet slots in flight (TPURT_LANE_C): >=2 hides the serial
+# gather->use chain (probe 3: 1.1 us/iter alone, 290 ns interleaved).
+C = int(_os.environ.get("TPURT_LANE_C", "2"))
+# Iterations between scheduler checks per slot (TPURT_LANE_CHUNK).
+CHUNK = int(_os.environ.get("TPURT_LANE_CHUNK", "16"))
+# Per-lane stack depth: 8-wide pushes <=7 per level; level count at 1M
+# (Morton 10 + chunk ~6 + root) bounds depth ~17 -> 7*17=119. 128 rows
+# costs 64 KB VMEM per slot.
+STACK = int(_os.environ.get("TPURT_LANE_STACK", "128"))
+
+_F32_MAX = float(jnp.finfo(jnp.float32).max)
+_TRI_EPS = 1e-9
+_BIG = 2 ** 30
+_NONE = 0  # entry word: dead / empty-stack sentinel
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
+
+
+def _entry(tid, col, typ):
+    return (tid << 9) | (col << 2) | typ
+
+
+def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
+                 # scratch
+                 tab, ray_scr, cur, stk, tbest, tribest, cbox, ctri,
+                 ctid_v, out_stage, cur_tid, done, cursor,
+                 sem_tab, sem_ray, sem_out,
+                 *, wh, lw, c_slots, any_hit, max_outer):
+    """See the module docstring. Shapes:
+
+    tables [T, wh, 128] f32 HBM; rays_hbm [num_p, 8, 128] f32 HBM;
+    root_smem [1] i32 (root treelet id); out_hbm [num_p, 4, 128] f32.
+    tab (C, wh, 128) f32; ray_scr (C, 16, 128) f32 (rows 0-2 o, 3-5 d,
+    6 tmin, 7 tmax, 8-10 inv_d); cur (C, 8, 128) i32 row-uniform entry
+    words; stk (C, STACK, 128) i32; tbest/tribest/cbox/ctri (C, 8, 128)
+    row-uniform; ctid_v (C, 8, 128) i32 row-uniform resident-tid.
+    """
+    num_p = out_hbm.shape[0]
+    nsub = jax.lax.broadcasted_iota(jnp.int32, (STACK, 128), 0)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    i2f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)  # noqa
+
+    def load_rays(p, pkt):
+        cp = pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[p, 0:8], sem_ray.at[p])
+        cp.start()
+        cp.wait()
+        d = ray_scr[p, 3:6]
+        safe = jnp.where(jnp.abs(d) < 1e-30,
+                         jnp.where(d < 0, -1e-30, 1e-30), d)
+        ray_scr[p, 8:11] = 1.0 / safe
+
+    def load_table(p, tid):
+        cp = pltpu.make_async_copy(tables.at[tid], tab.at[p], sem_tab.at[p])
+        cp.start()
+        cp.wait()
+        cur_tid[p] = tid
+        ctid_v[p] = jnp.full((8, 128), tid, jnp.int32)
+
+    def reset_state(p, root):
+        rays = ray_scr[p]
+        cur[p] = jnp.full((8, 128), _entry(root, 0, 1), jnp.int32)
+        stk[p] = jnp.zeros((STACK, 128), jnp.int32)
+        tbest[p] = jnp.broadcast_to(rays[7:8], (8, 128))
+        tribest[p] = jnp.full((8, 128), -1, jnp.int32)
+        cbox[p] = jnp.zeros((8, 128), jnp.int32)
+        ctri[p] = jnp.zeros((8, 128), jnp.int32)
+
+    # ---- the per-lane iteration (zero scalar control) ----
+    def iterate(p):
+        rays = ray_scr[p]
+        o = rays[0:3]
+        d = rays[3:6]
+        tmn = rays[6:7]
+        inv = rays[8:11]
+        c8 = cur[p]
+        e = c8[0:1]                     # (1,128) live entry word
+        typ = e & 3
+        col = (e >> 2) & 127
+        etid = jax.lax.shift_right_logical(e, 9)
+        ctv = ctid_v[p][0:1]
+        match = (etid == ctv) & (typ != 0)
+        a_inner = match & (typ == 1)
+        a_win = match & (typ == 2)
+        tb8 = tbest[p]
+        tb1 = tb8[0:1]
+
+        g = jnp.take_along_axis(
+            tab[p], jnp.broadcast_to(col, (wh, 128)), axis=1)
+
+        # ---- inner: 8-entry slab test + rank + push ----
+        gb = g[0:48].reshape(6, 8, 128)
+        t0 = (gb[0:3] - o[:, None]) * inv[:, None]
+        t1 = (gb[3:6] - o[:, None]) * inv[:, None]
+        tn = jnp.max(jnp.minimum(t0, t1), axis=0)      # (8,128)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=0)
+        tn = jnp.maximum(tn, tmn)
+        tf = jnp.minimum(tf, tb1)
+        m_i = f2i(g[48:56])
+        mtyp = m_i & 7
+        hit = (tf >= tn) & (mtyp != 0) & a_inner        # (8,128)
+        key = jnp.where(hit, tn, _F32_MAX)
+        # rank r = #{e' hit: nearer, or equal and higher id} -> r=0 pops
+        # first = nearest (ties: higher entry id), src/Tracer.cu:346-347
+        ka = key[:, None]                               # (8,1,128)
+        kb = key[None]                                  # (1,8,128)
+        closer = (kb < ka) | ((kb == ka) & (sub8[None] > sub8[:, None]))
+        r = jnp.sum((closer & hit[None]).astype(jnp.int32), axis=1)
+        k = jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)
+        child = jax.lax.shift_right_logical(m_i, 5)
+        ev = jnp.where(
+            mtyp == 3,
+            (child << 9) | 1,                       # portal -> child root
+            (ctv << 9) | (child << 2) | jnp.where(mtyp == 2, 2, 1))
+        # pushvals[q] = ev of the rank-q hit (one-hot scatter over sublanes)
+        eq = (r[None] == sub8[:, None]) & hit[None]     # (8,8,128)
+        pushvals = jnp.sum(jnp.where(eq, ev[None], 0), axis=1)
+
+        # ---- window: lw pairs x 2 Moller-Trumbore per lane ----
+        gv = g[0:12 * lw].reshape(12, lw, 128)
+
+        def mt(a, b, cc):
+            e1 = b - a
+            e2 = cc - a
+            dx, dy, dz = d[0][None], d[1][None], d[2][None]
+            hx = dy * e2[2] - dz * e2[1]
+            hy = dz * e2[0] - dx * e2[2]
+            hz = dx * e2[1] - dy * e2[0]
+            det = e1[0] * hx + e1[1] * hy + e1[2] * hz
+            f = 1.0 / jnp.where(jnp.abs(det) < _TRI_EPS, _TRI_EPS, det)
+            sx = o[0][None] - a[0]
+            sy = o[1][None] - a[1]
+            sz = o[2][None] - a[2]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1[2] - sz * e1[1]
+            qy = sz * e1[0] - sx * e1[2]
+            qz = sx * e1[1] - sy * e1[0]
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
+            ok = ((jnp.abs(det) >= _TRI_EPS) & (u >= 0) & (u <= 1)
+                  & (v >= 0) & (u + v <= 1))
+            return t, ok
+
+        ta, oka = mt(gv[0:3], gv[3:6], gv[6:9])
+        tb_, okb = mt(gv[6:9], gv[3:6], gv[9:12])
+        okd = oka & (ta >= tmn) & (ta <= tb1) & a_win   # (lw,128)
+        okd2 = okb & (tb_ >= tmn) & (tb_ <= tb1) & a_win
+        tva = jnp.where(okd, ta, _F32_MAX)
+        tvb = jnp.where(okd2, tb_, _F32_MAX)
+        wmin = jnp.minimum(jnp.min(tva, axis=0, keepdims=True),
+                           jnp.min(tvb, axis=0, keepdims=True))  # (1,128)
+        whit = wmin <= tb1
+        gstart = f2i(g[12 * lw:12 * lw + 1])            # (1,128)
+        piot = jax.lax.broadcasted_iota(jnp.int32, (lw, 128), 0)
+        # winner index: max (p*2+second) among t == wmin (later slot /
+        # second tri wins ties, matching the fat tracers' entry order)
+        ia = jnp.where(tva == wmin, piot * 2, -1)
+        ib = jnp.where(tvb == wmin, piot * 2 + 1, -1)
+        widx = jnp.maximum(jnp.max(ia, axis=0, keepdims=True),
+                           jnp.max(ib, axis=0, keepdims=True))
+        wtri = gstart * 2 + widx
+
+        tb_new1 = jnp.where(whit, wmin, tb1)
+        tri_new1 = jnp.where(whit, wtri, tribest[p][0:1])
+        tbest[p] = jnp.broadcast_to(tb_new1, (8, 128))
+        tribest[p] = jnp.broadcast_to(tri_new1, (8, 128))
+        cbox[p] = cbox[p] + jnp.where(a_inner, 8, 0)
+        ctri[p] = ctri[p] + jnp.where(a_win, 2 * lw, 0)
+
+        # ---- combined pop/push: net stack shift s = k-1 in [-1, 7] ----
+        st = stk[p]
+        stall = (typ != 0) & ~match
+        if any_hit:
+            found = tri_new1 >= 0
+            stall = stall & ~found
+        k1 = jnp.where(a_inner, k, 0)                   # (1,128)
+        if any_hit:
+            k1 = jnp.where(found, 0, k1)
+        st_top = st[0:1]
+        cur_new = jnp.where(stall, e,
+                            jnp.where(k1 > 0, pushvals[0:1], st_top))
+        if any_hit:
+            cur_new = jnp.where(found & ~stall, _NONE, cur_new)
+        # pop variant (s = -1): shift rows up; bottom row becomes empty
+        st_pop = pltpu.roll(st, STACK - 1, axis=0)  # roll by -1
+        st_pop = jnp.where(nsub == STACK - 1, _NONE, st_pop)
+        # push variant (s = k1-1 in [0,7]): 3 bit rolls + fill top rows
+        su = jnp.maximum(k1 - 1, 0)                     # (1,128)
+        stp = st
+        for bit in (4, 2, 1):
+            rolled = pltpu.roll(stp, bit, axis=0)
+            stp = jnp.where((su & bit) != 0, rolled, stp)
+        pv_sh = pltpu.roll(pushvals, 7, axis=0)         # pv_sh[i]=push[i+1]
+        fill = jnp.concatenate(
+            [pv_sh[0:7], jnp.zeros((STACK - 7, 128), jnp.int32)], axis=0)
+        stp = jnp.where(nsub < su, fill, stp)
+        st_new = jnp.where(stall, st,
+                           jnp.where(k1 > 0, stp, st_pop))
+        if any_hit:
+            st_new = jnp.where(found & ~stall, _NONE, st_new)
+        stk[p] = st_new
+        cur[p] = jnp.broadcast_to(cur_new, (8, 128))
+
+    # ---- scheduler: treelet switch / packet drain / slot refill ----
+    def advance(p):
+        e = cur[p][0:1]
+        typ = e & 3
+        etid = jax.lax.shift_right_logical(e, 9)
+        want = jnp.where(typ != 0, etid, _BIG)
+        n_match = jnp.sum(
+            ((etid == ctid_v[p][0:1]) & (typ != 0)).astype(jnp.int32))
+        m_want = jnp.min(want)
+        is_done = done[p] == 1
+
+        @pl.when(jnp.logical_not(is_done) & (n_match == 0)
+                 & (m_want < _BIG))
+        def _switch():
+            load_table(p, m_want)
+
+        @pl.when(jnp.logical_not(is_done) & (m_want >= _BIG))
+        def _drain():
+            # stage + write out, then refill or retire the slot
+            out_stage[p, 0:1] = tbest[p][0:1]
+            out_stage[p, 1:2] = i2f(tribest[p][0:1])
+            out_stage[p, 2:3] = cbox[p][0:1].astype(jnp.float32)
+            out_stage[p, 3:4] = ctri[p][0:1].astype(jnp.float32)
+            pkt = cursor[1 + p]
+            cp = pltpu.make_async_copy(
+                out_stage.at[p], out_hbm.at[pkt], sem_out.at[p])
+            cp.start()
+            cp.wait()
+            nxt = cursor[0]
+
+            @pl.when(nxt < num_p)
+            def _refill():
+                cursor[0] = nxt + 1
+                cursor[1 + p] = nxt
+                load_rays(p, nxt)
+                root = root_smem[0]
+
+                @pl.when(cur_tid[p] != root)
+                def _():
+                    load_table(p, root)
+
+                reset_state(p, root)
+
+            @pl.when(nxt >= num_p)
+            def _retire():
+                done[p] = 1
+
+        return jnp.where(done[p] == 1, 0, 1)
+
+    # ---- init: slot p starts on packet p ----
+    cursor[0] = jnp.int32(c_slots)
+    for p in range(c_slots):
+        done[p] = jnp.where(p < num_p, 0, 1)
+        cursor[1 + p] = jnp.int32(min(p, num_p - 1))
+
+        @pl.when(done[p] == 0)
+        def _(p=p):
+            load_rays(p, jnp.int32(p))
+            load_table(p, root_smem[0])
+            reset_state(p, root_smem[0])
+
+    def outer_body(carry):
+        it, _ = carry
+
+        def chunk_body(i, _):
+            for p in range(c_slots):
+                iterate(p)
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, chunk_body, 0)
+        alive = jnp.int32(0)
+        for p in range(c_slots):
+            alive = alive | advance(p)
+        return it + 1, alive
+
+    jax.lax.while_loop(
+        lambda c: (c[1] != 0) & (c[0] < max_outer), outer_body,
+        (jnp.int32(0), jnp.int32(1)))
+
+
+def trace_rays_lane_pallas(
+    tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
+    any_hit: bool = False, c_slots: int = None, raw: bool = False,
+) -> Tuple[HitRecord, TraceStats]:
+    """Closest-hit (or any-hit) trace against a TreeletBVH.
+
+    Ray count must be a multiple of 128 (one packet per lane tile).
+    Dead rays (active False) get an empty interval so nothing accepts.
+    """
+    assert tb.leaf_width >= INNER_WIDTH
+    lw = tb.leaf_width
+    wh = tb.wh
+    num_rays = rays.origin.shape[0]
+    assert num_rays % 128 == 0, num_rays
+    num_p = num_rays // 128
+    cc = C if c_slots is None else c_slots
+
+    tmin, tmax = rays.tmin, rays.tmax
+    if active is not None:
+        tmin = jnp.where(active, tmin, _F32_MAX)
+        tmax = jnp.where(active, tmax, -_F32_MAX)
+    rays8 = jnp.stack([
+        rays.origin[:, 0].reshape(num_p, 128),
+        rays.origin[:, 1].reshape(num_p, 128),
+        rays.origin[:, 2].reshape(num_p, 128),
+        rays.direction[:, 0].reshape(num_p, 128),
+        rays.direction[:, 1].reshape(num_p, 128),
+        rays.direction[:, 2].reshape(num_p, 128),
+        tmin.reshape(num_p, 128),
+        tmax.reshape(num_p, 128),
+    ], axis=1)  # [num_p, 8, 128]
+
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    root = tb.root_tid.reshape(1).astype(jnp.int32)
+    # Iteration safety bound: generous (num_p packets x a full worst-case
+    # traversal each) — the loop exits on drain, this only stops hangs.
+    max_outer = 1 << 24
+
+    out = pl.pallas_call(
+        functools.partial(_lane_kernel, wh=wh, lw=lw, c_slots=cc,
+                          any_hit=any_hit, max_outer=max_outer),
+        in_specs=[hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((num_p, 4, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((cc, wh, 128), jnp.float32),    # tab
+            pltpu.VMEM((cc, 16, 128), jnp.float32),    # ray_scr
+            pltpu.VMEM((cc, 8, 128), jnp.int32),       # cur
+            pltpu.VMEM((cc, STACK, 128), jnp.int32),   # stk
+            pltpu.VMEM((cc, 8, 128), jnp.float32),     # tbest
+            pltpu.VMEM((cc, 8, 128), jnp.int32),       # tribest
+            pltpu.VMEM((cc, 8, 128), jnp.int32),       # cbox
+            pltpu.VMEM((cc, 8, 128), jnp.int32),       # ctri
+            pltpu.VMEM((cc, 8, 128), jnp.int32),       # ctid_v
+            pltpu.VMEM((cc, 4, 128), jnp.float32),     # out_stage
+            pltpu.SMEM((cc,), jnp.int32),              # cur_tid
+            pltpu.SMEM((cc,), jnp.int32),              # done
+            pltpu.SMEM((1 + cc,), jnp.int32),          # cursor + slot pkt
+            pltpu.SemaphoreType.DMA((cc,)),            # sem_tab
+            pltpu.SemaphoreType.DMA((cc,)),            # sem_ray
+            pltpu.SemaphoreType.DMA((cc,)),            # sem_out
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret(),
+    )(tb.tables, rays8, root)
+
+    t_flat = out[:, 0, :].reshape(num_rays)
+    tri_flat = jax.lax.bitcast_convert_type(
+        out[:, 1, :], jnp.int32).reshape(num_rays)
+    stats = TraceStats(
+        box_tests=out[:, 2, :].reshape(num_rays).astype(jnp.int32),
+        tri_tests=out[:, 3, :].reshape(num_rays).astype(jnp.int32))
+    if any_hit:
+        t_flat = rays.tmax
+    if raw:
+        return (t_flat, tri_flat), stats
+    rec = _reconstruct(packed, rays, t_flat, tri_flat)
+    return rec, stats
