@@ -90,3 +90,30 @@ def test_treelet_capacity_guard(sphere):
         lambda f: treelet.build_treelet(f, need - 1, leaf_width=16))(front)
     with pytest.raises(RuntimeError):
         treelet.check_treelet_capacity(tb)
+
+
+def test_treelet_multi_round_cut(soup):
+    # A tiny element budget forces the residue re-cut rounds (at 1M tris
+    # the real ECAP=128 residue overflows without them): the final top
+    # residue must fit and the walk must still match brute force.
+    tris = jnp.asarray(soup.triangles)
+    front = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))(
+        tris)
+    ecap = 16
+    tcap = treelet.treelet_capacity(front, 8, ecap=ecap) + 8
+    tb, packed = jax.jit(lambda f: treelet.build_treelet(
+        f, tcap, leaf_width=8, ecap=ecap))(front)
+    treelet.check_treelet_capacity(tb)
+    assert int(tb.max_col) < ecap
+    assert int(tb.num_treelets) > 8  # many small treelets => portals deep
+    rays = _rays(soup)
+    t, tri = treelet.reference_walk(
+        tb, np.asarray(rays.origin), np.asarray(rays.direction),
+        np.asarray(rays.tmin), np.asarray(rays.tmax))
+    from tpu_raytracing.trace.brute import brute_force_trace
+    ref = brute_force_trace(tris, rays)
+    np.testing.assert_array_equal(tri >= 0, np.asarray(ref.hit))
+    both = (tri >= 0) & np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.where(both, t, 0.0), np.where(both, np.asarray(ref.t), 0.0),
+        rtol=1e-5)

@@ -23,12 +23,16 @@ Element columns (one per lane-gatherable table column):
   tri_id is (gstart + p) * 2 + second). Pairs beyond the bucket's count
   are zero rows (degenerate, never hit).
 
-Treelet roots are Morton-prefix buckets chosen top-down at the FIRST
-level where the subtree's element count (inner rows + windows + itself)
-fits ECAP=128 — so treelets are subtrees over CONTIGUOUS leaf ranges,
-and a parent treelet references a child treelet through a PORTAL entry.
-Treelet 0 is the top residue (rows above every treelet root, plus any
-windows hanging directly off them); the traversal entry point is
+Treelet roots are Morton-prefix buckets chosen in bottom-up ROUNDS: a
+round picks, top-down per path, the FIRST unassigned bucket whose
+*residual* element count (unassigned inner rows + unassigned windows +
+itself) fits ECAP=128 — so treelets are subtree SLICES over CONTIGUOUS
+leaf ranges, and a parent treelet references a child treelet through a
+PORTAL entry. One round is not enough at scale: at 1M tris the rows
+above the ~3k first-round roots form an upper tree of ~800 columns, so
+later rounds re-cut the residue (counting already-assigned rows and
+windows as zero — portals are entries, not columns) until the top fits.
+Treelet 0 is the final top residue; the traversal entry point is
 (root_tid, col 0).
 
 The classification reuses emit_split's dense leaf-major [L, n] machinery
@@ -103,27 +107,70 @@ def _head_fill(x, heads, reverse=False):
     return jax.lax.cummax(src, axis=1)
 
 
-def treelet_capacity(front, leaf_width: int = 16) -> int:
+def treelet_capacity(front, leaf_width: int = 16, ecap: int = ECAP) -> int:
     """Host-sync helper: the actual treelet count of this front, for
     sizing the static TCAP of build_treelet (pad it ~1.25x + 32 so
     deformation rebuilds rarely re-instantiate)."""
-    t = _classify_jit(front[0], front[5], leaf_width)
+    t = _classify_jit(front[0], front[5], leaf_width, ecap)
     return int(t)
 
 
-@jax.jit
-def _count_treelets(sorted_codes, num_leaves, lw: int):
+def _count_treelets(sorted_codes, num_leaves, lw: int, ecap: int):
     n = sorted_codes.shape[0]
     heads, starts, nxts, counts = leaf_major_tables(
         sorted_codes, num_leaves, n, INNER_WIDTH)
-    cls = _classification(heads, starts, nxts, counts, num_leaves, n, lw)
+    cls = _classification(heads, starts, nxts, counts, num_leaves, n, lw,
+                          ecap)
     return cls["num_treelets"]
 
 
-_classify_jit = jax.jit(_count_treelets, static_argnums=(2,))
+_classify_jit = jax.jit(_count_treelets, static_argnums=(2, 3))
 
 
-def _classification(heads, starts, nxts, counts, num_leaves, n, lw):
+def _under_counts(row_mask, w_mask, heads):
+    """Rows-under / windows-under per (level, leaf) for the given row /
+    window-start masks, gather-free: exclusive prefix sums + head fills
+    — value-at-my-start gives the count strictly before the bucket,
+    value-at-next-head the count strictly before its end; the difference
+    is the in-range count."""
+    L, n = heads.shape
+    w_i = w_mask.astype(jnp.int32)
+    wcum = jnp.cumsum(w_i) - w_i
+    num_windows = jnp.sum(w_i)
+    wcum_l = jnp.broadcast_to(wcum[None, :], (L, n))
+    w_at_start = _head_fill(wcum_l, heads)
+    nxt_fill = _head_fill(wcum_l, heads, reverse=True)
+    w_at_end = jnp.concatenate(
+        [nxt_fill[:, 1:],
+         jnp.full((L, 1), 2 ** 30, jnp.int32)], axis=1)
+    w_at_end = jnp.minimum(w_at_end, num_windows)
+    wins_under = w_at_end - w_at_start  # [L, n]
+
+    rm = row_mask.astype(jnp.int32)
+    rc = jnp.cumsum(rm, axis=1)  # inclusive per level
+    # suffix over levels STRICTLY below l (a bucket's descendant rows)
+    rc_suffix = jnp.cumsum(rc[::-1], axis=0)[::-1]
+    sr = jnp.concatenate([rc_suffix[1:], jnp.zeros((1, n), jnp.int32)],
+                         axis=0)  # [L, n]: sum of rc[l'] for l' > l
+    # exclusive form (value at position i-1): deeper rows can head AT the
+    # bucket's own start leaf, which must count as inside the range
+    sr_ex = jnp.concatenate(
+        [jnp.zeros((L, 1), jnp.int32), sr[:, :-1]], axis=1)
+    s_at_start = _head_fill(sr_ex, heads)
+    s_fill = _head_fill(sr_ex, heads, reverse=True)
+    s_at_end = jnp.concatenate(
+        [s_fill[:, 1:], jnp.full((L, 1), 2 ** 30, jnp.int32)], axis=1)
+    # At the array end the 'next head' fill saturates; clamp to the
+    # global suffix totals so end-of-array buckets get exact counts.
+    lvl_tot = jnp.cumsum(jnp.sum(rm, axis=1)[::-1])[::-1]
+    lvl_tot = jnp.concatenate([lvl_tot[1:], jnp.zeros((1,), jnp.int32)])
+    s_at_end = jnp.minimum(s_at_end, lvl_tot[:, None])
+    rows_under = s_at_end - s_at_start  # [L, n], strictly deeper levels
+    return rows_under, wins_under
+
+
+def _classification(heads, starts, nxts, counts, num_leaves, n, lw,
+                    ecap=ECAP):
     """All dense [L, n] classification shared by count/build."""
     L = heads.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -140,82 +187,73 @@ def _classification(heads, starts, nxts, counts, num_leaves, n, lw):
 
     # window per leaf: the unique (alive & small) bucket on its root path
     wstart = jnp.any(heads & alive & small, axis=0) & live  # [n]
-    # rows-under / windows-under per (level, leaf), gather-free:
-    # exclusive prefix sums + head fills — value-at-my-start gives the
-    # count strictly before the bucket, value-at-next-head the count
-    # strictly before its end; the difference is the in-range count.
-    wcum = jnp.cumsum(wstart.astype(jnp.int32)) - wstart.astype(jnp.int32)
-    num_windows = jnp.sum(wstart.astype(jnp.int32))
-    wcum_l = jnp.broadcast_to(wcum[None, :], (L, n))
-    w_at_start = _head_fill(wcum_l, heads)
-    nxt_fill = _head_fill(wcum_l, heads, reverse=True)
-    w_at_end = jnp.concatenate(
-        [nxt_fill[:, 1:],
-         jnp.full((L, 1), 2 ** 30, jnp.int32)], axis=1)
-    w_at_end = jnp.minimum(w_at_end, num_windows)
-    wins_under = w_at_end - w_at_start  # [L, n]
-
     rmask = heads & real & live[None, :]
-    rc = jnp.cumsum(rmask.astype(jnp.int32), axis=1)  # inclusive per level
-    # suffix over levels STRICTLY below l (a bucket's descendant rows)
-    rc_suffix = jnp.cumsum(rc[::-1], axis=0)[::-1]
-    sr = jnp.concatenate([rc_suffix[1:], jnp.zeros((1, n), jnp.int32)],
-                         axis=0)  # [L, n]: sum of rc[l'] for l' > l
-    # exclusive form (value at position i-1): deeper rows can head AT the
-    # bucket's own start leaf, which must count as inside the range
-    sr_ex = jnp.concatenate(
-        [jnp.zeros((L, 1), jnp.int32), sr[:, :-1]], axis=1)
-    s_at_start = _head_fill(sr_ex, heads)
-    s_fill = _head_fill(sr_ex, heads, reverse=True)
-    s_at_end = jnp.concatenate(
-        [s_fill[:, 1:], jnp.full((L, 1), 2 ** 30, jnp.int32)], axis=1)
-    # At the array end the 'next head' fill saturates; clamp to the
-    # global suffix totals so end-of-array buckets get exact counts.
-    lvl_tot = jnp.cumsum(
-        jnp.sum(rmask.astype(jnp.int32), axis=1)[::-1])[::-1]
-    lvl_tot = jnp.concatenate([lvl_tot[1:], jnp.zeros((1,), jnp.int32)])
-    s_at_end = jnp.minimum(s_at_end, lvl_tot[:, None])
-    rows_under = s_at_end - s_at_start  # [L, n], strictly deeper levels
 
-    elems = rows_under + wins_under + 1
-    fits = elems <= ECAP
+    # ---- multi-round treelet cut (see module docstring) ----
+    # Round count: each round absorbs residue subtrees of up to ecap
+    # elements, shrinking the unassigned upper tree by well over 16x
+    # (a non-fitting parent had > ecap residual elements over <= 8
+    # children). log16 rounds covers any n; overflow is host-checked
+    # anyway (check_treelet_capacity).
+    rounds = max(1, math.ceil(math.log(max(n, 4)) / math.log(16)))
+    false_l = jnp.zeros((L, n), bool)
+    troot_tot = false_l
+    tid_dense_tot = jnp.zeros((L, n), jnp.int32)  # tid where troot else 0
+    base = jnp.int32(1)  # tid 0 = final top residue
+    tid_cur = jnp.zeros((L, n), jnp.int32)
+    for _ in range(rounds):
+        # tid per (level, leaf): nearest troot ancestor-or-self, top-down
+        tids = [jnp.where(troot_tot[0], tid_dense_tot[0], 0)]
+        for l in range(1, L):
+            tids.append(jnp.where(troot_tot[l], tid_dense_tot[l],
+                                  tids[-1]))
+        tid_cur = jnp.stack(tids, axis=0)  # [L, n]
+        # residual (unassigned) rows and windows only; assigned subtrees
+        # cost their parent a portal ENTRY, not a column
+        row_un = rmask & (tid_cur == 0)
+        w_un = wstart & (tid_cur[L - 1] == 0)
+        rows_under, wins_under = _under_counts(row_un, w_un, heads)
+        elems = rows_under + wins_under + 1
+        cand = real & (tid_cur == 0) & (elems <= ecap)
+        # within a round, the shallowest fitting bucket per path wins
+        tavail = jnp.cumprod(
+            jnp.concatenate([jnp.ones((1, n), bool), ~cand[:-1]], axis=0)
+            .astype(jnp.int32), axis=0).astype(bool)
+        troot_r = cand & tavail
+        tmask = heads & troot_r & live[None, :]
 
-    tavail = jnp.cumprod(
-        jnp.concatenate(
-            [jnp.ones((1, n), bool), ~(real & fits)[:-1]], axis=0)
-        .astype(jnp.int32), axis=0).astype(bool)
-    troot = real & fits & tavail  # per (level, leaf), constant per bucket
-    tmask = heads & troot & live[None, :]
+        # treelet ids, level-major within the round, continuing `base`
+        tm = tmask.astype(jnp.int32)
+        per_level = jnp.sum(tm, axis=1)
+        offs = base + jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_level)[:-1]])
+        tid_r = offs[:, None] + jnp.cumsum(tm, axis=1) - 1  # at heads
+        tid_r = _head_fill(jnp.where(tmask, tid_r, 0), heads)
+        troot_tot = troot_tot | troot_r
+        tid_dense_tot = jnp.where(troot_r, tid_r, tid_dense_tot)
+        base = base + jnp.sum(tm)
 
-    # treelet ids, level-major, 1-based (0 = top residue)
-    tm = tmask.astype(jnp.int32)
-    per_level = jnp.sum(tm, axis=1)
-    offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_level)[:-1]])
-    tid_dense = 1 + offs[:, None] + jnp.cumsum(tm, axis=1) - 1  # at heads
-    tid_dense = _head_fill(jnp.where(tmask, tid_dense, 0), heads)
-    num_treelets = 1 + jnp.sum(tm)
-
-    # tid per (level, leaf): nearest troot ancestor-or-self, top-down
-    tids = [jnp.where(troot[0], tid_dense[0], 0)]
+    # final tid per (level, leaf) including the last round's roots
+    tids = [jnp.where(troot_tot[0], tid_dense_tot[0], 0)]
     for l in range(1, L):
-        tids.append(jnp.where(troot[l], tid_dense[l], tids[-1]))
-    tid_cur = jnp.stack(tids, axis=0)  # [L, n]
+        tids.append(jnp.where(troot_tot[l], tid_dense_tot[l], tids[-1]))
+    tid_cur = jnp.stack(tids, axis=0)
 
     return dict(L=L, live=live, small=small, chain=chain, branch=branch,
                 alive=alive, real=real, wstart=wstart, rmask=rmask,
-                troot=troot, tid_cur=tid_cur, num_treelets=num_treelets,
-                wins_under=wins_under, rows_under=rows_under)
+                troot=troot_tot, tid_cur=tid_cur, num_treelets=base)
 
 
 def build_treelet(
-    front, tcap: int, leaf_width: int = 16,
+    front, tcap: int, leaf_width: int = 16, ecap: int = ECAP,
 ) -> Tuple[TreeletBVH, PackedPairs]:
     """Build the TreeletBVH from a split_front result.
 
     ``tcap`` is the static treelet capacity — size it from
     treelet_capacity(front) (frame-0 host sync) with ~1.25x headroom;
-    check_treelet_capacity validates every later rebuild.
+    check_treelet_capacity validates every later rebuild. ``ecap``
+    (elements per treelet) is 128 for the lane kernel — tests pass a
+    small value to force the multi-round cut at tiny scene sizes.
     """
     lw = leaf_width
     assert lw >= INNER_WIDTH
@@ -228,7 +266,8 @@ def build_treelet(
 
     heads, starts, nxts, counts = leaf_major_tables(
         sorted_codes, num_leaves, n, INNER_WIDTH)
-    cls = _classification(heads, starts, nxts, counts, num_leaves, n, lw)
+    cls = _classification(heads, starts, nxts, counts, num_leaves, n, lw,
+                          ecap)
     L = cls["L"]
     small, branch, alive, real = (cls["small"], cls["branch"],
                                   cls["alive"], cls["real"])
@@ -312,9 +351,9 @@ def build_treelet(
 
     # ---- compacted entry list (same recipe as emit_split) ----
     emask = heads[1:] & (alive[:-1] & branch[:-1]) & live[None, :]
-    ecap = min(rcap * INNER_WIDTH, (L - 1) * n)
+    elcap = min(rcap * INNER_WIDTH, (L - 1) * n)  # entry-list capacity
     eflat = emask.reshape(-1)
-    (eidx2,) = jnp.nonzero(eflat, size=ecap, fill_value=eflat.shape[0])
+    (eidx2,) = jnp.nonzero(eflat, size=elcap, fill_value=eflat.shape[0])
     e_valid = eidx2 < eflat.shape[0]
     ei = jnp.minimum(eidx2, eflat.shape[0] - 1)
     gidx = ei + n  # into [L, n] (emask dropped level 0)
@@ -324,7 +363,7 @@ def build_treelet(
     par_rank = rank_dense.reshape(-1)[gidx - n]
     par_tid = tid_cur.reshape(-1)[gidx - n]
     # slot within the parent row: consecutive entries share the parent
-    eidx3 = jnp.arange(ecap, dtype=jnp.int32)
+    eidx3 = jnp.arange(elcap, dtype=jnp.int32)
     eprev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), par_rank[:-1]])
     erun = jax.lax.cummax(jnp.where(par_rank != eprev, eidx3, -1))
     e_j = eidx3 - erun
@@ -368,10 +407,10 @@ def build_treelet(
     inner_cols = jnp.broadcast_to(init_box, (rcap + 1, 64))
     ok_e = e_valid & (e_j >= 0) & (e_j < INNER_WIDTH)
     dest_row = jnp.where(ok_e, jnp.minimum(par_rank, rcap), rcap)
-    # per-word scatters (8 words x one [ecap] scatter each)
+    # per-word scatters (8 words x one [elcap] scatter each)
     words_e = [f2i(e_lo[:, 0]), f2i(e_lo[:, 1]), f2i(e_lo[:, 2]),
                f2i(e_hi[:, 0]), f2i(e_hi[:, 1]), f2i(e_hi[:, 2]),
-               meta, jnp.zeros((ecap,), jnp.int32)]
+               meta, jnp.zeros((elcap,), jnp.int32)]
     for w in range(7):
         inner_cols = inner_cols.at[dest_row, w * 8 + e_j].set(
             words_e[w], mode="drop")
@@ -389,23 +428,23 @@ def build_treelet(
     wcols = jnp.concatenate([wcols, w_pos[:, None]], axis=1)
     max_col = jnp.maximum(max_col, jnp.max(jnp.where(w_valid, w_col, 0)))
 
-    # ---- scatter columns into the [tcap * ECAP, wh] table ----
-    table = jnp.zeros((tcap * ECAP + 1, wh), jnp.int32)
+    # ---- scatter columns into the [tcap * ecap, wh] table ----
+    table = jnp.zeros((tcap * ecap + 1, wh), jnp.int32)
     # inner first: pad the 64-word columns to wh
-    dest_i = jnp.where(r_valid & (r_col < ECAP),
-                       jnp.minimum(r_tid, tcap - 1) * ECAP + r_col,
-                       tcap * ECAP)
+    dest_i = jnp.where(r_valid & (r_col < ecap),
+                       jnp.minimum(r_tid, tcap - 1) * ecap + r_col,
+                       tcap * ecap)
     table = table.at[dest_i].set(
         jnp.pad(inner_cols[:rcap], ((0, 0), (0, wh - 64))), mode="drop")
-    dest_w = jnp.where(w_valid & (w_col < ECAP),
-                       jnp.minimum(w_tid, tcap - 1) * ECAP + w_col,
-                       tcap * ECAP)
+    dest_w = jnp.where(w_valid & (w_col < ecap),
+                       jnp.minimum(w_tid, tcap - 1) * ecap + w_col,
+                       tcap * ecap)
     table = table.at[dest_w].set(
         jnp.pad(wcols, ((0, 0), (0, wh - 12 * lw - 1))), mode="drop")
 
     tables = jax.lax.bitcast_convert_type(
-        table[:tcap * ECAP].reshape(tcap, ECAP, wh), jnp.float32
-    ).transpose(0, 2, 1)  # [tcap, wh, ECAP]
+        table[:tcap * ecap].reshape(tcap, ecap, wh), jnp.float32
+    ).transpose(0, 2, 1)  # [tcap, wh, ecap]
 
     # ---- root ----
     # The global root: level-0 bucket. If it is a window (tiny scene),
@@ -458,11 +497,12 @@ def check_treelet_capacity(tb: TreeletBVH) -> None:
             f"{tcap}; rebuild with a larger tcap "
             f"(bvh/treelet.py:build_treelet)")
     mc = int(tb.max_col)
-    if mc >= ECAP:
+    ecap = tb.tables.shape[2]
+    if mc >= ecap:
         raise RuntimeError(
             f"TreeletBVH column overflow: an element wanted col {mc} >= "
-            f"{ECAP} — a treelet exceeded its element budget "
-            f"(top residue too large?); geometry was dropped")
+            f"{ecap} — a treelet exceeded its element budget; geometry "
+            f"was dropped")
 
 
 # ---------------------------------------------------------------------

@@ -354,6 +354,9 @@ def trace_rays_lane_pallas(
     Dead rays (active False) get an empty interval so nothing accepts.
     """
     assert tb.leaf_width >= INNER_WIDTH
+    assert tb.tables.shape[2] == 128, (
+        "the lane kernel needs full 128-lane treelet tables "
+        f"(got ecap={tb.tables.shape[2]})")
     lw = tb.leaf_width
     wh = tb.wh
     num_rays = rays.origin.shape[0]
