@@ -11,9 +11,13 @@ Passes (honest timing per docs/TPU_NOTES.md: vary inputs, fetch a value):
   S  same rays through the round-2 packet split kernel for the ratio
 
 Knobs: TPURT_LANE_LEAFW (16), TPURT_LANE_C / _CHUNK (lane kernel),
-TPURT_PROBE_TRIS (1000000), TPURT_PROBE_RES (1024).
+TPURT_PROBE_TRIS (1000000), TPURT_PROBE_RES (1024),
+TPURT_PROBE_TCAP (skip the slow treelet-capacity sync with a known cap),
+TPURT_PROBE_PASSES (subset of "PSBT", default all; T = chunk sweep on
+the bounce set), TPURT_PROBE_CHUNKS (comma list for the T pass).
 """
 
+import functools
 import os
 import sys
 import time
@@ -74,10 +78,14 @@ def main():
     # ---- build ----
     front_j = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))
     front = front_j(tris)
-    t0 = time.perf_counter()
-    ntl = treelet.treelet_capacity(front, LW)
-    log(f"treelets: {ntl} (capacity sync {time.perf_counter()-t0:.1f} s)")
-    tcap = int(ntl * 1.25) + 32
+    if os.environ.get("TPURT_PROBE_TCAP"):
+        tcap = int(os.environ["TPURT_PROBE_TCAP"])
+        log(f"treelet capacity: {tcap} (from TPURT_PROBE_TCAP)")
+    else:
+        t0 = time.perf_counter()
+        ntl = treelet.treelet_capacity(front, LW)
+        log(f"treelets: {ntl} (capacity sync {time.perf_counter()-t0:.1f} s)")
+        tcap = int(ntl * 1.25) + 32
     build_j = jax.jit(
         lambda f: treelet.build_treelet(f, tcap, leaf_width=LW))
     t0 = time.perf_counter()
@@ -96,19 +104,29 @@ def main():
     tiled = jax.tree.map(lambda a: tile_reorder(a, RES, RES, 16, 8), rays)
     tiled = jax.block_until_ready(tiled)
 
+    passes = os.environ.get("TPURT_PROBE_PASSES", "PSBT")
+
     # ---- P: primary through the lane kernel ----
     lane_j = jax.jit(lambda t, p, r: lane_pallas.trace_rays_lane_pallas(
         t, p, r, raw=True)[0])
-    out_p, _ = timed("P lane primary", lambda r: lane_j(tb, packed, r),
-                     tiled, nrays)
+    out_p = jax.block_until_ready(lane_j(tb, packed, tiled))
+    if "P" in passes:
+        out_p, _ = timed("P lane primary", lambda r: lane_j(tb, packed, r),
+                         tiled, nrays)
 
-    # ---- split kernel primary for the ratio ----
-    views = jax.jit(sp.prep_split_views)(
-        *jax.jit(lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW))(front))
-    split_primary = sp.make_split_pallas_tracer(None, None, RES, RES,
-                                                c_slots=4)
-    sp_j = jax.jit(lambda r: split_primary(views, packed, r)[0].t)
-    timed("S split primary", sp_j, rays, nrays)
+    # ---- split kernel (views passed as jit ARGS — 376 MB closure
+    # constants blow up program serialization) ----
+    need_split = ("S" in passes) or ("B" in passes)
+    if need_split:
+        views = jax.jit(sp.prep_split_views)(
+            *jax.jit(lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW))(
+                front))
+        if "S" in passes:
+            split_primary = sp.make_split_pallas_tracer(
+                None, None, RES, RES, c_slots=4)
+            sp_j = jax.jit(lambda v, p, r: split_primary(v, p, r)[0].t)
+            timed("S split primary", lambda r: sp_j(views, packed, r),
+                  rays, nrays)
 
     # ---- B: first-bounce rays from real hit points (tiled order) ----
     t_flat, tri_flat = out_p
@@ -141,14 +159,30 @@ def main():
     n_act = int(jnp.sum(hit))
     log(f"bounce set: {n_act}/{nrays} live")
 
-    lane_b = jax.jit(lambda r: lane_pallas.trace_rays_lane_pallas(
-        tb, packed, r, active=act, raw=True)[0][0])
-    timed("B lane bounce", lane_b, bsort, n_act)
+    if "B" in passes:
+        lane_b = jax.jit(
+            lambda t, p, r, a: lane_pallas.trace_rays_lane_pallas(
+                t, p, r, active=a, raw=True)[0][0])
+        timed("B lane bounce", lambda r: lane_b(tb, packed, r, act),
+              bsort, n_act)
+        split_b = sp.make_split_pallas_tracer(
+            None, None, RES, RES, k=256, c_slots=16, sort_mode="presorted")
+        spb_j = jax.jit(
+            lambda v, p, r, a: split_b(v, p, r, active=a)[0].t)
+        timed("S split bounce", lambda r: spb_j(views, packed, r, act),
+              bsort, n_act)
 
-    split_b = sp.make_split_pallas_tracer(None, None, RES, RES, k=256,
-                                          c_slots=16, sort_mode="presorted")
-    spb_j = jax.jit(lambda r: split_b(views, packed, r, active=act)[0].t)
-    timed("S split bounce", spb_j, bsort, n_act)
+    # ---- T: chunk sweep on the bounce set (scheduler-check period) ----
+    if "T" in passes:
+        chunks = [int(c) for c in os.environ.get(
+            "TPURT_PROBE_CHUNKS", "1,2,4,8").split(",")]
+        for ck in chunks:
+            f = jax.jit(functools.partial(
+                lambda t, p, r, a, chunk: lane_pallas.trace_rays_lane_pallas(
+                    t, p, r, active=a, raw=True, chunk=chunk)[0][0],
+                chunk=ck))
+            timed(f"T lane bounce chunk={ck}",
+                  lambda r: f(tb, packed, r, act), bsort, n_act)
 
 
 if __name__ == "__main__":

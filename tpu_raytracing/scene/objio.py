@@ -30,13 +30,31 @@ from tpu_raytracing.scene.types import Library, Scene
 
 def _load_image_rgba(path: str) -> Optional[np.ndarray]:
     """Decode an image to RGBA8 (the reference uses stb_image,
-    src/FileIO.cpp:167-184)."""
+    src/FileIO.cpp:167-184).
+
+    PIL first (covers JPEG/TGA/...), then the dependency-free PNG
+    decoder (utils/png.py) so PNG textures decode even without PIL.
+    A texture that still fails WARNS loudly — it renders as 1x1 magenta
+    (the reference's missing-mip colour), and silent substitution would
+    read as data corruption."""
+    err: Exception | None = None
     try:
         from PIL import Image
 
         with Image.open(path) as im:
             return np.asarray(im.convert("RGBA"), np.uint8)
-    except Exception:
+    except Exception as e:
+        err = e
+    try:
+        from tpu_raytracing.utils.png import read_png
+
+        return read_png(path)
+    except Exception as e:
+        import sys
+
+        print(f"WARNING: texture '{path}' failed to decode "
+              f"(PIL: {err}; png: {e}) — substituting 1x1 magenta",
+              file=sys.stderr)
         return None
 
 

@@ -87,7 +87,7 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
                  tab, ray_scr, cur, stk, tbest, tribest, cbox, ctri,
                  ctid_v, out_stage, cur_tid, done, cursor,
                  sem_tab, sem_ray, sem_out,
-                 *, wh, lw, c_slots, any_hit, max_outer):
+                 *, wh, lw, c_slots, any_hit, max_outer, chunk):
     """See the module docstring. Shapes:
 
     tables [T, wh, 128] f32 HBM; rays_hbm [num_p, 8, 128] f32 HBM;
@@ -333,7 +333,7 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
                 iterate(p)
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, chunk_body, 0)
+        jax.lax.fori_loop(0, chunk, chunk_body, 0)
         alive = jnp.int32(0)
         for p in range(c_slots):
             alive = alive | advance(p)
@@ -347,6 +347,7 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
 def trace_rays_lane_pallas(
     tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
     any_hit: bool = False, c_slots: int = None, raw: bool = False,
+    chunk: int = None,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit (or any-hit) trace against a TreeletBVH.
 
@@ -363,6 +364,7 @@ def trace_rays_lane_pallas(
     assert num_rays % 128 == 0, num_rays
     num_p = num_rays // 128
     cc = C if c_slots is None else c_slots
+    ck = CHUNK if chunk is None else chunk
 
     tmin, tmax = rays.tmin, rays.tmax
     if active is not None:
@@ -387,7 +389,7 @@ def trace_rays_lane_pallas(
 
     out = pl.pallas_call(
         functools.partial(_lane_kernel, wh=wh, lw=lw, c_slots=cc,
-                          any_hit=any_hit, max_outer=max_outer),
+                          any_hit=any_hit, max_outer=max_outer, chunk=ck),
         in_specs=[hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((num_p, 4, 128), jnp.float32),
