@@ -151,13 +151,33 @@ def main():
               | ((d[:, 1] > 0).astype(jnp.int32) << 1)
               | ((d[:, 2] > 0).astype(jnp.int32) << 2))
     dead = (~hit).astype(jnp.int32)
-    perm = jnp.argsort((dead << 28) | ((cell >> 9) << 3) | octant,
-                       stable=True)
+    sort_mode = os.environ.get("TPURT_PROBE_SORT", "cell")
+    if sort_mode == "tid":
+        # group by the ORIGIN pair's treelet: a bounce ray's first
+        # post-top treelet is (mostly) the one holding its origin, so
+        # same-tid lanes stall far less on treelet switches.
+        otid = tb.pair_tid[jnp.maximum(tri_flat, 0) // 2]
+        key = ((dead << 30) | (otid << 18) | (octant << 15)
+               | ((cell >> 15) & 0x7FFF))
+    else:
+        key = (dead << 28) | ((cell >> 9) << 3) | octant
+    log(f"bounce sort mode: {sort_mode}")
+    perm = jnp.argsort(key, stable=True)
     bsort = jax.tree.map(lambda a: take_rows(a, perm), brays)
     act = hit[perm]
     bsort, act = jax.block_until_ready((bsort, act))
     n_act = int(jnp.sum(hit))
     log(f"bounce set: {n_act}/{nrays} live")
+
+    def lane_stats(label, out):
+        dbg = np.asarray(out[:, 4:7, 0])  # per-packet: iters, switches
+        mxd = np.asarray(out[:, 6]).max()
+        iters, sw = dbg[:, 0], dbg[:, 1]
+        log(f"{label}: iters/pkt mean {iters.mean():.0f} p99 "
+            f"{np.percentile(iters, 99):.0f} max {iters.max():.0f}; "
+            f"switches/pkt mean {sw.mean():.1f} max {sw.max():.0f}; "
+            f"max stack depth {mxd:.0f} (STACK={lane_pallas.STACK}); "
+            f"total iters {iters.sum():.3g}")
 
     if "B" in passes:
         lane_b = jax.jit(
@@ -165,6 +185,11 @@ def main():
                 t, p, r, active=a, raw=True)[0][0])
         timed("B lane bounce", lambda r: lane_b(tb, packed, r, act),
               bsort, n_act)
+        lane_dbg = jax.jit(
+            lambda t, p, r, a: lane_pallas.trace_rays_lane_pallas(
+                t, p, r, active=a, raw=True)[2])
+        lane_stats("B lane bounce dbg",
+                   jax.block_until_ready(lane_dbg(tb, packed, bsort, act)))
         split_b = sp.make_split_pallas_tracer(
             None, None, RES, RES, k=256, c_slots=16, sort_mode="presorted")
         spb_j = jax.jit(
@@ -179,10 +204,11 @@ def main():
         for ck in chunks:
             f = jax.jit(functools.partial(
                 lambda t, p, r, a, chunk: lane_pallas.trace_rays_lane_pallas(
-                    t, p, r, active=a, raw=True, chunk=chunk)[0][0],
+                    t, p, r, active=a, raw=True, chunk=chunk)[2],
                 chunk=ck))
-            timed(f"T lane bounce chunk={ck}",
-                  lambda r: f(tb, packed, r, act), bsort, n_act)
+            out, _ = timed(f"T lane bounce chunk={ck}",
+                           lambda r: f(tb, packed, r, act), bsort, n_act)
+            lane_stats(f"T chunk={ck} dbg", np.asarray(out))
 
 
 if __name__ == "__main__":

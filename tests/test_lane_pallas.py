@@ -100,6 +100,36 @@ def test_lane_small_window(sphere):
     _check(tris, tb, packed, _rays(sphere))
 
 
+def test_lane_budget_restart(soup):
+    # Tiny budgets force EVERY packet through the force-drain + host
+    # restart path (trace_rays_lane_restart); hits must still match
+    # brute force exactly, and the final round must leave nothing
+    # unfinished.
+    tris, tb, packed = _build(soup, True)
+    assert int(tb.num_treelets) > 1
+    rays = _rays(soup)
+    (t, tri), stats, want = lane_pallas.trace_rays_lane_restart(
+        tb, packed, rays, budgets=(4, 8), raw=True)
+    assert int(jnp.sum(want)) == 0
+    ref = brute_force_trace(tris, rays)
+    hit = np.asarray(tri) >= 0
+    np.testing.assert_array_equal(hit, np.asarray(ref.hit))
+    np.testing.assert_allclose(
+        np.where(hit, np.asarray(t), 0.0),
+        np.where(hit, np.asarray(ref.t), 0.0), rtol=1e-5)
+
+
+def test_lane_budget_restart_dead_lanes(sphere):
+    tris, tb, packed = _build(sphere, False)
+    rays = _rays(sphere)
+    active = (jnp.arange(rays.origin.shape[0]) % 3) != 0
+    rec, _ = lane_pallas.trace_rays_lane_restart(
+        tb, packed, rays, active=active, budgets=(4,))
+    ref = brute_force_trace(tris, rays)
+    rhit = np.asarray(ref.hit) & np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(rec.hit), rhit)
+
+
 def test_lane_matches_walker_bounce(soup):
     # incoherent rays (random directions from scene interior) against the
     # NumPy walker: portals + deep stacks under divergence

@@ -62,7 +62,10 @@ from tpu_raytracing.trace.wide_fat import _reconstruct
 # gather->use chain (probe 3: 1.1 us/iter alone, 290 ns interleaved).
 C = int(_os.environ.get("TPURT_LANE_C", "2"))
 # Iterations between scheduler checks per slot (TPURT_LANE_CHUNK).
-CHUNK = int(_os.environ.get("TPURT_LANE_CHUNK", "16"))
+# Measured on the v5e bounce workload (benchmarks/probe_lane_kernel.py,
+# T sweep): 1 is best by 2.6x over 16 — treelet switches are frequent
+# enough that postponing the scheduler wastes whole chunks on stalls.
+CHUNK = int(_os.environ.get("TPURT_LANE_CHUNK", "1"))
 # Per-lane stack depth: 8-wide pushes <=7 per level; level count at 1M
 # (Morton 10 + chunk ~6 + root) bounds depth ~17 -> 7*17=119. 128 rows
 # costs 64 KB VMEM per slot.
@@ -85,17 +88,21 @@ def _entry(tid, col, typ):
 def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
                  # scratch
                  tab, ray_scr, cur, stk, tbest, tribest, cbox, ctri,
-                 ctid_v, out_stage, cur_tid, done, cursor,
+                 ctid_v, aux, out_stage, cur_tid, done, cursor, cnt,
                  sem_tab, sem_ray, sem_out,
-                 *, wh, lw, c_slots, any_hit, max_outer, chunk):
+                 *, wh, lw, c_slots, any_hit, max_outer, chunk, budget=0):
     """See the module docstring. Shapes:
 
     tables [T, wh, 128] f32 HBM; rays_hbm [num_p, 8, 128] f32 HBM;
-    root_smem [1] i32 (root treelet id); out_hbm [num_p, 4, 128] f32.
+    root_smem [1] i32 (root treelet id); out_hbm [num_p, 8, 128] f32
+    (rows: 0 t, 1 tri bits, 2 box tests, 3 tri tests, 4 resident
+    iterations, 5 treelet switches, 6 max stack depth, 7 pad).
     tab (C, wh, 128) f32; ray_scr (C, 16, 128) f32 (rows 0-2 o, 3-5 d,
     6 tmin, 7 tmax, 8-10 inv_d); cur (C, 8, 128) i32 row-uniform entry
     words; stk (C, STACK, 128) i32; tbest/tribest/cbox/ctri (C, 8, 128)
-    row-uniform; ctid_v (C, 8, 128) i32 row-uniform resident-tid.
+    row-uniform; ctid_v (C, 8, 128) i32 row-uniform resident-tid;
+    aux (C, 8, 128) i32 (row 0 stack depth, row 1 max depth);
+    cnt (2C,) SMEM [iters, switches] per slot since refill.
     """
     num_p = out_hbm.shape[0]
     nsub = jax.lax.broadcasted_iota(jnp.int32, (STACK, 128), 0)
@@ -128,6 +135,9 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
         tribest[p] = jnp.full((8, 128), -1, jnp.int32)
         cbox[p] = jnp.zeros((8, 128), jnp.int32)
         ctri[p] = jnp.zeros((8, 128), jnp.int32)
+        aux[p] = jnp.zeros((8, 128), jnp.int32)
+        cnt[2 * p] = 0
+        cnt[2 * p + 1] = 0
 
     # ---- the per-lane iteration (zero scalar control) ----
     def iterate(p):
@@ -264,6 +274,19 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
         stk[p] = st_new
         cur[p] = jnp.broadcast_to(cur_new, (8, 128))
 
+        # stack-depth watermark (row 0 depth, row 1 max) — overflow past
+        # STACK silently drops far entries, so tests/probes check row 6
+        # of the out block against the configured depth.
+        a8 = aux[p]
+        dep = a8[0:1]
+        ddelta = jnp.where(stall, 0, jnp.where(k1 > 0, k1 - 1, -1))
+        dep_new = jnp.maximum(dep + ddelta, 0)
+        if any_hit:
+            dep_new = jnp.where(found & ~stall, 0, dep_new)
+        mx = jnp.maximum(a8[1:2], dep_new)
+        aux[p] = jnp.concatenate(
+            [dep_new, mx, jnp.zeros((6, 128), jnp.int32)], axis=0)
+
     # ---- scheduler: treelet switch / packet drain / slot refill ----
     def advance(p):
         e = cur[p][0:1]
@@ -274,19 +297,49 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
             ((etid == ctid_v[p][0:1]) & (typ != 0)).astype(jnp.int32))
         m_want = jnp.min(want)
         is_done = done[p] == 1
+        # Iteration budget: force-drain long packets; unfinished lanes
+        # are flagged in out row 7 (wanted tid + 1) and the HOST restarts
+        # them from the root with tmax tightened to the partial tbest
+        # (correct: a restart visits a subset of the remaining work).
+        # This bounds the straggler tail — the packet-lockstep pathology
+        # where 1-2 divergent lanes serialize dozens of treelet switches.
+        if budget:
+            over = cnt[2 * p] >= budget
+        else:
+            over = is_done & jnp.logical_not(is_done)  # False
+
+        @pl.when(jnp.logical_not(is_done))
+        def _count():
+            cnt[2 * p] = cnt[2 * p] + chunk
 
         @pl.when(jnp.logical_not(is_done) & (n_match == 0)
-                 & (m_want < _BIG))
+                 & (m_want < _BIG) & jnp.logical_not(over))
         def _switch():
+            cnt[2 * p + 1] = cnt[2 * p + 1] + 1
             load_table(p, m_want)
 
-        @pl.when(jnp.logical_not(is_done) & (m_want >= _BIG))
+        @pl.when(jnp.logical_not(is_done)
+                 & ((m_want >= _BIG) | over))
         def _drain():
             # stage + write out, then refill or retire the slot
             out_stage[p, 0:1] = tbest[p][0:1]
             out_stage[p, 1:2] = i2f(tribest[p][0:1])
             out_stage[p, 2:3] = cbox[p][0:1].astype(jnp.float32)
             out_stage[p, 3:4] = ctri[p][0:1].astype(jnp.float32)
+            out_stage[p, 4:5] = jnp.full((1, 128), cnt[2 * p], jnp.int32
+                                         ).astype(jnp.float32)
+            out_stage[p, 5:6] = jnp.full((1, 128), cnt[2 * p + 1], jnp.int32
+                                         ).astype(jnp.float32)
+            out_stage[p, 6:7] = aux[p][1:2].astype(jnp.float32)
+            # row 7: 0 = lane finished; else wanted treelet id + 1 for
+            # the host restart pass. Stack occupancy is top-contiguous,
+            # so cur==NONE && top==NONE <=> nothing left.
+            st_top0 = stk[p][0:1]
+            live_e = jnp.where(typ != 0, e, st_top0)
+            unfinished = (e != _NONE) | (st_top0 != _NONE)
+            wtid = jax.lax.shift_right_logical(live_e, 9)
+            out_stage[p, 7:8] = jnp.where(
+                unfinished, wtid + 1, 0).astype(jnp.float32)
             pkt = cursor[1 + p]
             cp = pltpu.make_async_copy(
                 out_stage.at[p], out_hbm.at[pkt], sem_out.at[p])
@@ -330,7 +383,9 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
 
         def chunk_body(i, _):
             for p in range(c_slots):
-                iterate(p)
+                @pl.when(done[p] == 0)
+                def _(p=p):
+                    iterate(p)
             return 0
 
         jax.lax.fori_loop(0, chunk, chunk_body, 0)
@@ -347,7 +402,7 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
 def trace_rays_lane_pallas(
     tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
     any_hit: bool = False, c_slots: int = None, raw: bool = False,
-    chunk: int = None,
+    chunk: int = None, budget: int = 0,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit (or any-hit) trace against a TreeletBVH.
 
@@ -389,10 +444,11 @@ def trace_rays_lane_pallas(
 
     out = pl.pallas_call(
         functools.partial(_lane_kernel, wh=wh, lw=lw, c_slots=cc,
-                          any_hit=any_hit, max_outer=max_outer, chunk=ck),
+                          any_hit=any_hit, max_outer=max_outer, chunk=ck,
+                          budget=budget),
         in_specs=[hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=hbm,
-        out_shape=jax.ShapeDtypeStruct((num_p, 4, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_p, 8, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((cc, wh, 128), jnp.float32),    # tab
             pltpu.VMEM((cc, 16, 128), jnp.float32),    # ray_scr
@@ -403,10 +459,12 @@ def trace_rays_lane_pallas(
             pltpu.VMEM((cc, 8, 128), jnp.int32),       # cbox
             pltpu.VMEM((cc, 8, 128), jnp.int32),       # ctri
             pltpu.VMEM((cc, 8, 128), jnp.int32),       # ctid_v
-            pltpu.VMEM((cc, 4, 128), jnp.float32),     # out_stage
+            pltpu.VMEM((cc, 8, 128), jnp.int32),       # aux
+            pltpu.VMEM((cc, 8, 128), jnp.float32),     # out_stage
             pltpu.SMEM((cc,), jnp.int32),              # cur_tid
             pltpu.SMEM((cc,), jnp.int32),              # done
             pltpu.SMEM((1 + cc,), jnp.int32),          # cursor + slot pkt
+            pltpu.SMEM((2 * cc,), jnp.int32),          # cnt iters/switches
             pltpu.SemaphoreType.DMA((cc,)),            # sem_tab
             pltpu.SemaphoreType.DMA((cc,)),            # sem_ray
             pltpu.SemaphoreType.DMA((cc,)),            # sem_out
@@ -424,6 +482,77 @@ def trace_rays_lane_pallas(
     if any_hit:
         t_flat = rays.tmax
     if raw:
-        return (t_flat, tri_flat), stats
+        # third element: per-packet debug block (rows 4 iters, 5 treelet
+        # switches, 6 max stack depth, 7 restart want) for probes/tests.
+        return (t_flat, tri_flat), stats, out
     rec = _reconstruct(packed, rays, t_flat, tri_flat)
     return rec, stats
+
+
+def trace_rays_lane_restart(
+    tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
+    any_hit: bool = False, c_slots: int = None, raw: bool = False,
+    chunk: int = None, budgets=None,
+) -> Tuple[HitRecord, TraceStats]:
+    """Budget-restart driver over the lane kernel.
+
+    The packet-lockstep pathology: one or two lanes whose rays diverge
+    to distant treelets serialize dozens of treelet switches while the
+    other ~126 lanes sit finished. Round 0 therefore runs every packet
+    under an ITERATION BUDGET (kernel force-drain, see _lane_kernel);
+    lanes cut off mid-traversal restart from the root in the next round,
+    sorted so same-wanted-treelet rays share packets, with tmax
+    tightened to the partial tbest. Restarting from the root is correct
+    — a tighter tmax makes the re-traversal visit a subset of the
+    original tree work, and the carried (t, tri) stands unless a new
+    accepted hit beats it. The last round runs unbudgeted. No host
+    syncs: every round is full-width with finished rays masked dead
+    (all-dead packets drain in ~1 iteration).
+    """
+    from tpu_raytracing.ops.gather import take_rows
+
+    if budgets is None:
+        budgets = tuple(
+            int(x) for x in _os.environ.get(
+                "TPURT_LANE_BUDGETS", "128").split(",") if x)
+    num = rays.origin.shape[0]
+    (t, tri), stats, out = trace_rays_lane_pallas(
+        tb, packed, rays, active=active, any_hit=any_hit, raw=True,
+        c_slots=c_slots, chunk=chunk, budget=budgets[0] if budgets else 0)
+    want = out[:, 7, :].astype(jnp.int32).reshape(num)
+    box, trit = stats.box_tests, stats.tri_tests
+    for b in list(budgets[1:]) + [0]:
+        key = jnp.where(want > 0, want, _BIG)
+        perm = jnp.argsort(key)
+        inv = jnp.argsort(perm)
+        sub = jax.tree.map(lambda a: take_rows(a, perm), rays)
+        sub = sub.replace(tmax=jnp.minimum(sub.tmax, t[perm]))
+        act2 = (want > 0)[perm]
+        (t2, tri2), st2, out2 = trace_rays_lane_pallas(
+            tb, packed, sub, active=act2, any_hit=any_hit, raw=True,
+            c_slots=c_slots, chunk=chunk, budget=b)
+        improved = (tri2 >= 0)[inv]
+        t = jnp.where(improved, t2[inv], t)
+        tri = jnp.where(improved, tri2[inv], tri)
+        box = box + st2.box_tests[inv]
+        trit = trit + st2.tri_tests[inv]
+        want = out2[:, 7, :].astype(jnp.int32).reshape(num)[inv]
+    stats = TraceStats(box_tests=box, tri_tests=trit)
+    if any_hit:
+        t = rays.tmax
+    if raw:
+        return (t, tri), stats, want
+    rec = _reconstruct(packed, rays, t, tri)
+    return rec, stats
+
+
+def make_lane_tracer(any_hit: bool = False, c_slots: int = None,
+                     chunk: int = None, budgets=None):
+    """Tracer with the (trav, pairs, rays, active) signature the render
+    pipeline expects — trav is the TreeletBVH."""
+    def tracer(tb, pairs, rays, max_width=2, active=None):
+        del max_width
+        return trace_rays_lane_restart(
+            tb, pairs, rays, active=active, any_hit=any_hit,
+            c_slots=c_slots, chunk=chunk, budgets=budgets)
+    return tracer
