@@ -46,6 +46,13 @@ elif os.environ.get("TPURT_NO_PROBE") != "1":
         os.environ.setdefault("TPURT_BENCH_TRIS", "20000")
         os.environ.setdefault("TPURT_BENCH_RES", "256")
         os.environ["TPURT_CPU_FALLBACK"] = "1"
+# Persistent compilation cache: the 1M-scale traversal kernels cost
+# minutes each to compile on the remote backend; cache them across bench
+# / probe / app processes (same machine, keyed by program hash).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import jax.numpy as jnp
 
 
@@ -186,7 +193,95 @@ def main():
 
     def _cal_time_left() -> bool:
         return time.monotonic() < _deadline
-    if choice in ("auto", "grid"):
+    if choice == "auto" and jax.devices()[0].platform != "tpu":
+        # the lane kernel only has an interpret-mode (python-loop) path
+        # off-TPU — hopeless for a timed calibration; keep the split
+        # kernel on CPU smoke runs
+        log("bounce calibration: lane candidate skipped (not on TPU)")
+        choice = "split"
+
+    # ---- calibration helpers (shared by the candidate blocks) ----
+    # Closures take the big arrays as jit ARGUMENTS — closure constants
+    # overflow the remote-compile payload (docs/TPU_NOTES.md, HTTP 413).
+    def _cal_rays(f, trav_, r_, a_):
+        out = f(trav_, packed, r_, a_, 0.0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(2):
+            out = f(trav_, packed, r_, a_, (i + 1) * 1e-5)
+        float(jnp.sum(out[0].t))
+        return (time.perf_counter() - t0) / 2 * 1000.0
+
+    def _cal_subset(r_, a_, frac=4):
+        # Calibrate on 1/frac of the rays: 4 contiguous chunks spread
+        # across the (compaction-sorted) array, so packet-level locality
+        # is preserved while sampling different scene regions. Ranking
+        # is what matters; both tracers scale ~linearly in ray count.
+        num = a_.shape[0]
+        chunk = max(num // frac // 4 // 256, 1) * 256
+        starts = [min((num // 4) * j, num - chunk) for j in range(4)]
+        take = lambda x: jnp.concatenate(  # noqa: E731
+            [jax.lax.dynamic_slice_in_dim(x, s, chunk) for s in starts])
+        return jax.tree.map(take, r_), take(a_)
+
+    # The frame's real first-bounce ray set (primary trace + one bounce
+    # stage), shared by every calibration below.
+    rays0 = alive0 = rays_c = alive_c = None
+    if choice in ("auto", "auto-grid"):
+        from tpu_raytracing.trace import pathtrace as pt
+        from tpu_raytracing.trace.ray import generate_primary_rays
+
+        num = res * res
+        rays0 = jax.jit(generate_primary_rays,
+                        static_argnames=("width", "height"))(
+            camera, res, res)
+        alive0 = jnp.ones((num,), bool)
+        rec0, _ = jax.jit(
+            lambda v, p, r, a: tracer(v, p, r, active=a))(
+            views, packed, rays0, alive0)
+        u0 = jax.random.uniform(jax.random.PRNGKey(0), (num, 2))
+        _, _, alive_b, _, rays_b = pt._jit_bounce_stage(True, True, True)(
+            dev_scene, packed, rays0, rec0, jnp.zeros((num,), bool),
+            jnp.ones((num, 3), jnp.float32),
+            jnp.zeros((num, 3), jnp.float32), alive0,
+            jnp.arange(num, dtype=jnp.int32), u0,
+            camera["max_depth"])
+        rays_c, alive_c = _cal_subset(rays_b, alive_b)
+
+    # ---- lane candidate: per-lane treelet kernel (the round-3 design
+    # for incoherent rays — trace/lane_pallas.py over bvh/treelet.py).
+    # Default "auto" calibrates split vs lane; the uniform grid lost its
+    # round-2 hardware calibration by 18.7x (docs/TPU_NOTES.md "Grid
+    # post-mortem") so it only runs under TPURT_BOUNCE_TRACER=grid or
+    # auto-grid. ----
+    if choice in ("auto", "lane"):
+        from tpu_raytracing.bvh.treelet import build_treelet_auto
+        from tpu_raytracing.trace import lane_pallas as lp
+
+        t0 = time.perf_counter()
+        lane_tb, lane_packed = build_treelet_auto(_front(triangles))
+        jax.block_until_ready(lane_tb.tables)
+        # same front => same pair order as the split build's packed
+        assert lane_packed.rows.shape == packed.rows.shape
+        log(f"treelet build: {time.perf_counter() - t0:.1f} s, "
+            f"tables {lane_tb.tables.shape}")
+        lane_bounce = lp.make_lane_tracer()
+        if choice == "auto":
+            fsp = jax.jit(lambda v, p, r, a, j: bounce_tracer(
+                v, p, r.replace(origin=r.origin + j), active=a))
+            fln = jax.jit(lambda t_, p, r, a, j: lane_bounce(
+                t_, p, r.replace(origin=r.origin + j), active=a))
+            ms_split = _cal_rays(fsp, views, rays_c, alive_c)
+            ms_lane = _cal_rays(fln, lane_tb, rays_c, alive_c)
+            log(f"bounce calibration: split {ms_split:.0f} ms, "
+                f"lane {ms_lane:.0f} ms (1/4 subset)")
+            choice = "lane" if ms_lane < ms_split else "split"
+        if choice == "lane":
+            bounce_trav = lane_tb
+            bounce_tracer = lane_bounce
+            log("bounce passes: per-lane treelet kernel "
+                f"({int(lane_tb.num_treelets)} treelets)")
+    if choice in ("auto-grid", "grid"):
         from tpu_raytracing.bvh.grid import (
             auto_res3,
             build_grid,
@@ -233,52 +328,7 @@ def main():
         residw = int(os.environ.get("TPURT_GRID_RESIDUE_W", "0"))
         RESID_DEFAULT = 32  # covers the ~20-23 mean DDA steps at 1M
 
-        # Calibration closures must take the big arrays as jit ARGUMENTS
-        # — closure constants overflow the remote-compile payload
-        # (docs/TPU_NOTES.md, HTTP 413).
-        def _cal_rays(f, trav_, r_, a_):
-            out = f(trav_, packed, r_, a_, 0.0)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for i in range(2):
-                out = f(trav_, packed, r_, a_, (i + 1) * 1e-5)
-            float(jnp.sum(out[0].t))
-            return (time.perf_counter() - t0) / 2 * 1000.0
-
-        def _cal_subset(r_, a_, frac=4):
-            # Calibrate on 1/frac of the rays: 4 contiguous chunks spread
-            # across the (compaction-sorted) array, so packet-level
-            # locality is preserved while sampling different scene
-            # regions. Ranking is what matters; both tracers scale
-            # ~linearly in ray count.
-            num = a_.shape[0]
-            chunk = max(num // frac // 4 // 256, 1) * 256
-            starts = [min((num // 4) * j, num - chunk) for j in range(4)]
-            take = lambda x: jnp.concatenate(  # noqa: E731
-                [jax.lax.dynamic_slice_in_dim(x, s, chunk) for s in starts])
-            return jax.tree.map(take, r_), take(a_)
-
-        rays0 = alive0 = None
-        if choice == "auto":
-            from tpu_raytracing.trace import pathtrace as pt
-            from tpu_raytracing.trace.ray import generate_primary_rays
-
-            num = res * res
-            rays0 = jax.jit(generate_primary_rays,
-                            static_argnames=("width", "height"))(
-                camera, res, res)
-            alive0 = jnp.ones((num,), bool)
-            rec0, _ = jax.jit(
-                lambda v, p, r, a: tracer(v, p, r, active=a))(
-                views, packed, rays0, alive0)
-            u0 = jax.random.uniform(jax.random.PRNGKey(0), (num, 2))
-            _, _, alive_b, _, rays_b = pt._jit_bounce_stage(True, True, True)(
-                dev_scene, packed, rays0, rec0, jnp.zeros((num,), bool),
-                jnp.ones((num, 3), jnp.float32),
-                jnp.zeros((num, 3), jnp.float32), alive0,
-                jnp.arange(num, dtype=jnp.int32), u0,
-                camera["max_depth"])
-
+        if choice == "auto-grid":
             fsp = jax.jit(lambda v, p, r, a, j: bounce_tracer(
                 v, p, r.replace(origin=r.origin + j), active=a))
 
@@ -288,7 +338,6 @@ def main():
                     segments=segs, block=blk,
                     residue_after=res_after, residue_width=residw))
 
-            rays_c, alive_c = _cal_subset(rays_b, alive_b)
             ms_split = _cal_rays(fsp, views, rays_c, alive_c)
             ms_grid = _cal_rays(_fgr(0), grid, rays_c, alive_c)
             if resid == -1 and ms_grid < 15 * ms_split:

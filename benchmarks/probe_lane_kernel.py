@@ -28,6 +28,10 @@ import jax
 
 if os.environ.get("TPURT_PLATFORM") == "cpu":
     jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import jax.numpy as jnp
 import numpy as np
@@ -105,28 +109,40 @@ def main():
     tiled = jax.block_until_ready(tiled)
 
     passes = os.environ.get("TPURT_PROBE_PASSES", "PSBT")
-
-    # ---- P: primary through the lane kernel ----
-    lane_j = jax.jit(lambda t, p, r: lane_pallas.trace_rays_lane_pallas(
-        t, p, r, raw=True)[0])
-    out_p = jax.block_until_ready(lane_j(tb, packed, tiled))
-    if "P" in passes:
-        out_p, _ = timed("P lane primary", lambda r: lane_j(tb, packed, r),
-                         tiled, nrays)
+    lane_passes = any(c in passes for c in "PBRT")
 
     # ---- split kernel (views passed as jit ARGS — 376 MB closure
     # constants blow up program serialization) ----
-    need_split = ("S" in passes) or ("B" in passes)
+    need_split = ("S" in passes) or ("Q" in passes) or not lane_passes
     if need_split:
         views = jax.jit(sp.prep_split_views)(
             *jax.jit(lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW))(
                 front))
-        if "S" in passes:
-            split_primary = sp.make_split_pallas_tracer(
-                None, None, RES, RES, c_slots=4)
-            sp_j = jax.jit(lambda v, p, r: split_primary(v, p, r)[0].t)
-            timed("S split primary", lambda r: sp_j(views, packed, r),
-                  rays, nrays)
+
+    # ---- P: primary through the lane kernel (also derives the hit set
+    # for the bounce passes; an S-only run uses the split kernel so no
+    # lane compile is paid) ----
+    if lane_passes:
+        lane_j = jax.jit(lambda t, p, r: lane_pallas.trace_rays_lane_pallas(
+            t, p, r, raw=True)[0])
+        out_p = jax.block_until_ready(lane_j(tb, packed, tiled))
+        if "P" in passes:
+            out_p, _ = timed("P lane primary",
+                             lambda r: lane_j(tb, packed, r), tiled, nrays)
+    else:
+        split_p0 = sp.make_split_pallas_tracer(None, None, RES, RES,
+                                               c_slots=4)
+        sp0_j = jax.jit(lambda v, p, r: (lambda rec: (
+            rec.t, jnp.where(rec.hit, rec.tri_id, -1)))(
+            split_p0(v, p, r)[0]))
+        # tiled order to match the lane primary's output layout
+        out_p = jax.block_until_ready(sp0_j(views, packed, tiled))
+    if "S" in passes:
+        split_primary = sp.make_split_pallas_tracer(
+            None, None, RES, RES, c_slots=4)
+        sp_j = jax.jit(lambda v, p, r: split_primary(v, p, r)[0].t)
+        timed("S split primary", lambda r: sp_j(views, packed, r),
+              rays, nrays)
 
     # ---- B: first-bounce rays from real hit points (tiled order) ----
     t_flat, tri_flat = out_p
@@ -159,6 +175,13 @@ def main():
         otid = tb.pair_tid[jnp.maximum(tri_flat, 0) // 2]
         key = ((dead << 30) | (otid << 18) | (octant << 15)
                | ((cell >> 15) & 0x7FFF))
+    elif sort_mode == "pair":
+        # finest origin grouping: the hit pair index itself (pair rows
+        # are Morton/tree-ordered, so nearby indices share subtrees) +
+        # direction octant. Tests whether the split kernel's packet
+        # union shrinks further with tighter-than-treelet grouping.
+        pid = jnp.maximum(tri_flat, 0) // 2
+        key = (dead << 30) | (pid << 3) | octant
     else:
         key = (dead << 28) | ((cell >> 9) << 3) | octant
     log(f"bounce sort mode: {sort_mode}")
@@ -190,12 +213,26 @@ def main():
                 t, p, r, active=a, raw=True)[2])
         lane_stats("B lane bounce dbg",
                    jax.block_until_ready(lane_dbg(tb, packed, bsort, act)))
+
+    # ---- Q: the packet split kernel on the same (sorted) bounce set ----
+    if "Q" in passes or "B" in passes:
         split_b = sp.make_split_pallas_tracer(
             None, None, RES, RES, k=256, c_slots=16, sort_mode="presorted")
         spb_j = jax.jit(
             lambda v, p, r, a: split_b(v, p, r, active=a)[0].t)
         timed("S split bounce", lambda r: spb_j(views, packed, r, act),
               bsort, n_act)
+
+    # ---- R: budget-restart driver on the bounce set ----
+    if "R" in passes:
+        budgets = tuple(int(x) for x in os.environ.get(
+            "TPURT_LANE_BUDGETS", "128").split(",") if x)
+        fr = jax.jit(functools.partial(
+            lambda t, p, r, a, budgets: lane_pallas.trace_rays_lane_restart(
+                t, p, r, active=a, raw=True, budgets=budgets)[0][0],
+            budgets=budgets))
+        timed(f"R lane restart budgets={budgets}",
+              lambda r: fr(tb, packed, r, act), bsort, n_act)
 
     # ---- T: chunk sweep on the bounce set (scheduler-check period) ----
     if "T" in passes:

@@ -57,11 +57,12 @@ def parse_cmd(argv=None) -> argparse.Namespace:
                    help="path-trace with N bounces instead of the megakernel modes")
     p.add_argument("--output", default="out", help="PNG output directory")
     p.add_argument("--tracer", default="wide",
-               choices=["scalar", "packet", "wide", "split", "grid"],
+               choices=["scalar", "packet", "wide", "split", "grid", "lane"],
                    help="traversal kernel: scalar (reference-exact order), "
-                        "packet, wide, split (flagship Pallas kernel), or "
-                        "grid (uniform-grid DDA — stackless, best for "
-                        "incoherent rays)")
+                        "packet, wide, split (packet Pallas kernel), "
+                        "grid (uniform-grid DDA), or lane (per-lane "
+                        "treelet Pallas kernel — each ray owns a VPU "
+                        "lane; best for incoherent rays)")
     p.add_argument("--grid-scale", type=float, default=1.0,
                    help="with --tracer grid: cell-size scale (<1 = finer "
                         "cells; footprint tiers widen automatically — "

@@ -166,7 +166,7 @@ def main(argv=None):
     # downgrades; the grid tracer is shape-agnostic too. Only the wide/
     # packet/scalar XLA tracers still need 8-divisible frames.
     if (args.width % 8 or args.height % 8) and args.tracer not in (
-            "grid", "split"):
+            "grid", "split", "lane"):
         if args.tracer != "scalar":
             print(f"WARNING: {args.width}x{args.height} is not 8-divisible; "
                   f"downgrading --tracer {args.tracer} -> scalar (slow path). "
@@ -320,6 +320,21 @@ def main(argv=None):
 
         _grid_rebuild = jax.jit(lambda tris: build_grid_from_triangles(
             tris, enable_pairs=args.pairs, res=_res3, **_gtp))
+    elif args.tracer == "lane":
+        # Per-lane treelet kernel (trace/lane_pallas.py): every ray owns
+        # a VPU lane and walks its OWN traversal through <=128-element
+        # treelet tables (bvh/treelet.py) — the incoherent-ray design.
+        from tpu_raytracing.bvh.bucket import split_front
+        from tpu_raytracing.bvh.treelet import build_treelet_auto
+        from tpu_raytracing.trace.lane_pallas import make_lane_tracer
+
+        tracer = make_lane_tracer()
+        _front_l = jax.jit(
+            lambda tris: split_front(tris, enable_pairs=args.pairs))
+
+        def make_trav(bvh, packed, tris):
+            # capacity-validated on every build (build_treelet_auto)
+            return build_treelet_auto(_front_l(tris))
     elif args.tracer == "wide":
         from tpu_raytracing.bvh.wide import build_wide_fat
         from tpu_raytracing.trace.wide_fat import make_tiled_fat_tracer

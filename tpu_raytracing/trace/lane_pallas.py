@@ -66,10 +66,19 @@ C = int(_os.environ.get("TPURT_LANE_C", "2"))
 # T sweep): 1 is best by 2.6x over 16 — treelet switches are frequent
 # enough that postponing the scheduler wastes whole chunks on stalls.
 CHUNK = int(_os.environ.get("TPURT_LANE_CHUNK", "1"))
-# Per-lane stack depth: 8-wide pushes <=7 per level; level count at 1M
-# (Morton 10 + chunk ~6 + root) bounds depth ~17 -> 7*17=119. 128 rows
-# costs 64 KB VMEM per slot.
-STACK = int(_os.environ.get("TPURT_LANE_STACK", "128"))
+# Per-lane stack depth. Measured watermark on the 1M bounce workload is
+# ~18-24 (the 8-wide tree pushes ~1-2 live entries per level), and the
+# stack rolls are ~38% of the iteration's VPU tiles at 128 rows — so the
+# default is small. Overflow is DETECTED (depth watermark > STACK-8 at
+# drain marks the lane unfinished-at-root in out row 7) and the restart
+# driver re-traces those lanes from the root, so a too-small stack costs
+# time, never correctness (when driven through trace_rays_lane_restart).
+STACK = int(_os.environ.get("TPURT_LANE_STACK", "32"))
+# Per-packet phase skip (TPURT_LANE_SKIP): gate the window / inner
+# blocks on "any lane in that phase" reductions so straggler and drain
+# iterations cost a pop-only stack shift instead of a full-table gather
+# + Moller-Trumbore. 0 restores the unconditional body.
+SKIP = int(_os.environ.get("TPURT_LANE_SKIP", "1"))
 
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
@@ -139,7 +148,15 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
         cnt[2 * p] = 0
         cnt[2 * p + 1] = 0
 
-    # ---- the per-lane iteration (zero scalar control) ----
+    # ---- the per-lane iteration ----
+    # SKIP=1 (default) gates the two heavy phases on per-packet masks:
+    # the window block (12*lw+1-row gather + 2x Moller-Trumbore) runs
+    # only when SOME lane sits on a window column, and the inner block
+    # (56-row gather + slab + rank) only when some lane sits on an inner
+    # column — otherwise a cheap pop-only stack update runs. Straggler /
+    # mostly-dead / restart-drain iterations drop from a full ~wh-row
+    # gather + MT to a few (STACK,128) rolls. SKIP=0 keeps the original
+    # unconditional body (the masks make both orders equivalent).
     def iterate(p):
         rays = ray_scr[p]
         o = rays[0:3]
@@ -155,137 +172,168 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
         match = (etid == ctv) & (typ != 0)
         a_inner = match & (typ == 1)
         a_win = match & (typ == 2)
-        tb8 = tbest[p]
-        tb1 = tb8[0:1]
+        tb1 = tbest[p][0:1]
 
-        g = jnp.take_along_axis(
-            tab[p], jnp.broadcast_to(col, (wh, 128)), axis=1)
+        # ---- window phase: lw pairs x 2 Moller-Trumbore per lane;
+        # writes tbest/tribest/ctri only ----
+        def window_block():
+            nrow = 12 * lw + 1
+            gw = jnp.take_along_axis(
+                tab[p][0:nrow], jnp.broadcast_to(col, (nrow, 128)), axis=1)
+            gv = gw[0:12 * lw].reshape(12, lw, 128)
 
-        # ---- inner: 8-entry slab test + rank + push ----
-        gb = g[0:48].reshape(6, 8, 128)
-        t0 = (gb[0:3] - o[:, None]) * inv[:, None]
-        t1 = (gb[3:6] - o[:, None]) * inv[:, None]
-        tn = jnp.max(jnp.minimum(t0, t1), axis=0)      # (8,128)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=0)
-        tn = jnp.maximum(tn, tmn)
-        tf = jnp.minimum(tf, tb1)
-        m_i = f2i(g[48:56])
-        mtyp = m_i & 7
-        hit = (tf >= tn) & (mtyp != 0) & a_inner        # (8,128)
-        key = jnp.where(hit, tn, _F32_MAX)
-        # rank r = #{e' hit: nearer, or equal and higher id} -> r=0 pops
-        # first = nearest (ties: higher entry id), src/Tracer.cu:346-347
-        ka = key[:, None]                               # (8,1,128)
-        kb = key[None]                                  # (1,8,128)
-        closer = (kb < ka) | ((kb == ka) & (sub8[None] > sub8[:, None]))
-        r = jnp.sum((closer & hit[None]).astype(jnp.int32), axis=1)
-        k = jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)
-        child = jax.lax.shift_right_logical(m_i, 5)
-        ev = jnp.where(
-            mtyp == 3,
-            (child << 9) | 1,                       # portal -> child root
-            (ctv << 9) | (child << 2) | jnp.where(mtyp == 2, 2, 1))
-        # pushvals[q] = ev of the rank-q hit (one-hot scatter over sublanes)
-        eq = (r[None] == sub8[:, None]) & hit[None]     # (8,8,128)
-        pushvals = jnp.sum(jnp.where(eq, ev[None], 0), axis=1)
+            def mt(a, b, cc):
+                e1 = b - a
+                e2 = cc - a
+                dx, dy, dz = d[0][None], d[1][None], d[2][None]
+                hx = dy * e2[2] - dz * e2[1]
+                hy = dz * e2[0] - dx * e2[2]
+                hz = dx * e2[1] - dy * e2[0]
+                det = e1[0] * hx + e1[1] * hy + e1[2] * hz
+                f = 1.0 / jnp.where(jnp.abs(det) < _TRI_EPS, _TRI_EPS, det)
+                sx = o[0][None] - a[0]
+                sy = o[1][None] - a[1]
+                sz = o[2][None] - a[2]
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1[2] - sz * e1[1]
+                qy = sz * e1[0] - sx * e1[2]
+                qz = sx * e1[1] - sy * e1[0]
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
+                ok = ((jnp.abs(det) >= _TRI_EPS) & (u >= 0) & (u <= 1)
+                      & (v >= 0) & (u + v <= 1))
+                return t, ok
 
-        # ---- window: lw pairs x 2 Moller-Trumbore per lane ----
-        gv = g[0:12 * lw].reshape(12, lw, 128)
+            ta, oka = mt(gv[0:3], gv[3:6], gv[6:9])
+            tb_, okb = mt(gv[6:9], gv[3:6], gv[9:12])
+            okd = oka & (ta >= tmn) & (ta <= tb1) & a_win   # (lw,128)
+            okd2 = okb & (tb_ >= tmn) & (tb_ <= tb1) & a_win
+            tva = jnp.where(okd, ta, _F32_MAX)
+            tvb = jnp.where(okd2, tb_, _F32_MAX)
+            wmin = jnp.minimum(
+                jnp.min(tva, axis=0, keepdims=True),
+                jnp.min(tvb, axis=0, keepdims=True))        # (1,128)
+            whit = wmin <= tb1
+            gstart = f2i(gw[12 * lw:12 * lw + 1])           # (1,128)
+            piot = jax.lax.broadcasted_iota(jnp.int32, (lw, 128), 0)
+            # winner index: max (p*2+second) among t == wmin (later slot
+            # / second tri wins ties, matching the fat tracers' order)
+            ia = jnp.where(tva == wmin, piot * 2, -1)
+            ib = jnp.where(tvb == wmin, piot * 2 + 1, -1)
+            widx = jnp.maximum(jnp.max(ia, axis=0, keepdims=True),
+                               jnp.max(ib, axis=0, keepdims=True))
+            wtri = gstart * 2 + widx
+            tbest[p] = jnp.broadcast_to(jnp.where(whit, wmin, tb1), (8, 128))
+            tribest[p] = jnp.broadcast_to(
+                jnp.where(whit, wtri, tribest[p][0:1]), (8, 128))
+            ctri[p] = ctri[p] + jnp.where(a_win, 2 * lw, 0)
 
-        def mt(a, b, cc):
-            e1 = b - a
-            e2 = cc - a
-            dx, dy, dz = d[0][None], d[1][None], d[2][None]
-            hx = dy * e2[2] - dz * e2[1]
-            hy = dz * e2[0] - dx * e2[2]
-            hz = dx * e2[1] - dy * e2[0]
-            det = e1[0] * hx + e1[1] * hy + e1[2] * hz
-            f = 1.0 / jnp.where(jnp.abs(det) < _TRI_EPS, _TRI_EPS, det)
-            sx = o[0][None] - a[0]
-            sy = o[1][None] - a[1]
-            sz = o[2][None] - a[2]
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1[2] - sz * e1[1]
-            qy = sz * e1[0] - sx * e1[2]
-            qz = sx * e1[1] - sy * e1[0]
-            v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2[0] * qx + e2[1] * qy + e2[2] * qz)
-            ok = ((jnp.abs(det) >= _TRI_EPS) & (u >= 0) & (u <= 1)
-                  & (v >= 0) & (u + v <= 1))
-            return t, ok
+        # ---- stack update, shared by the inner and pop-only phases.
+        # k1 (1,128) = per-lane push count (0 => pop); net shift k1-1 in
+        # [-1, 7] = one pop roll or 3 bit rolls + fill of the top rows.
+        def stack_update(k1, pushvals):
+            st = stk[p]
+            stall = (typ != 0) & ~match
+            if any_hit:
+                # tribest was updated by window_block above (scratch
+                # reads are ordered), so this sees this iteration's hit
+                found = tribest[p][0:1] >= 0
+                stall = stall & ~found
+                k1 = jnp.where(found, 0, k1)
+            st_top = st[0:1]
+            pv0 = pushvals[0:1] if pushvals is not None else st_top
+            cur_new = jnp.where(stall, e,
+                                jnp.where(k1 > 0, pv0, st_top))
+            if any_hit:
+                cur_new = jnp.where(found & ~stall, _NONE, cur_new)
+            # pop variant (s = -1): rows shift up; bottom row empties
+            st_pop = pltpu.roll(st, STACK - 1, axis=0)  # roll by -1
+            st_pop = jnp.where(nsub == STACK - 1, _NONE, st_pop)
+            if pushvals is not None:
+                su = jnp.maximum(k1 - 1, 0)                 # (1,128)
+                stp = st
+                for bit in (4, 2, 1):
+                    rolled = pltpu.roll(stp, bit, axis=0)
+                    stp = jnp.where((su & bit) != 0, rolled, stp)
+                pv_sh = pltpu.roll(pushvals, 7, axis=0)  # [i]=push[i+1]
+                fill = jnp.concatenate(
+                    [pv_sh[0:7], jnp.zeros((STACK - 7, 128), jnp.int32)],
+                    axis=0)
+                stp = jnp.where(nsub < su, fill, stp)
+                st_new = jnp.where(stall, st,
+                                   jnp.where(k1 > 0, stp, st_pop))
+            else:
+                st_new = jnp.where(stall, st, st_pop)
+            if any_hit:
+                st_new = jnp.where(found & ~stall, _NONE, st_new)
+            stk[p] = st_new
+            cur[p] = jnp.broadcast_to(cur_new, (8, 128))
 
-        ta, oka = mt(gv[0:3], gv[3:6], gv[6:9])
-        tb_, okb = mt(gv[6:9], gv[3:6], gv[9:12])
-        okd = oka & (ta >= tmn) & (ta <= tb1) & a_win   # (lw,128)
-        okd2 = okb & (tb_ >= tmn) & (tb_ <= tb1) & a_win
-        tva = jnp.where(okd, ta, _F32_MAX)
-        tvb = jnp.where(okd2, tb_, _F32_MAX)
-        wmin = jnp.minimum(jnp.min(tva, axis=0, keepdims=True),
-                           jnp.min(tvb, axis=0, keepdims=True))  # (1,128)
-        whit = wmin <= tb1
-        gstart = f2i(g[12 * lw:12 * lw + 1])            # (1,128)
-        piot = jax.lax.broadcasted_iota(jnp.int32, (lw, 128), 0)
-        # winner index: max (p*2+second) among t == wmin (later slot /
-        # second tri wins ties, matching the fat tracers' entry order)
-        ia = jnp.where(tva == wmin, piot * 2, -1)
-        ib = jnp.where(tvb == wmin, piot * 2 + 1, -1)
-        widx = jnp.maximum(jnp.max(ia, axis=0, keepdims=True),
-                           jnp.max(ib, axis=0, keepdims=True))
-        wtri = gstart * 2 + widx
+            # stack-depth watermark (row 0 depth, row 1 max) — overflow
+            # past STACK silently drops far entries; the drain flags
+            # watermark > STACK-8 for the host restart (out row 7).
+            a8 = aux[p]
+            dep = a8[0:1]
+            ddelta = jnp.where(stall, 0, jnp.where(k1 > 0, k1 - 1, -1))
+            dep_new = jnp.maximum(dep + ddelta, 0)
+            if any_hit:
+                dep_new = jnp.where(found & ~stall, 0, dep_new)
+            mx = jnp.maximum(a8[1:2], dep_new)
+            aux[p] = jnp.concatenate(
+                [dep_new, mx, jnp.zeros((6, 128), jnp.int32)], axis=0)
 
-        tb_new1 = jnp.where(whit, wmin, tb1)
-        tri_new1 = jnp.where(whit, wtri, tribest[p][0:1])
-        tbest[p] = jnp.broadcast_to(tb_new1, (8, 128))
-        tribest[p] = jnp.broadcast_to(tri_new1, (8, 128))
-        cbox[p] = cbox[p] + jnp.where(a_inner, 8, 0)
-        ctri[p] = ctri[p] + jnp.where(a_win, 2 * lw, 0)
+        # ---- inner phase: 8-entry slab test + rank + push ----
+        def inner_block():
+            gi = jnp.take_along_axis(
+                tab[p][0:56], jnp.broadcast_to(col, (56, 128)), axis=1)
+            gb = gi[0:48].reshape(6, 8, 128)
+            t0 = (gb[0:3] - o[:, None]) * inv[:, None]
+            t1 = (gb[3:6] - o[:, None]) * inv[:, None]
+            tn = jnp.max(jnp.minimum(t0, t1), axis=0)      # (8,128)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=0)
+            tn = jnp.maximum(tn, tmn)
+            tf = jnp.minimum(tf, tbest[p][0:1])
+            m_i = f2i(gi[48:56])
+            mtyp = m_i & 7
+            hit = (tf >= tn) & (mtyp != 0) & a_inner        # (8,128)
+            key = jnp.where(hit, tn, _F32_MAX)
+            # rank r = #{e' hit: nearer, or equal and higher id} -> r=0
+            # pops first = nearest (ties: higher id), src/Tracer.cu:346
+            ka = key[:, None]                               # (8,1,128)
+            kb = key[None]                                  # (1,8,128)
+            closer = (kb < ka) | ((kb == ka)
+                                  & (sub8[None] > sub8[:, None]))
+            r = jnp.sum((closer & hit[None]).astype(jnp.int32), axis=1)
+            k = jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)
+            child = jax.lax.shift_right_logical(m_i, 5)
+            ev = jnp.where(
+                mtyp == 3,
+                (child << 9) | 1,                   # portal -> child root
+                (ctv << 9) | (child << 2) | jnp.where(mtyp == 2, 2, 1))
+            # pushvals[q] = ev of the rank-q hit (one-hot over sublanes)
+            eq = (r[None] == sub8[:, None]) & hit[None]     # (8,8,128)
+            pushvals = jnp.sum(jnp.where(eq, ev[None], 0), axis=1)
+            cbox[p] = cbox[p] + jnp.where(a_inner, 8, 0)
+            stack_update(jnp.where(a_inner, k, 0), pushvals)
 
-        # ---- combined pop/push: net stack shift s = k-1 in [-1, 7] ----
-        st = stk[p]
-        stall = (typ != 0) & ~match
-        if any_hit:
-            found = tri_new1 >= 0
-            stall = stall & ~found
-        k1 = jnp.where(a_inner, k, 0)                   # (1,128)
-        if any_hit:
-            k1 = jnp.where(found, 0, k1)
-        st_top = st[0:1]
-        cur_new = jnp.where(stall, e,
-                            jnp.where(k1 > 0, pushvals[0:1], st_top))
-        if any_hit:
-            cur_new = jnp.where(found & ~stall, _NONE, cur_new)
-        # pop variant (s = -1): shift rows up; bottom row becomes empty
-        st_pop = pltpu.roll(st, STACK - 1, axis=0)  # roll by -1
-        st_pop = jnp.where(nsub == STACK - 1, _NONE, st_pop)
-        # push variant (s = k1-1 in [0,7]): 3 bit rolls + fill top rows
-        su = jnp.maximum(k1 - 1, 0)                     # (1,128)
-        stp = st
-        for bit in (4, 2, 1):
-            rolled = pltpu.roll(stp, bit, axis=0)
-            stp = jnp.where((su & bit) != 0, rolled, stp)
-        pv_sh = pltpu.roll(pushvals, 7, axis=0)         # pv_sh[i]=push[i+1]
-        fill = jnp.concatenate(
-            [pv_sh[0:7], jnp.zeros((STACK - 7, 128), jnp.int32)], axis=0)
-        stp = jnp.where(nsub < su, fill, stp)
-        st_new = jnp.where(stall, st,
-                           jnp.where(k1 > 0, stp, st_pop))
-        if any_hit:
-            st_new = jnp.where(found & ~stall, _NONE, st_new)
-        stk[p] = st_new
-        cur[p] = jnp.broadcast_to(cur_new, (8, 128))
+        if SKIP:
+            n_w = jnp.sum(a_win.astype(jnp.int32))
+            n_i = jnp.sum(a_inner.astype(jnp.int32))
 
-        # stack-depth watermark (row 0 depth, row 1 max) — overflow past
-        # STACK silently drops far entries, so tests/probes check row 6
-        # of the out block against the configured depth.
-        a8 = aux[p]
-        dep = a8[0:1]
-        ddelta = jnp.where(stall, 0, jnp.where(k1 > 0, k1 - 1, -1))
-        dep_new = jnp.maximum(dep + ddelta, 0)
-        if any_hit:
-            dep_new = jnp.where(found & ~stall, 0, dep_new)
-        mx = jnp.maximum(a8[1:2], dep_new)
-        aux[p] = jnp.concatenate(
-            [dep_new, mx, jnp.zeros((6, 128), jnp.int32)], axis=0)
+            @pl.when(n_w > 0)
+            def _():
+                window_block()
+
+            @pl.when(n_i > 0)
+            def _():
+                inner_block()
+
+            @pl.when(n_i == 0)
+            def _():
+                stack_update(jnp.zeros((1, 128), jnp.int32), None)
+        else:
+            window_block()
+            inner_block()
 
     # ---- scheduler: treelet switch / packet drain / slot refill ----
     def advance(p):
@@ -333,13 +381,19 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
             out_stage[p, 6:7] = aux[p][1:2].astype(jnp.float32)
             # row 7: 0 = lane finished; else wanted treelet id + 1 for
             # the host restart pass. Stack occupancy is top-contiguous,
-            # so cur==NONE && top==NONE <=> nothing left.
+            # so cur==NONE && top==NONE <=> nothing left. A lane whose
+            # depth watermark neared STACK may have dropped far entries
+            # (circular rolls) — flag it wanted-at-root; the restart
+            # re-traverses everything under the tightened tmax.
             st_top0 = stk[p][0:1]
+            live = (e != _NONE) | (st_top0 != _NONE)
+            ovf = aux[p][1:2] > (STACK - 8)
             live_e = jnp.where(typ != 0, e, st_top0)
-            unfinished = (e != _NONE) | (st_top0 != _NONE)
-            wtid = jax.lax.shift_right_logical(live_e, 9)
+            wtid = jnp.where(
+                live, jax.lax.shift_right_logical(live_e, 9),
+                root_smem[0])
             out_stage[p, 7:8] = jnp.where(
-                unfinished, wtid + 1, 0).astype(jnp.float32)
+                live | ovf, wtid + 1, 0).astype(jnp.float32)
             pkt = cursor[1 + p]
             cp = pltpu.make_async_copy(
                 out_stage.at[p], out_hbm.at[pkt], sem_out.at[p])
@@ -549,10 +603,24 @@ def trace_rays_lane_restart(
 def make_lane_tracer(any_hit: bool = False, c_slots: int = None,
                      chunk: int = None, budgets=None):
     """Tracer with the (trav, pairs, rays, active) signature the render
-    pipeline expects — trav is the TreeletBVH."""
+    pipeline expects — trav is the TreeletBVH. Any ray count: non-128-
+    multiple batches are edge-padded with dead rays (empty [tmax, tmin]
+    interval, active False) and the outputs sliced back."""
     def tracer(tb, pairs, rays, max_width=2, active=None):
         del max_width
-        return trace_rays_lane_restart(
+        num = rays.origin.shape[0]
+        pad = (-num) % 128
+        if pad:
+            ext = lambda a: jnp.concatenate(  # noqa: E731
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+            rays = jax.tree.map(ext, rays)
+            act = jnp.ones((num,), bool) if active is None else active
+            active = jnp.concatenate([act, jnp.zeros((pad,), bool)])
+        rec, stats = trace_rays_lane_restart(
             tb, pairs, rays, active=active, any_hit=any_hit,
             c_slots=c_slots, chunk=chunk, budgets=budgets)
+        if pad:
+            rec = jax.tree.map(lambda a: a[:num], rec)
+            stats = jax.tree.map(lambda a: a[:num], stats)
+        return rec, stats
     return tracer
