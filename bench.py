@@ -224,8 +224,31 @@ def main():
             [jax.lax.dynamic_slice_in_dim(x, s, chunk) for s in starts])
         return jax.tree.map(take, r_), take(a_)
 
+    # ---- lane candidate's structure (the round-3 design for incoherent
+    # rays — trace/lane_pallas.py over bvh/treelet.py). Built BEFORE the
+    # ray-set derivation so the calibration rays carry the production
+    # 'tid' bounce sort (TreeletBVH.pair_tid -> path_trace pair_loc).
+    # Default "auto" calibrates split vs lane; the uniform grid lost its
+    # round-2 hardware calibration by 18.7x (docs/TPU_NOTES.md "Grid
+    # post-mortem") so it only runs under TPURT_BOUNCE_TRACER=grid or
+    # auto-grid. ----
+    lane_tb = pair_loc = None
+    if choice in ("auto", "lane"):
+        from tpu_raytracing.bvh.treelet import build_treelet_auto
+        from tpu_raytracing.trace import lane_pallas as lp
+
+        t0 = time.perf_counter()
+        lane_tb, lane_packed = build_treelet_auto(_front(triangles))
+        jax.block_until_ready(lane_tb.tables)
+        # same front => same pair order as the split build's packed
+        assert lane_packed.rows.shape == packed.rows.shape
+        log(f"treelet build: {time.perf_counter() - t0:.1f} s, "
+            f"tables {lane_tb.tables.shape}")
+        pair_loc = lane_tb.pair_tid
+
     # The frame's real first-bounce ray set (primary trace + one bounce
-    # stage), shared by every calibration below.
+    # stage, same sort key as the frame loop), shared by every
+    # calibration below.
     rays0 = alive0 = rays_c = alive_c = None
     if choice in ("auto", "auto-grid"):
         from tpu_raytracing.trace import pathtrace as pt
@@ -240,31 +263,18 @@ def main():
             lambda v, p, r, a: tracer(v, p, r, active=a))(
             views, packed, rays0, alive0)
         u0 = jax.random.uniform(jax.random.PRNGKey(0), (num, 2))
-        _, _, alive_b, _, rays_b = pt._jit_bounce_stage(True, True, True)(
+        skind = os.environ.get("TPURT_BOUNCE_SORT") or (
+            "tid" if pair_loc is not None else "leaf")
+        _, _, alive_b, _, rays_b = pt._jit_bounce_stage(
+            True, True, True, skind)(
             dev_scene, packed, rays0, rec0, jnp.zeros((num,), bool),
             jnp.ones((num, 3), jnp.float32),
             jnp.zeros((num, 3), jnp.float32), alive0,
             jnp.arange(num, dtype=jnp.int32), u0,
-            camera["max_depth"])
+            camera["max_depth"], pair_loc)
         rays_c, alive_c = _cal_subset(rays_b, alive_b)
 
-    # ---- lane candidate: per-lane treelet kernel (the round-3 design
-    # for incoherent rays — trace/lane_pallas.py over bvh/treelet.py).
-    # Default "auto" calibrates split vs lane; the uniform grid lost its
-    # round-2 hardware calibration by 18.7x (docs/TPU_NOTES.md "Grid
-    # post-mortem") so it only runs under TPURT_BOUNCE_TRACER=grid or
-    # auto-grid. ----
-    if choice in ("auto", "lane"):
-        from tpu_raytracing.bvh.treelet import build_treelet_auto
-        from tpu_raytracing.trace import lane_pallas as lp
-
-        t0 = time.perf_counter()
-        lane_tb, lane_packed = build_treelet_auto(_front(triangles))
-        jax.block_until_ready(lane_tb.tables)
-        # same front => same pair order as the split build's packed
-        assert lane_packed.rows.shape == packed.rows.shape
-        log(f"treelet build: {time.perf_counter() - t0:.1f} s, "
-            f"tables {lane_tb.tables.shape}")
+    if lane_tb is not None:
         lane_bounce = lp.make_lane_tracer()
         if choice == "auto":
             fsp = jax.jit(lambda v, p, r, a, j: bounce_tracer(
@@ -449,7 +459,7 @@ def main():
             views, packed, dev_scene, cam_j, res, res, num_bounces=bounces,
             key=key, tracer=tracer, shadow_tracer=shadow_tracer,
             shadow_tracer_bounce=shadow_tracer_b, bounce_tracer=bounce_tracer,
-            bounce_trav=bounce_trav,
+            bounce_trav=bounce_trav, pair_loc=pair_loc,
         )
 
     img, rays_traced = jax.block_until_ready(frame(jax.random.PRNGKey(0), 0.0))

@@ -175,6 +175,14 @@ def main():
         otid = tb.pair_tid[jnp.maximum(tri_flat, 0) // 2]
         key = ((dead << 30) | (otid << 18) | (octant << 15)
                | ((cell >> 15) & 0x7FFF))
+    elif sort_mode == "pairq":
+        # treelet-granular grouping WITHOUT a treelet structure: pair
+        # index quantized to 128-pair blocks (~ the measured ~137
+        # pairs/treelet), then octant — the production-compaction key
+        # candidate if it matches the tid sort's win.
+        pid = jnp.maximum(tri_flat, 0) // 2
+        key = ((dead << 30) | ((pid >> 7) << 17) | (octant << 14)
+               | ((cell >> 16) & 0x3FFF))
     elif sort_mode == "pair":
         # finest origin grouping: the hit pair index itself (pair rows
         # are Morton/tree-ordered, so nearby indices share subtrees) +
@@ -233,6 +241,17 @@ def main():
             budgets=budgets))
         timed(f"R lane restart budgets={budgets}",
               lambda r: fr(tb, packed, r, act), bsort, n_act)
+
+    # ---- W: suspend/resume wave driver on the bounce set ----
+    if "W" in passes:
+        wb = tuple(int(x) for x in os.environ.get(
+            "TPURT_LANE_WAVE_BUDGETS", "48,48,48").split(",") if x)
+        fw = jax.jit(functools.partial(
+            lambda t, p, r, a, budgets: lane_pallas.trace_rays_lane_wave(
+                t, p, r, active=a, raw=True, budgets=budgets)[0][0],
+            budgets=wb))
+        timed(f"W lane wave budgets={wb}",
+              lambda r: fw(tb, packed, r, act), bsort, n_act)
 
     # ---- T: chunk sweep on the bounce set (scheduler-check period) ----
     if "T" in passes:

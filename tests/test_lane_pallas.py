@@ -153,3 +153,42 @@ def test_lane_matches_walker_bounce(soup):
     np.testing.assert_allclose(
         np.where(both, np.asarray(rec.t), 0.0),
         np.where(both, wt, 0.0), rtol=1e-4)
+
+
+def test_lane_wave(soup):
+    # Tiny budgets force several suspend/regroup/resume rounds through
+    # trace_rays_lane_wave; the resumed traversal must match brute force
+    # exactly (zero re-traversal => the same hits as a single launch).
+    tris, tb, packed = _build(soup, True)
+    assert int(tb.num_treelets) > 1
+    rays = _rays(soup)
+    rec, stats = lane_pallas.trace_rays_lane_wave(
+        tb, packed, rays, budgets=(3, 5, 7))
+    ref = brute_force_trace(tris, rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+    both = np.asarray(rec.hit)
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(rec.t), 0.0),
+        np.where(both, np.asarray(ref.t), 0.0), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.where(both, np.asarray(rec.prim_id), 0),
+        np.where(both, np.asarray(ref.prim_id), 0))
+    # box-test totals across rounds stay in the single-launch ballpark
+    # (resume does not re-pay the descent; allow scheduler slack)
+    rec1, st1 = lane_pallas.trace_rays_lane_pallas(tb, packed, rays)
+    assert int(np.sum(np.asarray(stats.box_tests))) <= int(
+        1.2 * np.sum(np.asarray(st1.box_tests)) + 64)
+
+
+def test_lane_wave_dead_lanes_anyhit(sphere):
+    tris, tb, packed = _build(sphere, True)
+    rays = _rays(sphere)
+    active = (jnp.arange(rays.origin.shape[0]) % 3) != 0
+    rec, _ = lane_pallas.trace_rays_lane_wave(
+        tb, packed, rays, active=active, budgets=(4,))
+    ref = brute_force_trace(tris, rays)
+    rhit = np.asarray(ref.hit) & np.asarray(active)
+    np.testing.assert_array_equal(np.asarray(rec.hit), rhit)
+    rec2, _ = lane_pallas.trace_rays_lane_wave(
+        tb, packed, rays, active=active, budgets=(4,), any_hit=True)
+    np.testing.assert_array_equal(np.asarray(rec2.hit), rhit)

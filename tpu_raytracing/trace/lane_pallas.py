@@ -94,18 +94,24 @@ def _entry(tid, col, typ):
     return (tid << 9) | (col << 2) | typ
 
 
-def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
+def _lane_kernel(tables, rays_hbm, state_hbm, root_smem, out_hbm, state_out,
                  # scratch
                  tab, ray_scr, cur, stk, tbest, tribest, cbox, ctri,
-                 ctid_v, aux, out_stage, cur_tid, done, cursor, cnt,
-                 sem_tab, sem_ray, sem_out,
+                 ctid_v, aux, out_stage, st_stage, cur_tid, done, cursor,
+                 cnt, sem_tab, sem_ray, sem_out, sem_state,
                  *, wh, lw, c_slots, any_hit, max_outer, chunk, budget=0):
     """See the module docstring. Shapes:
 
     tables [T, wh, 128] f32 HBM; rays_hbm [num_p, 8, 128] f32 HBM;
+    state_hbm / state_out [num_p, SROWS, 128] i32 HBM — full per-lane
+    continuation state (rows: 0 cur entry, 1 tbest bits, 2 tribest,
+    3 stack depth, 4 depth watermark, 5.. the STACK stack rows). Every
+    launch RESUMES from state_hbm (a fresh trace passes init_state) and
+    exports the suspended state at drain, so a driver can regroup lanes
+    between budget rounds with zero re-traversal.
     root_smem [1] i32 (root treelet id); out_hbm [num_p, 8, 128] f32
     (rows: 0 t, 1 tri bits, 2 box tests, 3 tri tests, 4 resident
-    iterations, 5 treelet switches, 6 max stack depth, 7 pad).
+    iterations, 5 treelet switches, 6 max stack depth, 7 want+1/0).
     tab (C, wh, 128) f32; ray_scr (C, 16, 128) f32 (rows 0-2 o, 3-5 d,
     6 tmin, 7 tmax, 8-10 inv_d); cur (C, 8, 128) i32 row-uniform entry
     words; stk (C, STACK, 128) i32; tbest/tribest/cbox/ctri (C, 8, 128)
@@ -136,15 +142,20 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
         cur_tid[p] = tid
         ctid_v[p] = jnp.full((8, 128), tid, jnp.int32)
 
-    def reset_state(p, root):
-        rays = ray_scr[p]
-        cur[p] = jnp.full((8, 128), _entry(root, 0, 1), jnp.int32)
-        stk[p] = jnp.zeros((STACK, 128), jnp.int32)
-        tbest[p] = jnp.broadcast_to(rays[7:8], (8, 128))
-        tribest[p] = jnp.full((8, 128), -1, jnp.int32)
+    def load_state(p, pkt):
+        cp = pltpu.make_async_copy(
+            state_hbm.at[pkt], st_stage.at[p], sem_state.at[p])
+        cp.start()
+        cp.wait()
+        s = st_stage[p]
+        cur[p] = jnp.broadcast_to(s[0:1], (8, 128))
+        tbest[p] = jnp.broadcast_to(i2f(s[1:2]), (8, 128))
+        tribest[p] = jnp.broadcast_to(s[2:3], (8, 128))
+        aux[p] = jnp.concatenate(
+            [s[3:4], s[4:5], jnp.zeros((6, 128), jnp.int32)], axis=0)
+        stk[p] = s[5:5 + STACK]
         cbox[p] = jnp.zeros((8, 128), jnp.int32)
         ctri[p] = jnp.zeros((8, 128), jnp.int32)
-        aux[p] = jnp.zeros((8, 128), jnp.int32)
         cnt[2 * p] = 0
         cnt[2 * p + 1] = 0
 
@@ -399,6 +410,19 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
                 out_stage.at[p], out_hbm.at[pkt], sem_out.at[p])
             cp.start()
             cp.wait()
+            # suspended continuation state -> state_out (a wave driver
+            # regroups lanes by wanted treelet and resumes; finished
+            # lanes carry cur==NONE + empty stack and drain instantly)
+            st_stage[p, 0:1] = cur[p][0:1]
+            st_stage[p, 1:2] = f2i(tbest[p][0:1])
+            st_stage[p, 2:3] = tribest[p][0:1]
+            st_stage[p, 3:4] = aux[p][0:1]
+            st_stage[p, 4:5] = aux[p][1:2]
+            st_stage[p, 5:5 + STACK] = stk[p]
+            cp2 = pltpu.make_async_copy(
+                st_stage.at[p], state_out.at[pkt], sem_state.at[p])
+            cp2.start()
+            cp2.wait()
             nxt = cursor[0]
 
             @pl.when(nxt < num_p)
@@ -406,13 +430,7 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
                 cursor[0] = nxt + 1
                 cursor[1 + p] = nxt
                 load_rays(p, nxt)
-                root = root_smem[0]
-
-                @pl.when(cur_tid[p] != root)
-                def _():
-                    load_table(p, root)
-
-                reset_state(p, root)
+                load_state(p, nxt)
 
             @pl.when(nxt >= num_p)
             def _retire():
@@ -430,7 +448,7 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
         def _(p=p):
             load_rays(p, jnp.int32(p))
             load_table(p, root_smem[0])
-            reset_state(p, root_smem[0])
+            load_state(p, jnp.int32(p))
 
     def outer_body(carry):
         it, _ = carry
@@ -453,15 +471,39 @@ def _lane_kernel(tables, rays_hbm, root_smem, out_hbm,
         (jnp.int32(0), jnp.int32(1)))
 
 
+SROWS = 5 + STACK  # continuation-state rows per packet (see _lane_kernel)
+
+
+def init_state(root_tid, tmax, active=None):
+    """Fresh continuation state [num_p, SROWS, 128] for a trace from the
+    root: cur = root entry (NONE for inactive lanes), tbest = tmax,
+    tribest = -1, empty stack."""
+    num = tmax.shape[0]
+    num_p = num // 128
+    e0 = jnp.full((num,), (root_tid.astype(jnp.int32) << 9) | 1, jnp.int32)
+    if active is not None:
+        e0 = jnp.where(active, e0, _NONE)
+        tmax = jnp.where(active, tmax, -_F32_MAX)
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    rows = [e0.reshape(num_p, 1, 128),
+            f2i(tmax).reshape(num_p, 1, 128),
+            jnp.full((num_p, 1, 128), -1, jnp.int32),
+            jnp.zeros((num_p, 2 + STACK, 128), jnp.int32)]
+    return jnp.concatenate(rows, axis=1)
+
+
 def trace_rays_lane_pallas(
     tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
     any_hit: bool = False, c_slots: int = None, raw: bool = False,
-    chunk: int = None, budget: int = 0,
+    chunk: int = None, budget: int = 0, state=None,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit (or any-hit) trace against a TreeletBVH.
 
     Ray count must be a multiple of 128 (one packet per lane tile).
     Dead rays (active False) get an empty interval so nothing accepts.
+    ``state``: optional [num_p, SROWS, 128] continuation state to RESUME
+    from (see _lane_kernel); default = fresh from-the-root state. With
+    raw=True the suspended state rides as a 4th return for wave drivers.
     """
     assert tb.leaf_width >= INNER_WIDTH
     assert tb.tables.shape[2] == 128, (
@@ -489,6 +531,8 @@ def trace_rays_lane_pallas(
         tmin.reshape(num_p, 128),
         tmax.reshape(num_p, 128),
     ], axis=1)  # [num_p, 8, 128]
+    if state is None:
+        state = init_state(tb.root_tid, rays.tmax, active)
 
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     root = tb.root_tid.reshape(1).astype(jnp.int32)
@@ -496,13 +540,14 @@ def trace_rays_lane_pallas(
     # traversal each) — the loop exits on drain, this only stops hangs.
     max_outer = 1 << 24
 
-    out = pl.pallas_call(
+    out, state_out = pl.pallas_call(
         functools.partial(_lane_kernel, wh=wh, lw=lw, c_slots=cc,
                           any_hit=any_hit, max_outer=max_outer, chunk=ck,
                           budget=budget),
-        in_specs=[hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=hbm,
-        out_shape=jax.ShapeDtypeStruct((num_p, 8, 128), jnp.float32),
+        in_specs=[hbm, hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[hbm, hbm],
+        out_shape=[jax.ShapeDtypeStruct((num_p, 8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((num_p, SROWS, 128), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((cc, wh, 128), jnp.float32),    # tab
             pltpu.VMEM((cc, 16, 128), jnp.float32),    # ray_scr
@@ -515,6 +560,7 @@ def trace_rays_lane_pallas(
             pltpu.VMEM((cc, 8, 128), jnp.int32),       # ctid_v
             pltpu.VMEM((cc, 8, 128), jnp.int32),       # aux
             pltpu.VMEM((cc, 8, 128), jnp.float32),     # out_stage
+            pltpu.VMEM((cc, SROWS, 128), jnp.int32),   # st_stage
             pltpu.SMEM((cc,), jnp.int32),              # cur_tid
             pltpu.SMEM((cc,), jnp.int32),              # done
             pltpu.SMEM((1 + cc,), jnp.int32),          # cursor + slot pkt
@@ -522,10 +568,11 @@ def trace_rays_lane_pallas(
             pltpu.SemaphoreType.DMA((cc,)),            # sem_tab
             pltpu.SemaphoreType.DMA((cc,)),            # sem_ray
             pltpu.SemaphoreType.DMA((cc,)),            # sem_out
+            pltpu.SemaphoreType.DMA((cc,)),            # sem_state
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_interpret(),
-    )(tb.tables, rays8, root)
+    )(tb.tables, rays8, state, root)
 
     t_flat = out[:, 0, :].reshape(num_rays)
     tri_flat = jax.lax.bitcast_convert_type(
@@ -537,8 +584,9 @@ def trace_rays_lane_pallas(
         t_flat = rays.tmax
     if raw:
         # third element: per-packet debug block (rows 4 iters, 5 treelet
-        # switches, 6 max stack depth, 7 restart want) for probes/tests.
-        return (t_flat, tri_flat), stats, out
+        # switches, 6 max stack depth, 7 restart want) for probes/tests;
+        # fourth: the suspended continuation state.
+        return (t_flat, tri_flat), stats, out, state_out
     rec = _reconstruct(packed, rays, t_flat, tri_flat)
     return rec, stats
 
@@ -570,7 +618,7 @@ def trace_rays_lane_restart(
             int(x) for x in _os.environ.get(
                 "TPURT_LANE_BUDGETS", "128").split(",") if x)
     num = rays.origin.shape[0]
-    (t, tri), stats, out = trace_rays_lane_pallas(
+    (t, tri), stats, out, _ = trace_rays_lane_pallas(
         tb, packed, rays, active=active, any_hit=any_hit, raw=True,
         c_slots=c_slots, chunk=chunk, budget=budgets[0] if budgets else 0)
     want = out[:, 7, :].astype(jnp.int32).reshape(num)
@@ -582,7 +630,7 @@ def trace_rays_lane_restart(
         sub = jax.tree.map(lambda a: take_rows(a, perm), rays)
         sub = sub.replace(tmax=jnp.minimum(sub.tmax, t[perm]))
         act2 = (want > 0)[perm]
-        (t2, tri2), st2, out2 = trace_rays_lane_pallas(
+        (t2, tri2), st2, out2, _ = trace_rays_lane_pallas(
             tb, packed, sub, active=act2, any_hit=any_hit, raw=True,
             c_slots=c_slots, chunk=chunk, budget=b)
         improved = (tri2 >= 0)[inv]
@@ -600,12 +648,101 @@ def trace_rays_lane_restart(
     return rec, stats
 
 
+def trace_rays_lane_wave(
+    tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
+    any_hit: bool = False, c_slots: int = None, raw: bool = False,
+    chunk: int = None, budgets=None,
+) -> Tuple[HitRecord, TraceStats]:
+    """Suspend/resume wavefront driver — the utilization fix.
+
+    The lane kernel's measured wall is lane-slot utilization (~9% at 1M:
+    a packet's 128 lanes diverge across treelets and the scheduler
+    serves one treelet at a time, so most lanes stall most iterations —
+    docs/TPU_NOTES.md "Lane kernel on hardware"). Each round here runs
+    under an iteration budget; at drain the kernel exports every lane's
+    FULL continuation state (entry word + stack + tbest — _lane_kernel
+    state rows), the driver regroups rays by the treelet they want next
+    (finished rays sink to the back), and the next round RESUMES each
+    lane exactly where it stopped: zero re-traversal, and round-start
+    packets are single-treelet coherent. The last round runs unbudgeted.
+
+    Overflow recovery: a lane whose stack watermark neared STACK may
+    have dropped far entries (circular rolls); between rounds it is
+    reset to a from-the-root restart with its carried (t, tri) standing
+    — correct because the tightened tmax makes the re-traversal visit a
+    subset of the remaining work.
+    """
+    from tpu_raytracing.ops.gather import take_rows
+
+    if budgets is None:
+        budgets = tuple(
+            int(x) for x in _os.environ.get(
+                "TPURT_LANE_WAVE_BUDGETS", "48,48,48").split(",") if x)
+    num = rays.origin.shape[0]
+    num_p = num // 128
+    root = tb.root_tid.astype(jnp.int32)
+    orig = jnp.arange(num, dtype=jnp.int32)
+    cur_rays, cur_act, state = rays, active, None
+    box = jnp.zeros((num,), jnp.int32)
+    trit = jnp.zeros((num,), jnp.int32)
+    for b in list(budgets) + [0]:
+        (t, tri), st2, out, state = trace_rays_lane_pallas(
+            tb, packed, cur_rays, active=cur_act, any_hit=any_hit,
+            raw=True, c_slots=c_slots, chunk=chunk, budget=b, state=state)
+        box = box + st2.box_tests
+        trit = trit + st2.tri_tests
+        if b == 0:
+            break  # unbudgeted: every lane ran to completion
+        want = out[:, 7, :].astype(jnp.int32).reshape(num)
+        mxd = out[:, 6, :].astype(jnp.int32).reshape(num)
+        ovf = (want > 0) & (mxd > STACK - 8)
+        # reset overflowed lanes: row 0 -> root entry, rows 3+ -> empty;
+        # tbest/tribest (rows 1-2) stand
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (1, SROWS, 1), 1)
+        st_reset = jnp.where(rowi == 0, (root << 9) | 1,
+                             jnp.where(rowi < 3, state, 0))
+        state = jnp.where(
+            jnp.broadcast_to(ovf.reshape(num_p, 1, 128),
+                             (num_p, SROWS, 128)),
+            st_reset, state)
+        want = jnp.where(ovf, root + 1, want)
+        key = jnp.where(want > 0, want, _BIG)
+        perm = jnp.argsort(key, stable=True)
+        # permute rays + per-ray state columns + accumulators together
+        pst = state.transpose(0, 2, 1).reshape(num, SROWS)
+        pst = take_rows(pst, perm)
+        state = pst.reshape(num_p, 128, SROWS).transpose(0, 2, 1)
+        cur_rays = jax.tree.map(lambda a: take_rows(a, perm), cur_rays)
+        box, trit, orig = box[perm], trit[perm], orig[perm]
+        cur_act = None  # liveness rides in the state (cur/stack/tbest)
+    inv = jnp.argsort(orig)
+    t, tri = t[inv], tri[inv]
+    stats = TraceStats(box_tests=box[inv], tri_tests=trit[inv])
+    if any_hit:
+        t = rays.tmax
+    if raw:
+        return (t, tri), stats
+    rec = _reconstruct(packed, rays, t, tri)
+    return rec, stats
+
+
+# Driver over the kernel (TPURT_LANE_DRIVER): 'wave' = suspend/resume
+# rounds with treelet regrouping (default), 'restart' = budget rounds
+# restarting from the root, 'single' = one unbudgeted launch.
+DRIVER = _os.environ.get("TPURT_LANE_DRIVER", "wave")
+
+
 def make_lane_tracer(any_hit: bool = False, c_slots: int = None,
-                     chunk: int = None, budgets=None):
+                     chunk: int = None, budgets=None, driver: str = None):
     """Tracer with the (trav, pairs, rays, active) signature the render
     pipeline expects — trav is the TreeletBVH. Any ray count: non-128-
     multiple batches are edge-padded with dead rays (empty [tmax, tmin]
     interval, active False) and the outputs sliced back."""
+    drv = DRIVER if driver is None else driver
+    fn = {"wave": trace_rays_lane_wave,
+          "restart": trace_rays_lane_restart,
+          "single": None}[drv]
+
     def tracer(tb, pairs, rays, max_width=2, active=None):
         del max_width
         num = rays.origin.shape[0]
@@ -616,9 +753,14 @@ def make_lane_tracer(any_hit: bool = False, c_slots: int = None,
             rays = jax.tree.map(ext, rays)
             act = jnp.ones((num,), bool) if active is None else active
             active = jnp.concatenate([act, jnp.zeros((pad,), bool)])
-        rec, stats = trace_rays_lane_restart(
-            tb, pairs, rays, active=active, any_hit=any_hit,
-            c_slots=c_slots, chunk=chunk, budgets=budgets)
+        if fn is None:
+            rec, stats = trace_rays_lane_pallas(
+                tb, pairs, rays, active=active, any_hit=any_hit,
+                c_slots=c_slots, chunk=chunk)
+        else:
+            rec, stats = fn(
+                tb, pairs, rays, active=active, any_hit=any_hit,
+                c_slots=c_slots, chunk=chunk, budgets=budgets)
         if pad:
             rec = jax.tree.map(lambda a: a[:num], rec)
             stats = jax.tree.map(lambda a: a[:num], stats)

@@ -63,7 +63,8 @@ def _cosine_sample(normal, u):
 @partial(jax.jit, static_argnames=("compaction", "sort_cells", "cell_shift",
                                    "sample_next", "sort_kind", "leaf_shift"))
 def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
-                  alive, pixel, u_frame, max_t, compaction: bool = True,
+                  alive, pixel, u_frame, max_t, pair_loc=None,
+                  compaction: bool = True,
                   sort_cells: bool = False, cell_shift: int = 15,
                   sample_next: bool = True, sort_kind: str = "cell",
                   leaf_shift: int = 6):
@@ -129,7 +130,15 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
             octant = ((d[:, 0] > 0).astype(jnp.int32)
                       | ((d[:, 1] > 0).astype(jnp.int32) << 1)
                       | ((d[:, 2] > 0).astype(jnp.int32) << 2))
-            if sort_kind == "leaf":
+            if sort_kind == "tid":
+                # Subtree-locality key: the ORIGIN hit pair's treelet id
+                # (bvh/treelet.py pair_tid). Measured best bounce sort at
+                # 1M — 2518 (cell) / 1518 (128-pair blocks) / 1393 ms
+                # (tid) through the split kernel: subtree-ALIGNED groups
+                # beat same-granularity arbitrary blocks because a
+                # treelet's pairs share their whole deep path.
+                loc = pair_loc[jnp.maximum(rec.tri_id >> 1, 0)]
+            elif sort_kind == "leaf":
                 # Tree-locality key: the winning pair's index in the
                 # SORTED pair array is a space-filling-curve position at
                 # leaf granularity (finer than cell15 and aligned to the
@@ -210,8 +219,12 @@ def path_trace(
     shadow_tracer_bounce=None,
     bounce_tracer=None,
     bounce_trav=None,
+    pair_loc=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ([H, W, 3] float32 radiance, total rays traced).
+
+    ``pair_loc``: optional [P] int32 subtree-locality id per pair (e.g.
+    TreeletBVH.pair_tid); enables the measured-best 'tid' bounce sort.
 
     Python-level bounce loop over two jitted stages (trace, shade); the
     tracer is jit-cached by identity so every pass reuses one compiled
@@ -258,11 +271,16 @@ def path_trace(
         rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))
 
         u_frame = jax.random.uniform(k_dir, (num, 2))
+        # Bounce-compaction sort (measured, docs/TPU_NOTES.md "Lane
+        # kernel on hardware"): origin-subtree keys beat world-space
+        # cells — 'tid' (exact treelet alignment, needs pair_loc) then
+        # 'leaf' (pair-index blocks), both well ahead of 'cell'.
+        sort_kind = _os.environ.get("TPURT_BOUNCE_SORT") or (
+            "tid" if pair_loc is not None else "leaf")
         radiance, throughput, alive, pixel, rays = _jit_bounce_stage(
-            compaction, True, bounce < num_bounces,
-            _os.environ.get("TPURT_BOUNCE_SORT", "cell"))(
+            compaction, True, bounce < num_bounces, sort_kind)(
             scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
-            pixel, u_frame, max_t,
+            pixel, u_frame, max_t, pair_loc,
         )
 
     img = _finalize(radiance, pixel)
