@@ -147,6 +147,10 @@ def main():
     float(jnp.sum(sref.inner[0].astype(jnp.float32)))
     refit_ms = (time.perf_counter() - t0) / iters * 1000.0
     log(f"split-BVH refit (fixed topology): {refit_ms:.2f} ms/frame")
+    # HBM budget: the refit structures are dead from here on; holding
+    # them through the treelet/grid candidate builds below is what blew
+    # BENCH_r03 up (RESOURCE_EXHAUSTED mid-calibration).
+    del split0, packed0, sref
 
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
     # Split-BVH Pallas kernel (trace/split_pallas.py): C packet slots with
@@ -175,14 +179,18 @@ def main():
                                                   c_slots=8,
                                                   sort_mode="origin")
 
-    # Bounce-pass structure selection. TPURT_BOUNCE_TRACER forces
-    # 'split' or 'grid'; the default ('auto') CALIBRATES: it derives the
-    # frame's real first-bounce ray set once, times one pass through the
-    # packet kernel and one through the uniform-grid DDA tracer
-    # (bvh/grid.py, trace/grid_trace.py — both over the same pair rows),
-    # and picks the winner for the timed loop. The structures differ by
-    # ~an order of magnitude on incoherent rays depending on hardware
-    # behaviour, so a runtime choice beats a baked-in guess.
+    # Bounce-pass structure selection. The default ('auto') is the
+    # measured winner: the packet split kernel with the 'tid'
+    # (origin-treelet) bounce sort — round-4 hardware numbers on the
+    # 1M tid-sorted bounce set: split 1393 ms vs lane-wave 1588 / lane
+    # 1876 / lane-restart 1976 ms (benchmarks/probe_lane_kernel.py),
+    # and the grid lost round-2's calibration by 18.7x. The losing
+    # candidates stay available behind TPURT_BOUNCE_TRACER:
+    # 'lane' / 'grid' force them; 'auto-lane' / 'auto-grid' calibrate
+    # them against the split kernel on the frame's real bounce rays —
+    # so a backend change can re-open the contest without paying the
+    # 48 s + 376 MB treelet build (or the grid build) on every default
+    # bench run.
     bounce_trav = None
     choice = os.environ.get("TPURT_BOUNCE_TRACER", "auto")
     # Calibration deadline: each candidate costs a 1M-scale compile
@@ -193,7 +201,7 @@ def main():
 
     def _cal_time_left() -> bool:
         return time.monotonic() < _deadline
-    if choice == "auto" and jax.devices()[0].platform != "tpu":
+    if choice == "auto-lane" and jax.devices()[0].platform != "tpu":
         # the lane kernel only has an interpret-mode (python-loop) path
         # off-TPU — hopeless for a timed calibration; keep the split
         # kernel on CPU smoke runs
@@ -228,29 +236,58 @@ def main():
     # rays — trace/lane_pallas.py over bvh/treelet.py). Built BEFORE the
     # ray-set derivation so the calibration rays carry the production
     # 'tid' bounce sort (TreeletBVH.pair_tid -> path_trace pair_loc).
-    # Default "auto" calibrates split vs lane; the uniform grid lost its
-    # round-2 hardware calibration by 18.7x (docs/TPU_NOTES.md "Grid
-    # post-mortem") so it only runs under TPURT_BOUNCE_TRACER=grid or
-    # auto-grid. ----
+    # Demoted out of default 'auto' in round 4 on evidence (see the
+    # selection comment above): only 'lane' / 'auto-lane' pay its
+    # build. ----
     lane_tb = pair_loc = None
-    if choice in ("auto", "lane"):
-        from tpu_raytracing.bvh.treelet import build_treelet_auto
-        from tpu_raytracing.trace import lane_pallas as lp
+    if choice in ("auto-lane", "lane"):
+        # A calibration CANDIDATE must never kill the bench: the r03
+        # artifact was zeroed by an unguarded build_treelet_auto hitting
+        # a backend OOM here. Any failure -> log, fall back to split.
+        try:
+            from tpu_raytracing.bvh.treelet import build_treelet_auto
+            from tpu_raytracing.trace import lane_pallas as lp
 
-        t0 = time.perf_counter()
-        lane_tb, lane_packed = build_treelet_auto(_front(triangles))
-        jax.block_until_ready(lane_tb.tables)
-        # same front => same pair order as the split build's packed
-        assert lane_packed.rows.shape == packed.rows.shape
-        log(f"treelet build: {time.perf_counter() - t0:.1f} s, "
-            f"tables {lane_tb.tables.shape}")
-        pair_loc = lane_tb.pair_tid
+            t0 = time.perf_counter()
+            lane_tb, lane_packed = build_treelet_auto(_front(triangles))
+            jax.block_until_ready(lane_tb.tables)
+            # same front => same pair ORDER as the split build's packed
+            # (pair_loc indexes by the split tracer's tri_id) — check
+            # sampled row CONTENT, not just shapes
+            assert lane_packed.rows.shape == packed.rows.shape
+            assert bool(jnp.all(lane_packed.rows[::1009]
+                                == packed.rows[::1009])), (
+                "treelet build's pair order diverged from the split build")
+            log(f"treelet build: {time.perf_counter() - t0:.1f} s, "
+                f"tables {lane_tb.tables.shape}")
+            pair_loc = lane_tb.pair_tid
+        except Exception as e:
+            log(f"lane candidate skipped (treelet build failed): "
+                f"{type(e).__name__}: {e}")
+            lane_tb = pair_loc = None
+            if choice == "lane":
+                choice = "split"
+    if pair_loc is None:
+        # The 'tid' bounce sort is the round-3 headline lever for the
+        # SPLIT kernel too (2518 -> 1393 ms); derive pair->treelet ids
+        # via the classification-only path (no 0.5 GB table build).
+        try:
+            from tpu_raytracing.bvh.treelet import build_pair_tid
+
+            t0 = time.perf_counter()
+            pair_loc = jax.jit(build_pair_tid)(_front(triangles))
+            jax.block_until_ready(pair_loc)
+            log(f"pair-tid classification: {time.perf_counter() - t0:.1f} s")
+        except Exception as e:
+            log(f"tid bounce sort unavailable (falling back to 'leaf'): "
+                f"{type(e).__name__}: {e}")
+            pair_loc = None
 
     # The frame's real first-bounce ray set (primary trace + one bounce
     # stage, same sort key as the frame loop), shared by every
     # calibration below.
     rays0 = alive0 = rays_c = alive_c = None
-    if choice in ("auto", "auto-grid"):
+    if choice in ("auto-lane", "auto-grid"):
         from tpu_raytracing.trace import pathtrace as pt
         from tpu_raytracing.trace.ray import generate_primary_rays
 
@@ -275,22 +312,31 @@ def main():
         rays_c, alive_c = _cal_subset(rays_b, alive_b)
 
     if lane_tb is not None:
-        lane_bounce = lp.make_lane_tracer()
-        if choice == "auto":
-            fsp = jax.jit(lambda v, p, r, a, j: bounce_tracer(
-                v, p, r.replace(origin=r.origin + j), active=a))
-            fln = jax.jit(lambda t_, p, r, a, j: lane_bounce(
-                t_, p, r.replace(origin=r.origin + j), active=a))
-            ms_split = _cal_rays(fsp, views, rays_c, alive_c)
-            ms_lane = _cal_rays(fln, lane_tb, rays_c, alive_c)
-            log(f"bounce calibration: split {ms_split:.0f} ms, "
-                f"lane {ms_lane:.0f} ms (1/4 subset)")
-            choice = "lane" if ms_lane < ms_split else "split"
-        if choice == "lane":
-            bounce_trav = lane_tb
-            bounce_tracer = lane_bounce
-            log("bounce passes: per-lane treelet kernel "
-                f"({int(lane_tb.num_treelets)} treelets)")
+        try:
+            lane_bounce = lp.make_lane_tracer()
+            if choice == "auto-lane":
+                fsp = jax.jit(lambda v, p, r, a, j: bounce_tracer(
+                    v, p, r.replace(origin=r.origin + j), active=a))
+                fln = jax.jit(lambda t_, p, r, a, j: lane_bounce(
+                    t_, p, r.replace(origin=r.origin + j), active=a))
+                ms_split = _cal_rays(fsp, views, rays_c, alive_c)
+                ms_lane = _cal_rays(fln, lane_tb, rays_c, alive_c)
+                log(f"bounce calibration: split {ms_split:.0f} ms, "
+                    f"lane {ms_lane:.0f} ms (1/4 subset)")
+                choice = "lane" if ms_lane < ms_split else "split"
+            if choice == "lane":
+                bounce_trav = lane_tb
+                bounce_tracer = lane_bounce
+                log("bounce passes: per-lane treelet kernel "
+                    f"({int(lane_tb.num_treelets)} treelets)")
+        except Exception as e:  # a candidate may not kill the run
+            log(f"lane candidate skipped (calibration failed): "
+                f"{type(e).__name__}: {e}")
+            choice = "split" if choice in ("auto-lane", "lane") else choice
+        if choice != "lane":
+            # drop the ~0.5 GB treelet tables before the timed frames
+            # (pair_tid stays for the bounce sort)
+            lane_tb = None
     if choice in ("auto-grid", "grid"):
         from tpu_raytracing.bvh.grid import (
             auto_res3,

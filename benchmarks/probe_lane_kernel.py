@@ -113,7 +113,10 @@ def main():
 
     # ---- split kernel (views passed as jit ARGS — 376 MB closure
     # constants blow up program serialization) ----
-    need_split = ("S" in passes) or ("Q" in passes) or not lane_passes
+    # 'B' also needs views: its block runs the split kernel on the same
+    # sorted bounce set for the ratio (the Q/B block below)
+    need_split = (("S" in passes) or ("Q" in passes) or ("B" in passes)
+                  or not lane_passes)
     if need_split:
         views = jax.jit(sp.prep_split_views)(
             *jax.jit(lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW))(

@@ -117,3 +117,36 @@ def test_treelet_multi_round_cut(soup):
     np.testing.assert_allclose(
         np.where(both, t, 0.0), np.where(both, np.asarray(ref.t), 0.0),
         rtol=1e-5)
+
+
+def test_build_pair_tid_matches_full_build(soup):
+    # the classification-only pair->treelet mapping (bench's tid-sort
+    # path without the table build) must equal the full build's pair_tid
+    tris = jnp.asarray(soup.triangles)
+    front = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))(
+        tris)
+    ecap = 16  # force many treelets at soup scale
+    tcap = treelet.treelet_capacity(front, 8, ecap=ecap) + 8
+    tb, _ = jax.jit(lambda f: treelet.build_treelet(
+        f, tcap, leaf_width=8, ecap=ecap))(front)
+    pt = jax.jit(lambda f: treelet.build_pair_tid(
+        f, leaf_width=8, ecap=ecap))(front)
+    np.testing.assert_array_equal(np.asarray(pt), np.asarray(tb.pair_tid))
+
+
+def test_capacity_error_type(sphere):
+    # capacity overflows raise the DEDICATED type (so backend errors
+    # like device OOM never enter build_treelet_auto's retry handler)
+    tris = jnp.asarray(sphere.triangles)
+    front = jax.jit(lambda t: bucket.split_front(t, enable_pairs=False))(
+        tris)
+    need = treelet.treelet_capacity(front, 16)
+    if need <= 1:
+        pytest.skip("scene too small to overflow")
+    tb, _ = jax.jit(
+        lambda f: treelet.build_treelet(f, need - 1, leaf_width=16))(front)
+    with pytest.raises(treelet.TreeletCapacityError) as ei:
+        treelet.check_treelet_capacity(tb)
+    # a tcap overflow is the retryable kind
+    assert not ei.value.column_overflow
+    assert not isinstance(ei.value, jax.errors.JaxRuntimeError)

@@ -112,6 +112,81 @@ def build_accel(triangles, args, timer: StageTimer):
     return bvh, pairs
 
 
+def _profile_split_stages(triangles, enable_pairs: bool, leaf_width: int,
+                          iters: int = 2):
+    """Per-stage timing of the PRODUCTION bucket/split rebuild — the
+    reference's run()-wrapped kernel sequence for its flagship build
+    (src/BuildWrapper.cu:196-250 prints ~10 stages) mirrored for ours.
+
+    Stages are cumulative jits of the real pipeline functions (XLA fuses
+    across any finer cut); the printed per-stage ms is the delta between
+    consecutive cumulative times. Timing is fetch-based (this backend's
+    block_until_ready returns on dispatch) with vary-inputs, per
+    docs/TPU_NOTES.md "Measurement protocol".
+    """
+    import time as _time
+
+    from tpu_raytracing.bvh import bucket
+    from tpu_raytracing.trace import split_pallas as sp_mod
+
+    def fetch(out):
+        leaf = jax.tree.leaves(out)[0]
+        float(jnp.sum(jnp.ravel(leaf)[:4].astype(jnp.float32)))
+
+    def cum(fn):
+        f = jax.jit(fn)
+        fetch(f(triangles))  # compile + warm
+        t0 = _time.perf_counter()
+        for i in range(iters):
+            out = f(triangles + (i + 1) * 1e-5)
+        fetch(out)
+        return (_time.perf_counter() - t0) / iters * 1000.0
+
+    lw = leaf_width
+
+    def front(t):
+        return bucket.split_front(t, enable_pairs)
+
+    def tables(t):
+        fr = front(t)
+        n = fr[0].shape[0]
+        return fr, bucket.leaf_major_tables(fr[0], fr[5], n, 8)
+
+    def classify(t):
+        fr, (heads, starts, nxts, counts) = tables(t)
+        n = fr[0].shape[0]
+        live = jnp.arange(n, dtype=jnp.int32) < fr[5]
+        return fr, bucket.classify_split(
+            heads, starts, counts, live, fr[5], n, lw)
+
+    def aabb_table(t):
+        fr, cls = classify(t)
+        return fr, cls, bucket._range_min_table(fr[2], fr[3])
+
+    def emit(t):
+        return bucket.emit_split(front(t), leaf_width=lw)
+
+    def views(t):
+        return sp_mod.prep_split_views(*emit(t))
+
+    stages = [
+        ("MortonSortFront     ", front),     # codes + payload sorts + pairs
+        ("BucketTables        ", tables),    # head masks + 2 batched scans
+        ("Classification      ", classify),  # alive/branch/rows/eff tags
+        ("RangeMinAabbTable   ", aabb_table),
+        ("EmitScatter         ", emit),      # entry compaction + scatter
+        ("KernelViewPrep      ", views),     # pad/transpose to DMA views
+    ]
+    print("Split-build stage profile (cumulative-delta, "
+          f"{iters} warm iters)")
+    prev = 0.0
+    for name, fn in stages:
+        ms = cum(fn)
+        print(f"{name} time elapsed: {max(ms - prev, 0.0):f}ms")
+        prev = ms
+    print(f"SplitBuildTotal      time elapsed: {prev:f}ms")
+
+
 def orbit_camera(camera, scene, frame, num_frames):
     angle = math.pi / 2 + 2 * math.pi * frame / max(num_frames, 1)
     camera.yaw = angle
@@ -220,6 +295,10 @@ def main(argv=None):
 
             def _split_build(tris):
                 return _emit(_front(tris))
+
+            if args.profile_build:
+                _profile_split_stages(triangles, args.pairs,
+                                      sp_mod.LEAFW)
 
         _checked = []
         _frame0_split = []  # (split, rows0) stashed for --refit frames

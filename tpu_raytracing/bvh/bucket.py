@@ -794,27 +794,14 @@ def leaf_major_tables(sorted_codes, num_leaves, n: int, width: int):
     return heads, starts, nxts, counts
 
 
-def emit_split(
-    front, leaf_width: int = 16, inner_width: int = 8,
-) -> Tuple[SplitBVH, PackedPairs]:
-    """Emit the SplitBVH from a split_front result (see build_bucket_split)."""
-    assert inner_width in (8, 16), inner_width
-    assert leaf_width >= inner_width, (
-        f"leaf_width {leaf_width} < inner_width {inner_width}")
-    width = inner_width
-    (sorted_codes, packed, lo, hi, _ccount, num_leaves) = front
-    n = sorted_codes.shape[0]
+def classify_split(heads, starts, counts, live, num_leaves, n: int,
+                   leaf_width: int):
+    """Dense [L, n] classification + inner row ids + effective tags —
+    the middle of emit_split, shared with the app's --profile-build
+    stage table (so the printed stage times the production code).
 
-    # Zero sentinel pairs (same reasoning as v1: windows may overlap the
-    # padded tail; zero vertices never intersect).
-    iota = jnp.arange(n, dtype=jnp.int32)
-    live = iota < num_leaves
-    packed = PackedPairs(rows=jnp.where(live[:, None], packed.rows, 0))
-
-    heads, starts, nxts, counts = leaf_major_tables(
-        sorted_codes, num_leaves, n, width)
+    Returns (alive, branch, wid_dense, num_inner, effs)."""
     L = heads.shape[0]
-
     # --- dense classification (no gathers) ---
     small = (counts >= 1) & (counts <= leaf_width)
     chain = jnp.concatenate(
@@ -846,6 +833,32 @@ def emit_split(
                         jnp.where(branch[l], inner_tag[l], eff))
         effs[l] = eff
     effs = jnp.stack(effs, axis=0)  # [L, n]
+    return alive, branch, wid_dense, num_inner, effs
+
+
+def emit_split(
+    front, leaf_width: int = 16, inner_width: int = 8,
+) -> Tuple[SplitBVH, PackedPairs]:
+    """Emit the SplitBVH from a split_front result (see build_bucket_split)."""
+    assert inner_width in (8, 16), inner_width
+    assert leaf_width >= inner_width, (
+        f"leaf_width {leaf_width} < inner_width {inner_width}")
+    width = inner_width
+    (sorted_codes, packed, lo, hi, _ccount, num_leaves) = front
+    n = sorted_codes.shape[0]
+
+    # Zero sentinel pairs (same reasoning as v1: windows may overlap the
+    # padded tail; zero vertices never intersect).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    live = iota < num_leaves
+    packed = PackedPairs(rows=jnp.where(live[:, None], packed.rows, 0))
+
+    heads, starts, nxts, counts = leaf_major_tables(
+        sorted_codes, num_leaves, n, width)
+    L = heads.shape[0]
+
+    alive, branch, wid_dense, num_inner, effs = classify_split(
+        heads, starts, counts, live, num_leaves, n, leaf_width)
 
     # --- compacted entry list: (level >= 1, head, parent real) ---
     emask = heads[1:] & (alive[:-1] & branch[:-1]) & live[None, :]

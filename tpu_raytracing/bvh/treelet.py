@@ -64,6 +64,20 @@ ECAP = 128          # elements per treelet (one lane tile)
 INNER_WIDTH = 8     # entries per inner element
 
 
+class TreeletCapacityError(RuntimeError):
+    """The build overflowed one of its STATIC bounds (treelet count or
+    per-treelet element budget) and dropped geometry. Distinct from
+    jax.errors.JaxRuntimeError (which also subclasses RuntimeError):
+    backend failures like device OOM must NOT enter capacity-retry
+    handlers — BENCH_r03 died exactly that way."""
+
+    def __init__(self, msg: str, column_overflow: bool = False):
+        super().__init__(msg)
+        # True when a treelet exceeded its ECAP element budget — a
+        # bigger tcap cannot help, so retry loops must re-raise.
+        self.column_overflow = column_overflow
+
+
 @flax.struct.dataclass
 class TreeletBVH:
     """See the module docstring.
@@ -499,6 +513,34 @@ def build_treelet(
     return tb, packed
 
 
+def build_pair_tid(front, leaf_width: int = 16, ecap: int = ECAP):
+    """[n] int32 pair -> treelet id, WITHOUT building the tables.
+
+    The 'tid' bounce sort (trace/pathtrace.py sort_kind='tid') only
+    needs this mapping — deriving it from the classification alone
+    skips the ~0.5 GB table assembly + scatters, so the SPLIT kernel
+    can ride the measured 2518 -> 1393 ms bounce-sort win (docs/
+    TPU_NOTES.md "Lane kernel on hardware") with no treelet build.
+    Matches TreeletBVH.pair_tid exactly (same classification).
+    """
+    (sorted_codes, _packed, _lo, _hi, _cc, num_leaves) = front
+    n = sorted_codes.shape[0]
+    heads, starts, nxts, counts = leaf_major_tables(
+        sorted_codes, num_leaves, n, INNER_WIDTH)
+    cls = _classification(heads, starts, nxts, counts, num_leaves, n,
+                          leaf_width, ecap)
+    wstart, tid_cur = cls["wstart"], cls["tid_cur"]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # tid of each window at its start leaf: the unique alive&small level
+    w_lvl = jnp.argmax((heads & cls["alive"] & cls["small"])
+                       .astype(jnp.int32), axis=0)  # [n]
+    wtid_dense = jnp.take_along_axis(tid_cur, w_lvl[None, :], axis=0)[0]
+    # windows tile the live pair range contiguously in leaf order:
+    # nearest window start at-or-before each pair
+    seg = jax.lax.cummax(jnp.where(wstart, iota, -1))
+    return jnp.where(seg >= 0, wtid_dense[jnp.maximum(seg, 0)], 0)
+
+
 _BUILD_JIT_CACHE = {}
 
 
@@ -525,35 +567,44 @@ def build_treelet_auto(front, leaf_width: int = 16,
                 f, t, leaf_width=lw))
             _BUILD_JIT_CACHE[key] = fn
         tb, packed = fn(front)
+        # Backend errors (JaxRuntimeError, e.g. device OOM on the fetch)
+        # propagate untouched — only the dedicated capacity type retries,
+        # and the handler touches no device arrays (the overflow kind
+        # rides on the exception object).
         try:
             check_treelet_capacity(tb)
             return tb, packed
-        except RuntimeError as e:
+        except TreeletCapacityError as e:
             last = e
-            if int(tb.max_col) >= tb.tables.shape[2]:
+            if e.column_overflow:
                 raise  # element overflow — a bigger tcap cannot help
             tcap *= 2
     raise last
 
 
 def check_treelet_capacity(tb: TreeletBVH) -> None:
-    """Host-fetch guard: raise if the build overflowed its static bounds
-    (dropped elements would silently lose geometry). Call at frame 0 and
-    after guard-triggered rebuilds."""
+    """Host-fetch guard: raise TreeletCapacityError if the build
+    overflowed its static bounds (dropped elements would silently lose
+    geometry). Call at frame 0 and after guard-triggered rebuilds. The
+    device fetches happen BEFORE any raise, so a backend failure
+    surfaces as itself (JaxRuntimeError), never as a capacity error."""
     nt = int(tb.num_treelets)
+    mc = int(tb.max_col)
     tcap = tb.tables.shape[0]
+    ecap = tb.tables.shape[2]
+    # tcap overflow first: overflowed tids clamp into the last column
+    # bin, so a too-small tcap can ALSO present as a (spurious) column
+    # overflow — the retryable condition must win.
     if nt > tcap:
-        raise RuntimeError(
+        raise TreeletCapacityError(
             f"TreeletBVH overflow: {nt} treelets > static capacity "
             f"{tcap}; rebuild with a larger tcap "
             f"(bvh/treelet.py:build_treelet)")
-    mc = int(tb.max_col)
-    ecap = tb.tables.shape[2]
     if mc >= ecap:
-        raise RuntimeError(
+        raise TreeletCapacityError(
             f"TreeletBVH column overflow: an element wanted col {mc} >= "
             f"{ecap} — a treelet exceeded its element budget; geometry "
-            f"was dropped")
+            f"was dropped", column_overflow=True)
 
 
 # ---------------------------------------------------------------------

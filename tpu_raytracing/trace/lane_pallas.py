@@ -79,6 +79,15 @@ STACK = int(_os.environ.get("TPURT_LANE_STACK", "32"))
 # iterations cost a pop-only stack shift instead of a full-table gather
 # + Moller-Trumbore. 0 restores the unconditional body.
 SKIP = int(_os.environ.get("TPURT_LANE_SKIP", "1"))
+# Post-final recovery rounds (TPURT_LANE_RECOVER): after the unbudgeted
+# round, lanes whose stack watermark neared STACK may have dropped far
+# subtrees (circular rolls) — the kernel flags them in out row 7 and the
+# drivers re-run them from the root (tmax tightened to the carried
+# tbest) this many extra times. Each extra round over a mostly-finished
+# array costs ~1 drain iteration per packet. Depth pathologies that
+# survive every recovery round need TPURT_LANE_STACK sized to the
+# worst case (~7 x tree depth; 128 covered the 1M scenes).
+RECOVER = int(_os.environ.get("TPURT_LANE_RECOVER", "2"))
 
 _F32_MAX = float(jnp.finfo(jnp.float32).max)
 _TRI_EPS = 1e-9
@@ -610,6 +619,11 @@ def trace_rays_lane_restart(
     accepted hit beats it. The last round runs unbudgeted. No host
     syncs: every round is full-width with finished rays masked dead
     (all-dead packets drain in ~1 iteration).
+
+    Stack-overflow recovery: an UNBUDGETED round can still flag lanes
+    whose stack watermark neared STACK (circular rolls may have dropped
+    far subtrees); RECOVER extra unbudgeted rounds re-run exactly those
+    lanes from the root, so a too-small stack costs time, not hits.
     """
     from tpu_raytracing.ops.gather import take_rows
 
@@ -623,7 +637,7 @@ def trace_rays_lane_restart(
         c_slots=c_slots, chunk=chunk, budget=budgets[0] if budgets else 0)
     want = out[:, 7, :].astype(jnp.int32).reshape(num)
     box, trit = stats.box_tests, stats.tri_tests
-    for b in list(budgets[1:]) + [0]:
+    for b in list(budgets[1:]) + [0] * (1 + RECOVER):
         key = jnp.where(want > 0, want, _BIG)
         perm = jnp.argsort(key)
         inv = jnp.argsort(perm)
@@ -685,14 +699,19 @@ def trace_rays_lane_wave(
     cur_rays, cur_act, state = rays, active, None
     box = jnp.zeros((num,), jnp.int32)
     trit = jnp.zeros((num,), jnp.int32)
-    for b in list(budgets) + [0]:
+    # Post-final rounds: an unbudgeted round completes every lane EXCEPT
+    # those flagged overflowed (out row 7) — the regroup below resets
+    # them to from-the-root restarts and the next unbudgeted round
+    # re-runs them (RECOVER attempts; see the module RECOVER comment).
+    rounds = list(budgets) + [0] * (1 + RECOVER)
+    for i, b in enumerate(rounds):
         (t, tri), st2, out, state = trace_rays_lane_pallas(
             tb, packed, cur_rays, active=cur_act, any_hit=any_hit,
             raw=True, c_slots=c_slots, chunk=chunk, budget=b, state=state)
         box = box + st2.box_tests
         trit = trit + st2.tri_tests
-        if b == 0:
-            break  # unbudgeted: every lane ran to completion
+        if i == len(rounds) - 1:
+            break
         want = out[:, 7, :].astype(jnp.int32).reshape(num)
         mxd = out[:, 6, :].astype(jnp.int32).reshape(num)
         ovf = (want > 0) & (mxd > STACK - 8)
@@ -739,9 +758,15 @@ def make_lane_tracer(any_hit: bool = False, c_slots: int = None,
     multiple batches are edge-padded with dead rays (empty [tmax, tmin]
     interval, active False) and the outputs sliced back."""
     drv = DRIVER if driver is None else driver
+    # 'single' = one unbudgeted launch, but still through the restart
+    # driver with an empty budget list so flagged stack-overflow lanes
+    # get the RECOVER re-runs (a bare trace_rays_lane_pallas call has no
+    # recovery and could silently drop hits with a small STACK).
     fn = {"wave": trace_rays_lane_wave,
           "restart": trace_rays_lane_restart,
-          "single": None}[drv]
+          "single": trace_rays_lane_restart}[drv]
+    if drv == "single":
+        budgets = ()
 
     def tracer(tb, pairs, rays, max_width=2, active=None):
         del max_width
@@ -753,14 +778,9 @@ def make_lane_tracer(any_hit: bool = False, c_slots: int = None,
             rays = jax.tree.map(ext, rays)
             act = jnp.ones((num,), bool) if active is None else active
             active = jnp.concatenate([act, jnp.zeros((pad,), bool)])
-        if fn is None:
-            rec, stats = trace_rays_lane_pallas(
-                tb, pairs, rays, active=active, any_hit=any_hit,
-                c_slots=c_slots, chunk=chunk)
-        else:
-            rec, stats = fn(
-                tb, pairs, rays, active=active, any_hit=any_hit,
-                c_slots=c_slots, chunk=chunk, budgets=budgets)
+        rec, stats = fn(
+            tb, pairs, rays, active=active, any_hit=any_hit,
+            c_slots=c_slots, chunk=chunk, budgets=budgets)
         if pad:
             rec = jax.tree.map(lambda a: a[:num], rec)
             stats = jax.tree.map(lambda a: a[:num], stats)

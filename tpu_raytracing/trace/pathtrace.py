@@ -277,6 +277,10 @@ def path_trace(
         # 'leaf' (pair-index blocks), both well ahead of 'cell'.
         sort_kind = _os.environ.get("TPURT_BOUNCE_SORT") or (
             "tid" if pair_loc is not None else "leaf")
+        if sort_kind == "tid" and pair_loc is None:
+            # env-forced 'tid' without a pair_loc table (e.g. the app's
+            # non-lane paths) would index None — same-family fallback
+            sort_kind = "leaf"
         radiance, throughput, alive, pixel, rays = _jit_bounce_stage(
             compaction, True, bounce < num_bounces, sort_kind)(
             scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
