@@ -114,9 +114,10 @@ def main():
     # ---- split kernel (views passed as jit ARGS — 376 MB closure
     # constants blow up program serialization) ----
     # 'B' also needs views: its block runs the split kernel on the same
-    # sorted bounce set for the ratio (the Q/B block below)
+    # sorted bounce set for the ratio (the Q/B block below); 'H' (shadow
+    # sort ablation) traces bounce hits + shadows through it too
     need_split = (("S" in passes) or ("Q" in passes) or ("B" in passes)
-                  or not lane_passes)
+                  or ("H" in passes) or not lane_passes)
     if need_split:
         views = jax.jit(sp.prep_split_views)(
             *jax.jit(lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW))(
@@ -245,6 +246,16 @@ def main():
         timed(f"R lane restart budgets={budgets}",
               lambda r: fr(tb, packed, r, act), bsort, n_act)
 
+    # ---- V: treelet-major no-switch phase driver on the bounce set ----
+    if "V" in passes:
+        ph = int(os.environ.get("TPURT_LANE_PHASES", "10"))
+        fv = jax.jit(functools.partial(
+            lambda t, p, r, a, phases: lane_pallas.trace_rays_lane_phase(
+                t, p, r, active=a, raw=True, phases=phases)[0][0],
+            phases=ph))
+        timed(f"V lane phase phases={ph}",
+              lambda r: fv(tb, packed, r, act), bsort, n_act)
+
     # ---- W: suspend/resume wave driver on the bounce set ----
     if "W" in passes:
         wb = tuple(int(x) for x in os.environ.get(
@@ -255,6 +266,64 @@ def main():
             budgets=wb))
         timed(f"W lane wave budgets={wb}",
               lambda r: fw(tb, packed, r, act), bsort, n_act)
+
+    # ---- H: shadow sort-key ablation (round-4 VERDICT #4) ----
+    # The REAL scattered-origin shadow workload: bounce closest hits ->
+    # one occlusion ray each toward the light. Production today re-sorts
+    # by origin Morton cell (bench.py shadow_tracer_b sort_mode=
+    # 'origin'); the round-3 insight says origin-SUBTREE keys (the hit
+    # pair's treelet id / pair index) should predict the traversal
+    # working set better here too.
+    if "H" in passes:
+        spb_full = sp.make_split_pallas_tracer(
+            None, None, RES, RES, k=256, c_slots=16, sort_mode="presorted")
+        rec_j = jax.jit(lambda v, p, r, a: (lambda rec: (
+            rec.t, jnp.where(rec.hit, rec.tri_id, -1)))(
+            spb_full(v, p, r, active=a)[0]))
+        bt, btri = jax.block_until_ready(rec_j(views, packed, bsort, act))
+        bhit = btri >= 0
+        n_sh = int(jnp.sum(bhit))
+        log(f"shadow set: {n_sh}/{nrays} live (bounce hits)")
+        hp2 = bsort.origin + bsort.direction * bt[:, None]
+        light = jnp.asarray(
+            [float(scene.aabb_min[0] + scene.aabb_max[0]) / 2,
+             float(scene.aabb_max[1]) * 2.0,
+             float(scene.aabb_min[2] + scene.aabb_max[2]) / 2], jnp.float32)
+        sd = light[None, :] - hp2
+        dist = jnp.linalg.norm(sd, axis=1)
+        sdir = sd / jnp.maximum(dist, 1e-20)[:, None]
+        srays = Rays(origin=hp2, direction=sdir,
+                     tmin=jnp.full((nrays,), 1e-3, jnp.float32),
+                     tmax=jnp.maximum(dist - 2e-3, 1e-3))
+        cell2 = morton3d(
+            (hp2 - jnp.min(hp2, axis=0))
+            / jnp.maximum(jnp.max(hp2, axis=0) - jnp.min(hp2, axis=0),
+                          1e-20)).astype(jnp.int32)
+        pid2 = jnp.maximum(btri, 0) // 2
+        tid2 = tb.pair_tid[pid2]
+        dead2 = (~bhit).astype(jnp.int32)
+        keys = {
+            "none (bounce order)": None,
+            "origin cell>>2 (production)": cell2 >> 2,
+            "tid (hit treelet)": tid2,
+            "pair (hit pair idx)": pid2,
+            "pairq (pair>>7)": pid2 >> 7,
+        }
+        sh_tr = sp.make_split_pallas_tracer(
+            None, None, RES, RES, k=256, any_hit=True, c_slots=8,
+            sort_mode="presorted")
+        sh_j = jax.jit(lambda v, p, r, a: sh_tr(v, p, r, active=a)[0].hit)
+        for name, key in keys.items():
+            if key is None:
+                sr, sa = srays, bhit
+            else:
+                perm = jnp.argsort((dead2 << 30) | key, stable=True)
+                sr = jax.tree.map(lambda a: take_rows(a, perm), srays)
+                sa = bhit[perm]
+            sr, sa = jax.block_until_ready((sr, sa))
+            out, _ = timed(f"H shadow [{name}]",
+                           lambda r: sh_j(views, packed, r, sa), sr, n_sh)
+            log(f"  occluded: {int(jnp.sum(out & sa))}/{n_sh}")
 
     # ---- T: chunk sweep on the bounce set (scheduler-check period) ----
     if "T" in passes:

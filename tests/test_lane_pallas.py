@@ -192,3 +192,41 @@ def test_lane_wave_dead_lanes_anyhit(sphere):
     rec2, _ = lane_pallas.trace_rays_lane_wave(
         tb, packed, rays, active=active, budgets=(4,), any_hit=True)
     np.testing.assert_array_equal(np.asarray(rec2.hit), rhit)
+
+
+def test_lane_phase(soup):
+    # Treelet-major no-switch rounds (trace_rays_lane_phase): with more
+    # than one treelet the drains + regroups + final switching round
+    # must compose to exactly the brute-force hit set.
+    tris, tb, packed = _build(soup, True)
+    assert int(tb.num_treelets) > 1
+    rays = _rays(soup)
+    rec, stats = lane_pallas.trace_rays_lane_phase(
+        tb, packed, rays, phases=3)
+    ref = brute_force_trace(tris, rays)
+    np.testing.assert_array_equal(np.asarray(rec.hit), np.asarray(ref.hit))
+    both = np.asarray(rec.hit)
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(rec.t), 0.0),
+        np.where(both, np.asarray(ref.t), 0.0), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.where(both, np.asarray(rec.prim_id), 0),
+        np.where(both, np.asarray(ref.prim_id), 0))
+    # resume never re-pays the descent: box tests stay in the
+    # single-launch ballpark (scheduler slack allowed)
+    rec1, st1 = lane_pallas.trace_rays_lane_pallas(tb, packed, rays)
+    assert int(np.sum(np.asarray(stats.box_tests))) <= int(
+        1.2 * np.sum(np.asarray(st1.box_tests)) + 64)
+
+
+def test_lane_phase_dead_lanes_anyhit(sphere):
+    # phase driver with dead lanes + any-hit mode (the shadow regime)
+    tris, tb, packed = _build(sphere, True)
+    rays = _rays(sphere)
+    num = rays.origin.shape[0]
+    active = (jnp.arange(num) % 3) != 0
+    rec, _ = lane_pallas.trace_rays_lane_phase(
+        tb, packed, rays, active=active, any_hit=True, phases=2)
+    ref = brute_force_trace(tris, rays)
+    np.testing.assert_array_equal(
+        np.asarray(rec.hit), np.asarray(ref.hit) & np.asarray(active))

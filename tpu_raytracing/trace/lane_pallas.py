@@ -108,7 +108,8 @@ def _lane_kernel(tables, rays_hbm, state_hbm, root_smem, out_hbm, state_out,
                  tab, ray_scr, cur, stk, tbest, tribest, cbox, ctri,
                  ctid_v, aux, out_stage, st_stage, cur_tid, done, cursor,
                  cnt, sem_tab, sem_ray, sem_out, sem_state,
-                 *, wh, lw, c_slots, any_hit, max_outer, chunk, budget=0):
+                 *, wh, lw, c_slots, any_hit, max_outer, chunk, budget=0,
+                 no_switch=False):
     """See the module docstring. Shapes:
 
     tables [T, wh, 128] f32 HBM; rays_hbm [num_p, 8, 128] f32 HBM;
@@ -380,14 +381,30 @@ def _lane_kernel(tables, rays_hbm, state_hbm, root_smem, out_hbm, state_out,
         def _count():
             cnt[2 * p] = cnt[2 * p] + chunk
 
+        # no_switch (treelet-major phase mode): a slot may align its
+        # table to the packet's wanted treelet ONCE right after refill
+        # (the driver feeds tid-grouped packets, so this is the packet's
+        # shared table); any later mismatch DRAINS the packet instead of
+        # serializing table switches — the driver regroups lanes by
+        # wanted treelet between rounds.
+        if no_switch:
+            may_switch = cnt[2 * p] <= chunk
+        else:
+            may_switch = jnp.logical_not(is_done)  # i.e. always
+
         @pl.when(jnp.logical_not(is_done) & (n_match == 0)
-                 & (m_want < _BIG) & jnp.logical_not(over))
+                 & (m_want < _BIG) & jnp.logical_not(over) & may_switch)
         def _switch():
             cnt[2 * p + 1] = cnt[2 * p + 1] + 1
             load_table(p, m_want)
 
-        @pl.when(jnp.logical_not(is_done)
-                 & ((m_want >= _BIG) | over))
+        if no_switch:
+            drain_cond = ((m_want >= _BIG) | over
+                          | ((n_match == 0) & jnp.logical_not(may_switch)))
+        else:
+            drain_cond = (m_want >= _BIG) | over
+
+        @pl.when(jnp.logical_not(is_done) & drain_cond)
         def _drain():
             # stage + write out, then refill or retire the slot
             out_stage[p, 0:1] = tbest[p][0:1]
@@ -504,7 +521,7 @@ def init_state(root_tid, tmax, active=None):
 def trace_rays_lane_pallas(
     tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
     any_hit: bool = False, c_slots: int = None, raw: bool = False,
-    chunk: int = None, budget: int = 0, state=None,
+    chunk: int = None, budget: int = 0, state=None, no_switch: bool = False,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit (or any-hit) trace against a TreeletBVH.
 
@@ -552,7 +569,7 @@ def trace_rays_lane_pallas(
     out, state_out = pl.pallas_call(
         functools.partial(_lane_kernel, wh=wh, lw=lw, c_slots=cc,
                           any_hit=any_hit, max_outer=max_outer, chunk=ck,
-                          budget=budget),
+                          budget=budget, no_switch=no_switch),
         in_specs=[hbm, hbm, hbm, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[hbm, hbm],
         out_shape=[jax.ShapeDtypeStruct((num_p, 8, 128), jnp.float32),
@@ -745,9 +762,82 @@ def trace_rays_lane_wave(
     return rec, stats
 
 
+def trace_rays_lane_phase(
+    tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
+    any_hit: bool = False, c_slots: int = None, raw: bool = False,
+    chunk: int = None, budgets=None, phases: int = None,
+) -> Tuple[HitRecord, TraceStats]:
+    """Treelet-MAJOR scheduling: the round-4 utilization design.
+
+    The wave driver regroups lanes by wanted treelet but each round
+    still serializes table switches once lanes re-diverge, so measured
+    utilization stayed ~9% (docs/TPU_NOTES.md round 4). This driver
+    removes in-round switching entirely: every round runs the kernel in
+    ``no_switch`` mode — a slot aligns its table to its packet's wanted
+    treelet once at refill, then any all-lane mismatch DRAINS the packet
+    (full continuation state out). Between rounds lanes are regrouped by
+    wanted treelet, so each round's packets are single-treelet tiles and
+    a resident table always serves lanes that want exactly it. A final
+    switching round (plus RECOVER overflow re-runs) completes the
+    stragglers. ``phases`` bounds the no-switch rounds
+    (TPURT_LANE_PHASES, default 10).
+    """
+    from tpu_raytracing.ops.gather import take_rows
+
+    del budgets
+    if phases is None:
+        phases = int(_os.environ.get("TPURT_LANE_PHASES", "10"))
+    num = rays.origin.shape[0]
+    num_p = num // 128
+    root = tb.root_tid.astype(jnp.int32)
+    orig = jnp.arange(num, dtype=jnp.int32)
+    cur_rays, cur_act, state = rays, active, None
+    box = jnp.zeros((num,), jnp.int32)
+    trit = jnp.zeros((num,), jnp.int32)
+    rounds = [True] * phases + [False] * (1 + RECOVER)
+    for i, ns in enumerate(rounds):
+        (t, tri), st2, out, state = trace_rays_lane_pallas(
+            tb, packed, cur_rays, active=cur_act, any_hit=any_hit,
+            raw=True, c_slots=c_slots, chunk=chunk, budget=0, state=state,
+            no_switch=ns)
+        box = box + st2.box_tests
+        trit = trit + st2.tri_tests
+        if i == len(rounds) - 1:
+            break
+        want = out[:, 7, :].astype(jnp.int32).reshape(num)
+        mxd = out[:, 6, :].astype(jnp.int32).reshape(num)
+        ovf = (want > 0) & (mxd > STACK - 8)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (1, SROWS, 1), 1)
+        st_reset = jnp.where(rowi == 0, (root << 9) | 1,
+                             jnp.where(rowi < 3, state, 0))
+        state = jnp.where(
+            jnp.broadcast_to(ovf.reshape(num_p, 1, 128),
+                             (num_p, SROWS, 128)),
+            st_reset, state)
+        want = jnp.where(ovf, root + 1, want)
+        key = jnp.where(want > 0, want, _BIG)
+        perm = jnp.argsort(key, stable=True)
+        pst = state.transpose(0, 2, 1).reshape(num, SROWS)
+        pst = take_rows(pst, perm)
+        state = pst.reshape(num_p, 128, SROWS).transpose(0, 2, 1)
+        cur_rays = jax.tree.map(lambda a: take_rows(a, perm), cur_rays)
+        box, trit, orig = box[perm], trit[perm], orig[perm]
+        cur_act = None
+    inv = jnp.argsort(orig)
+    t, tri = t[inv], tri[inv]
+    stats = TraceStats(box_tests=box[inv], tri_tests=trit[inv])
+    if any_hit:
+        t = rays.tmax
+    if raw:
+        return (t, tri), stats
+    rec = _reconstruct(packed, rays, t, tri)
+    return rec, stats
+
+
 # Driver over the kernel (TPURT_LANE_DRIVER): 'wave' = suspend/resume
-# rounds with treelet regrouping (default), 'restart' = budget rounds
-# restarting from the root, 'single' = one unbudgeted launch.
+# rounds with treelet regrouping (default), 'phase' = no-switch
+# treelet-major rounds (trace_rays_lane_phase), 'restart' = budget
+# rounds restarting from the root, 'single' = one unbudgeted launch.
 DRIVER = _os.environ.get("TPURT_LANE_DRIVER", "wave")
 
 
@@ -763,6 +853,7 @@ def make_lane_tracer(any_hit: bool = False, c_slots: int = None,
     # get the RECOVER re-runs (a bare trace_rays_lane_pallas call has no
     # recovery and could silently drop hits with a small STACK).
     fn = {"wave": trace_rays_lane_wave,
+          "phase": trace_rays_lane_phase,
           "restart": trace_rays_lane_restart,
           "single": trace_rays_lane_restart}[drv]
     if drv == "single":

@@ -19,6 +19,8 @@ coherently.
 from __future__ import annotations
 
 import os as _os
+import sys as _sys
+import time as _time
 from functools import partial
 from typing import Tuple
 
@@ -260,14 +262,32 @@ def path_trace(
     rays_traced = 0
     max_t = camera["max_depth"]
 
+    # TPURT_PT_PROFILE=1: per-pass wall times to stderr (each pass gets
+    # a completion fetch, so pipelining across passes is deliberately
+    # broken — diagnosis mode, not the production timing path).
+    _prof = _os.environ.get("TPURT_PT_PROFILE") == "1"
+
+    def _tick(label, x, t0):
+        if not _prof:
+            return 0.0
+        leaf = jax.tree.leaves(x)[0]
+        float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
+        ms = (_time.perf_counter() - t0) * 1000.0
+        print(f"  pt pass {label}: {ms:.0f} ms", file=_sys.stderr,
+              flush=True)
+        return _time.perf_counter()
+
     trav_b = trav if bounce_trav is None else bounce_trav
     for bounce in range(num_bounces + 1):
         key, k_dir = jax.random.split(key)
+        t0 = _time.perf_counter()
         ct = traced if bounce == 0 else traced_b
         rec, _stats = ct(trav if bounce == 0 else trav_b, pairs, rays, alive)
+        t0 = _tick(f"closest b{bounce}", rec.t, t0)
         st = shadow_traced if bounce == 0 else shadow_traced_b
         srec, _ = st(trav if bounce == 0 else trav_b, pairs,
                      _jit_shadow(scene, rays, rec), alive)
+        t0 = _tick(f"shadow  b{bounce}", srec.hit, t0)
         rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))
 
         u_frame = jax.random.uniform(k_dir, (num, 2))
@@ -286,6 +306,7 @@ def path_trace(
             scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
             pixel, u_frame, max_t, pair_loc,
         )
+        _tick(f"shade   b{bounce}", radiance, t0)
 
     img = _finalize(radiance, pixel)
     return img.reshape(height, width, 3), rays_traced
