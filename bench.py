@@ -171,13 +171,15 @@ def main():
         None, None, res, res, k=256, c_slots=16, sort_mode="presorted")
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
                                                 any_hit=True, c_slots=4)
-    # Shadow rays originate at the bounce HIT points, not at the origins
-    # the compaction sorted by — they need their own origin-Morton sort
-    # (measured 273 vs 442 ms presorted, benchmarks/measure_skip.py).
+    # Shadow rays originate at the bounce HIT points — path_trace now
+    # permutes them by the hit's PAIR INDEX before this tracer runs
+    # (round-4 ablation: 43 ms vs 293 ms origin-Morton vs 363 unsorted
+    # on the real 1M shadow set — probe_lane_kernel.py pass H), so the
+    # tracer itself consumes them presorted.
     shadow_tracer_b = sp.make_split_pallas_tracer(None, None, res, res,
                                                   k=256, any_hit=True,
                                                   c_slots=8,
-                                                  sort_mode="origin")
+                                                  sort_mode="presorted")
 
     # Bounce-pass structure selection. The default ('auto') is the
     # measured winner: the packet split kernel with the 'tid'

@@ -132,7 +132,23 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
             octant = ((d[:, 0] > 0).astype(jnp.int32)
                       | ((d[:, 1] > 0).astype(jnp.int32) << 1)
                       | ((d[:, 2] > 0).astype(jnp.int32) << 2))
-            if sort_kind == "tid":
+            if sort_kind == "tid_cell":
+                # The probe's exact winning key (probe_lane_kernel
+                # 'tid'): treelet major, octant, then coarse origin cell
+                # MINOR — orders rays spatially WITHIN a (treelet,
+                # octant) group too.
+                from tpu_raytracing.ops.morton import morton3d as _m3
+
+                tid = pair_loc[jnp.maximum(rec.tri_id >> 1, 0)]
+                o = new_rays.origin
+                lo_ = jnp.min(o, axis=0)
+                hi_ = jnp.max(o, axis=0)
+                cellm = _m3((o - lo_) / jnp.maximum(hi_ - lo_, 1e-20)
+                            ).astype(jnp.int32)
+                key = (((~alive).astype(jnp.int32) << 30)
+                       | ((tid & 0xFFF) << 18) | (octant << 15)
+                       | ((cellm >> 15) & 0x7FFF))
+            elif sort_kind == "tid":
                 # Subtree-locality key: the ORIGIN hit pair's treelet id
                 # (bvh/treelet.py pair_tid). Measured best bounce sort at
                 # 1M — 2518 (cell) / 1518 (128-pair blocks) / 1393 ms
@@ -153,7 +169,9 @@ def _bounce_stage(scene, pairs, rays, rec, srec_hit, throughput, radiance,
                 hi = jnp.max(o, axis=0)
                 norm = (o - lo) / jnp.maximum(hi - lo, 1e-20)
                 loc = morton3d(norm).astype(jnp.int32) >> cell_shift
-            key = ((~alive).astype(jnp.int32) << 30) | (loc << 3) | octant
+            if sort_kind != "tid_cell":  # tid_cell built its key above
+                key = (((~alive).astype(jnp.int32) << 30)
+                       | (loc << 3) | octant)
         else:
             key = (~alive).astype(jnp.int32)
         # NOTE: replacing this argsort + permutation gathers with two
@@ -277,6 +295,15 @@ def path_trace(
               flush=True)
         return _time.perf_counter()
 
+    # Bounce-shadow sort: occlusion rays originate at the NEW hit
+    # points, so the ray array's compaction order (keyed by the
+    # PREVIOUS bounce's hits) is stale for them. Round-4 ablation on
+    # the real 1M scattered shadow set (benchmarks/probe_lane_kernel.py
+    # pass H): hit-PAIR-index key 43 ms vs origin-Morton re-sort 293 ms
+    # vs unsorted 363 ms — the hit pair is a finer space-filling-curve
+    # position than any world-space cell. Default on; the shadow tracer
+    # for bounce >= 1 should be a 'presorted' any-hit config.
+    shadow_sort = _os.environ.get("TPURT_SHADOW_SORT", "pair")
     trav_b = trav if bounce_trav is None else bounce_trav
     for bounce in range(num_bounces + 1):
         key, k_dir = jax.random.split(key)
@@ -285,10 +312,22 @@ def path_trace(
         rec, _stats = ct(trav if bounce == 0 else trav_b, pairs, rays, alive)
         t0 = _tick(f"closest b{bounce}", rec.t, t0)
         st = shadow_traced if bounce == 0 else shadow_traced_b
-        srec, _ = st(trav if bounce == 0 else trav_b, pairs,
-                     _jit_shadow(scene, rays, rec), alive)
-        t0 = _tick(f"shadow  b{bounce}", srec.hit, t0)
-        rays_traced = rays_traced + 2 * jnp.sum(alive.astype(jnp.int32))
+        if bounce >= 1 and shadow_sort == "pair":
+            srt, act_s, inv_s = _jit_shadow_pair(scene, rays, rec, alive)
+            srec, _ = st(trav_b, pairs, srt, act_s)
+            srec_hit = _jit_unperm(srec.hit, inv_s)
+            n_shadow = jnp.sum(act_s.astype(jnp.int32))
+        else:
+            srec, _ = st(trav if bounce == 0 else trav_b, pairs,
+                         _jit_shadow(scene, rays, rec), alive)
+            srec_hit = srec.hit
+            n_shadow = jnp.sum(alive.astype(jnp.int32))
+        t0 = _tick(f"shadow  b{bounce}", srec_hit, t0)
+        # honest accounting: the pair-sorted shadow pass masks rays
+        # whose closest trace MISSED (they contribute no NEE term), so
+        # only genuinely-traced shadow rays count toward the metric
+        rays_traced = (rays_traced + jnp.sum(alive.astype(jnp.int32))
+                       + n_shadow)
 
         u_frame = jax.random.uniform(k_dir, (num, 2))
         # Bounce-compaction sort (measured, docs/TPU_NOTES.md "Lane
@@ -297,13 +336,13 @@ def path_trace(
         # 'leaf' (pair-index blocks), both well ahead of 'cell'.
         sort_kind = _os.environ.get("TPURT_BOUNCE_SORT") or (
             "tid" if pair_loc is not None else "leaf")
-        if sort_kind == "tid" and pair_loc is None:
+        if sort_kind in ("tid", "tid_cell") and pair_loc is None:
             # env-forced 'tid' without a pair_loc table (e.g. the app's
             # non-lane paths) would index None — same-family fallback
             sort_kind = "leaf"
         radiance, throughput, alive, pixel, rays = _jit_bounce_stage(
             compaction, True, bounce < num_bounces, sort_kind)(
-            scene, pairs, rays, rec, srec.hit, throughput, radiance, alive,
+            scene, pairs, rays, rec, srec_hit, throughput, radiance, alive,
             pixel, u_frame, max_t, pair_loc,
         )
         _tick(f"shade   b{bounce}", radiance, t0)
@@ -328,3 +367,27 @@ def _jitted_tracer(tracer):
 
 
 _jit_shadow = jax.jit(_shadow_rays)
+
+
+@jax.jit
+def _jit_shadow_pair(scene, rays, rec, alive):
+    """Bounce-shadow rays permuted by their origin HIT's pair index
+    (see the ablation comment in path_trace); rays that missed are
+    masked dead AND sunk to the back — they contribute no NEE term, so
+    tracing them was pure waste. Returns (sorted rays, sorted active,
+    inverse permutation for the .hit un-permute)."""
+    from tpu_raytracing.ops.gather import take_rows
+
+    srays = _shadow_rays(scene, rays, rec)
+    act = alive & rec.hit
+    key = (((~act).astype(jnp.int32) << 30)
+           | (jnp.maximum(rec.tri_id, 0) >> 1))
+    perm = jnp.argsort(key, stable=True)
+    inv = jnp.argsort(perm)
+    srt = jax.tree.map(lambda a: take_rows(a, perm), srays)
+    return srt, act[perm], inv
+
+
+@jax.jit
+def _jit_unperm(hit, inv):
+    return hit[inv]
