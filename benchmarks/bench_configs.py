@@ -184,7 +184,7 @@ def config3():
         sort_mode="presorted")
     shadow_b = sp.make_split_pallas_tracer(None, None, w, h, k=256,
                                            any_hit=True, c_slots=8,
-                                           sort_mode="origin")
+                                           sort_mode="presorted")
 
     def frame(key, j):
         cam_j = dict(camera)
@@ -315,7 +315,7 @@ def config5():
         sort_mode="presorted")
     shadow_b = sp.make_split_pallas_tracer(None, None, res, res, k=256,
                                            any_hit=True, c_slots=8,
-                                           sort_mode="origin")
+                                           sort_mode="presorted")
 
     # warm-up frame (compiles)
     split, packed, _ = sched.step(tris, None)

@@ -375,16 +375,28 @@ def _jit_shadow_pair(scene, rays, rec, alive):
     (see the ablation comment in path_trace); rays that missed are
     masked dead AND sunk to the back — they contribute no NEE term, so
     tracing them was pure waste. Returns (sorted rays, sorted active,
-    inverse permutation for the .hit un-permute)."""
-    from tpu_raytracing.ops.gather import take_rows
+    inverse permutation for the .hit un-permute).
 
-    srays = _shadow_rays(scene, rays, rec)
+    Only the 3-channel hit POSITION is permuted; direction/tmin/tmax
+    are recomputed from it after the gather (same math as
+    render._shadow_rays) — half the permute bytes of sorting the built
+    rays."""
+    from tpu_raytracing.ops.gather import take_rows
+    from tpu_raytracing.trace.render import SHADOW_TMIN as _ST
+
     act = alive & rec.hit
     key = (((~act).astype(jnp.int32) << 30)
            | (jnp.maximum(rec.tri_id, 0) >> 1))
     perm = jnp.argsort(key, stable=True)
     inv = jnp.argsort(perm)
-    srt = jax.tree.map(lambda a: take_rows(a, perm), srays)
+    hit_pos = rays.origin + rays.direction * rec.t[:, None]
+    hp = take_rows(hit_pos, perm)
+    to_light = scene.light - hp
+    dist = jnp.linalg.norm(to_light, axis=-1)
+    srt = Rays(origin=hp,
+               direction=to_light / jnp.maximum(dist, 1e-30)[:, None],
+               tmin=jnp.full_like(dist, _ST),
+               tmax=dist)
     return srt, act[perm], inv
 
 
