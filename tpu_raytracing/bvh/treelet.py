@@ -188,8 +188,14 @@ def _under_counts(row_mask, w_mask, heads):
 
 
 def _classification(heads, starts, nxts, counts, num_leaves, n, lw,
-                    ecap=ECAP):
-    """All dense [L, n] classification shared by count/build."""
+                    ecap=ECAP, max_rounds=None):
+    """All dense [L, n] classification shared by count/build.
+
+    ``max_rounds`` caps the residue re-cut rounds — an APPROXIMATION:
+    a window deep under a sibling-heavy subtree may only be assigned
+    once later rounds shrink its ancestors' residues (measured ~1.5%
+    of soup windows at ecap=16), so capped-round tids are sort-key
+    quality only, never valid for the lane kernel's tables."""
     L = heads.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     live = iota < num_leaves
@@ -214,6 +220,8 @@ def _classification(heads, starts, nxts, counts, num_leaves, n, lw,
     # children). log16 rounds covers any n; overflow is host-checked
     # anyway (check_treelet_capacity).
     rounds = max(1, math.ceil(math.log(max(n, 4)) / math.log(16)))
+    if max_rounds is not None:
+        rounds = min(rounds, max_rounds)
     false_l = jnp.zeros((L, n), bool)
     troot_tot = false_l
     tid_dense_tot = jnp.zeros((L, n), jnp.int32)  # tid where troot else 0
