@@ -94,19 +94,23 @@ def main():
     # dense sorted-order passes, no binary tree; Karras+collapse (the
     # reference-parity path, ~4.2 s at 1M) and the gather-free implicit
     # heap (~140 ms, but ~30x worse trees) remain available. ---
-    # Two-stage jit: the payload-sort front composed with the emitter in
-    # ONE jit costs a multi-minute XLA compile (docs/TPU_NOTES.md);
-    # staged, each side compiles in ~a minute with no runtime cost.
+    # ONE jit for the whole rebuild (front + emit + kernel views):
+    # measured 253 ms vs 532 ms for the round-2/3 two-jit staging at 1M
+    # (benchmarks/profile_build.py r4) — materializing the front between
+    # jits plus the extra dispatch/fetch cost ~280 ms/frame. The compile
+    # is multi-minute COLD but rides the persistent compilation cache;
+    # the staged _front remains for the one-time pair_tid/lane builds.
     _front = jax.jit(lambda tris: bucket.split_front(tris, enable_pairs=True))
-    _emit = jax.jit(lambda front: (lambda s, p: (
+    _build_one = jax.jit(lambda tris: (lambda s, p: (
         sp.prep_split_views(s, p), p, s))(
-        *bucket.emit_split(front, leaf_width=sp.LEAFW)))
+        *bucket.emit_split(bucket.split_front(tris, enable_pairs=True),
+                           leaf_width=sp.LEAFW)))
 
     def build(tris):
-        views, packed, _ = _emit(_front(tris))
+        views, packed, _ = _build_one(tris)
         return views, packed
 
-    views, packed, split_f0 = _emit(_front(triangles))
+    views, packed, split_f0 = _build_one(triangles)
     # Frame-0 sync doubles as the overflow guard: a truncated tree would
     # silently drop geometry (inner-row bound + the capped chunk ladder's
     # slot guard, bvh/bucket.py:check_split_capacity).
@@ -128,7 +132,7 @@ def main():
     # path for animated scenes with fixed topology — exact AABB refresh
     # from deformed pair rows, tree kept. Secondary metric (stderr only;
     # the JSON line stays the full rebuild-backed trace number).
-    _, packed0, split0 = _emit(_front(triangles))
+    _, packed0, split0 = _build_one(triangles)
 
     def _deform_refit(s, rows, d):
         # in-jit affine vertex shift (defeats memoization) + refit

@@ -30,7 +30,11 @@ def log(*a):
 
 def timed(name, fn, arg, vary, iters=3):
     """Time jit(fn) over `arg`, re-deriving a fresh input with `vary(arg, i)`
-    each iteration (this backend memoizes identical executions)."""
+    each iteration (this backend memoizes identical executions).
+
+    DCE TRAP (docs/TPU_NOTES.md round 4): `fn` must return EVERY array
+    the stage claims to build — returning one view lets XLA dead-code-
+    eliminate the rest (the old D stage under-read 545 ms as 253)."""
     f = jax.jit(fn)
     out = f(arg)
     float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
@@ -55,7 +59,7 @@ def main():
     vary_tris = lambda t, i: t + (i + 1) * 1e-5  # noqa: E731
 
     timed("A split_front (morton+payload sorts+pairs)",
-          lambda t: bucket.split_front(t, True)[1].rows, tris, vary_tris)
+          lambda t: bucket.split_front(t, True), tris, vary_tris)
 
     front = jax.jit(lambda t: bucket.split_front(t, True))(tris)
     front = jax.block_until_ready(front)
@@ -68,7 +72,7 @@ def main():
                 lo + (i + 1) * 1e-6, hi, cc, nl)
 
     timed("B emit_split (from precomputed front)",
-          lambda fr: bucket.emit_split(fr, leaf_width=sp.LEAFW)[0].inner,
+          lambda fr: bucket.emit_split(fr, leaf_width=sp.LEAFW),
           front, vary_front)
 
     split, packed = jax.jit(
@@ -81,17 +85,17 @@ def main():
                 type(p)(rows=p.rows.at[:, 0].add(i + 1)))
 
     timed("C prep_split_views (from precomputed split)",
-          lambda spk: sp.prep_split_views(*spk)[1], (split, packed), vary_sp)
+          lambda spk: sp.prep_split_views(*spk), (split, packed), vary_sp)
 
     def full(t):
         s, p = bucket.emit_split(bucket.split_front(t, True),
                                  leaf_width=sp.LEAFW)
-        return sp.prep_split_views(s, p)[1]
+        return sp.prep_split_views(s, p), p.rows
 
     timed("D front+emit+views one jit", full, tris, vary_tris)
 
     timed("E refit_split",
-          lambda spk: bucket.refit_split(spk[0], spk[1]).inner,
+          lambda spk: bucket.refit_split(spk[0], spk[1]),
           (split, packed), vary_sp)
 
     r3 = auto_res3(scene.aabb_max - scene.aabb_min, num_tris)

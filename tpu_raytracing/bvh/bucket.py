@@ -729,11 +729,13 @@ def build_bucket_split(
 def split_front(triangles: jnp.ndarray, enable_pairs: bool = False):
     """The build's sort-heavy front end as a standalone stage.
 
-    Callers that jit the whole build pay a multi-minute XLA compile for
-    the payload sorts composed with the emitter graph; jitting
-    split_front and emit_split separately compiles each in ~a minute
-    with no runtime cost (the front's outputs are materialized sort
-    results either way). bench.py and the app use the staged form."""
+    Jitting the whole build composed pays a multi-minute COLD compile
+    and measures EQUAL to the staged form at 1M (545 vs 532-551 ms —
+    an earlier 253 ms reading was a DCE artifact, docs/TPU_NOTES.md r4
+    measurement trap). bench.py composes (one fewer dispatch boundary,
+    compile rides the persistent cache); the staged form remains for
+    compile-budget-bound callers (the app) and one-time consumers of
+    the front itself (treelet/pair_tid builds)."""
     return _sorted_leaves(triangles, enable_pairs)
 
 
