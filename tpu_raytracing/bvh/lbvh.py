@@ -76,6 +76,24 @@ def fused_sorted_pairs(
     Returns (sorted_codes, sorted_rows [n,16] int32, sorted_values,
     num_leaves).
     """
+    codes, values, rows = _pair_assembly(
+        triangles, aabb_min, aabb_max, enable_pairs)
+
+    cols = [rows[:, i] for i in range(16)]
+    s1 = jax.lax.sort([codes] + cols[:9], num_keys=1, is_stable=True)
+    s2 = jax.lax.sort([codes] + cols[9:] + [values], num_keys=1,
+                      is_stable=True)
+    sorted_codes = s1[0]
+    sorted_rows = jnp.stack(list(s1[1:]) + list(s2[1:-1]), axis=1)
+    sorted_values = s2[-1]
+    num_leaves = jnp.sum(
+        (codes != jnp.uint32(0xFFFFFFFF)).astype(jnp.int32))
+    return sorted_codes, sorted_rows, sorted_values, num_leaves
+
+
+def _pair_assembly(triangles, aabb_min, aabb_max, enable_pairs):
+    """Pre-sort half of fused_sorted_pairs: pairing tests + packed rows
+    + Morton keys/values (extracted so profilers time production code)."""
     num = triangles.shape[0]
     extent = aabb_max - aabb_min
 
@@ -130,16 +148,7 @@ def fused_sorted_pairs(
         values = jnp.stack([val_a, val_b], axis=1).reshape(-1)[:num]
         rows = jnp.stack([rows_a, rows_b], axis=1).reshape(-1, 16)[:num]
 
-    cols = [rows[:, i] for i in range(16)]
-    s1 = jax.lax.sort([codes] + cols[:9], num_keys=1, is_stable=True)
-    s2 = jax.lax.sort([codes] + cols[9:] + [values], num_keys=1,
-                      is_stable=True)
-    sorted_codes = s1[0]
-    sorted_rows = jnp.stack(list(s1[1:]) + list(s2[1:-1]), axis=1)
-    sorted_values = s2[-1]
-    num_leaves = jnp.sum(
-        (codes != jnp.uint32(0xFFFFFFFF)).astype(jnp.int32))
-    return sorted_codes, sorted_rows, sorted_values, num_leaves
+    return codes, values, rows
 
 
 def generate_morton_codes(
