@@ -37,6 +37,109 @@ def _cell_bounds(cell, gmin, gmax):
     return gmin + cell.astype(jnp.float32) * step, gmin + (cell + 1).astype(jnp.float32) * step
 
 
+def _clip_tri_box_aabb(v0, v1, v2, bmin, bmax):
+    """Tight AABB of (triangle ∩ box), fully vectorized — the clipper the
+    reference deferred (src/Multiblock.cu:237-238 "to be replaced by
+    clipper later": it ships AABB∩cell, which for a diagonal sliver is a
+    full-cell tile and wins nothing).
+
+    Instead of a Sutherland–Hodgman polygon buffer, the AABB is the hull
+    of a FIXED candidate set — the intersection polygon's vertices are
+    exactly: (a) triangle vertices inside the box, (b) triangle-edge ×
+    box-face points lying in both, (c) box-edge × triangle-plane points
+    inside the triangle. 3 + 18 + 12 = 33 masked candidates per ref, no
+    data-dependent shapes.
+
+    v*: [R, 3]; bmin/bmax: [R, 3]. Returns (lo, hi, nonempty) with
+    lo/hi valid only where nonempty; conservatively intersected with
+    [bmin, bmax] and epsilon-inflated so fp rounding can only LOOSEN.
+    """
+    eps = 1e-6
+    big = jnp.float32(3.0e38)
+    verts = jnp.stack([v0, v1, v2], axis=1)            # [R, 3, 3]
+
+    cands = []   # list of ([R, 3] point, [R] valid)
+
+    # (a) triangle vertices inside the box
+    for i in range(3):
+        p = verts[:, i]
+        ok = jnp.all((p >= bmin - eps) & (p <= bmax + eps), axis=-1)
+        cands.append((p, ok))
+
+    # (b) triangle edges x box faces: param t where edge crosses the
+    # face plane, point must lie within the face rectangle + segment
+    for i in range(3):
+        a = verts[:, i]
+        d = verts[:, (i + 1) % 3] - a
+        for axis in range(3):
+            da = d[:, axis]
+            safe = jnp.where(jnp.abs(da) < 1e-30,
+                             jnp.where(da < 0, -1e-30, 1e-30), da)
+            for bound in (bmin[:, axis], bmax[:, axis]):
+                t = (bound - a[:, axis]) / safe
+                p = a + t[:, None] * d
+                on_seg = (t >= -eps) & (t <= 1 + eps)
+                in_face = jnp.all(
+                    (p >= bmin - eps) & (p <= bmax + eps), axis=-1)
+                cands.append((p, on_seg & in_face
+                              & (jnp.abs(da) > 1e-30)))
+
+    # (c) box edges x triangle plane, point inside the triangle.
+    # Box edge = axis-aligned segment: fixed coords on two axes (one of
+    # 4 corner combos), varying on the third.
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    n = jnp.cross(e1, e2)                               # [R, 3]
+    d0 = jnp.sum(n * verts[:, 0], axis=-1)
+    # barycentric test helper (projected, via normal-scaled areas)
+    nn = jnp.sum(n * n, axis=-1)
+
+    def in_tri(p):
+        c0 = jnp.cross(verts[:, 1] - verts[:, 0], p - verts[:, 0])
+        c1 = jnp.cross(verts[:, 2] - verts[:, 1], p - verts[:, 1])
+        c2 = jnp.cross(verts[:, 0] - verts[:, 2], p - verts[:, 2])
+        s0 = jnp.sum(c0 * n, axis=-1)
+        s1 = jnp.sum(c1 * n, axis=-1)
+        s2 = jnp.sum(c2 * n, axis=-1)
+        tol = eps * jnp.maximum(nn, 1e-30)
+        return (s0 >= -tol) & (s1 >= -tol) & (s2 >= -tol)
+
+    for axis in range(3):
+        u, w = (axis + 1) % 3, (axis + 2) % 3
+        na = n[:, axis]
+        safe = jnp.where(jnp.abs(na) < 1e-30,
+                         jnp.where(na < 0, -1e-30, 1e-30), na)
+        for ub in (0, 1):
+            for wb in (0, 1):
+                uu = jnp.where(ub, bmax[:, u], bmin[:, u])
+                ww = jnp.where(wb, bmax[:, w], bmin[:, w])
+                # plane: n·p = d0  =>  p[axis] solved
+                pa = (d0 - uu * n[:, u] - ww * n[:, w]) / safe
+                p = jnp.zeros_like(v0)
+                p = p.at[:, axis].set(pa)
+                p = p.at[:, u].set(uu)
+                p = p.at[:, w].set(ww)
+                on_seg = ((pa >= bmin[:, axis] - eps)
+                          & (pa <= bmax[:, axis] + eps))
+                cands.append((p, on_seg & in_tri(p)
+                              & (jnp.abs(na) > 1e-30)))
+
+    # running fold (33 candidates stacked would be a [R, 33, 3] HBM
+    # materialization at build scale; elementwise min/max chains fuse)
+    lo = jnp.full_like(v0, big)
+    hi = jnp.full_like(v0, -big)
+    nonempty = jnp.zeros(v0.shape[:1], bool)
+    for p, o in cands:
+        lo = jnp.minimum(lo, jnp.where(o[:, None], p, big))
+        hi = jnp.maximum(hi, jnp.where(o[:, None], p, -big))
+        nonempty = nonempty | o
+    # conservative: inflate a hair, clamp into the cell box
+    span = jnp.maximum(hi - lo, 0.0)
+    lo = jnp.maximum(lo - eps * span - 1e-7, bmin)
+    hi = jnp.minimum(hi + eps * span + 1e-7, bmax)
+    return lo, hi, nonempty
+
+
 def setup_split_leaves(
     triangles: jnp.ndarray, enable_pairs: bool
 ) -> Tuple[LeafInput, TrianglePairs]:
@@ -109,7 +212,22 @@ def setup_split_leaves(
     num_extra = jnp.where(
         spans, (rng[:, 0] + 1) * (rng[:, 1] + 1) * (rng[:, 2] + 1) - 1, 0
     )
-    granted = spans & (jnp.cumsum(num_extra) < threshold)
+    # PRIORITY grant (beats the reference): the reference hands budget
+    # out in atomicAdd arrival order (arbitrary; src/Multiblock.cu:
+    # 225-227) and a deterministic prim-order grant spends it on benign
+    # barely-spanning quads while the scene-spanning slivers that
+    # actually poison the tree stay unsplit. Grant by DESCENDING
+    # unsplit surface area instead: sort, budget-cumsum in that order,
+    # scatter the grants back (sorts are cheap on this backend).
+    ext = jnp.maximum(prim_max - prim_min, 0.0)
+    sa = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+          + ext[:, 0] * ext[:, 2])
+    prio = jnp.where(spans, sa, -1.0)
+    order = jnp.argsort(-prio, stable=True)
+    grant_sorted = (jnp.cumsum(num_extra[order]) < threshold) & (
+        prio[order] > 0)
+    granted = jnp.zeros_like(spans).at[order].set(grant_sorted)
+    granted = granted & spans
 
     def cell_iter(fn, init):
         """Fold over the 64 grid offsets, x-fastest (GridNextCell order)."""
@@ -173,6 +291,34 @@ def setup_split_leaves(
         write,
         (leaf_min, leaf_max, leaf_child, leaf_cnt, jnp.zeros_like(num_extra)),
     )
+
+    # ---- tight clip post-pass (beats the reference: its per-cell boxes
+    # are AABB∩cell, a full-cell tile for any diagonal sliver —
+    # src/Multiblock.cu:237-241 defers the real clipper). Each written
+    # ref box is aabb∩cell, and tri∩(aabb∩cell) == tri∩cell, so
+    # clipping the prim's triangle(s) against the ref's own box yields
+    # the tight per-cell AABB; unsplit refs are already tight and come
+    # back unchanged. Empty intersections (AABBs overlap, surface does
+    # not) keep the loose box — conservative, never wrong. ----
+    if enable_pairs:
+        tri_a, tri_b = triangles[src_a], triangles[src_b]
+    else:
+        tri_a = tri_b = triangles
+    pidc = jnp.clip(leaf_child, 0, tri_a.shape[0] - 1)
+    ta = tri_a[pidc]
+    tb = tri_b[pidc]
+    lo_a, hi_a, ok_a = _clip_tri_box_aabb(
+        ta[:, 0], ta[:, 1], ta[:, 2], leaf_min, leaf_max)
+    lo_b, hi_b, ok_b = _clip_tri_box_aabb(
+        tb[:, 0], tb[:, 1], tb[:, 2], leaf_min, leaf_max)
+    bigf = jnp.float32(3.0e38)
+    t_lo = jnp.minimum(jnp.where(ok_a[:, None], lo_a, bigf),
+                       jnp.where(ok_b[:, None], lo_b, bigf))
+    t_hi = jnp.maximum(jnp.where(ok_a[:, None], hi_a, -bigf),
+                       jnp.where(ok_b[:, None], hi_b, -bigf))
+    any_t = ok_a | ok_b
+    leaf_min = jnp.where(any_t[:, None], t_lo, leaf_min)
+    leaf_max = jnp.where(any_t[:, None], t_hi, leaf_max)
 
     return (
         LeafInput(

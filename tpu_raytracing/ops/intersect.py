@@ -22,10 +22,17 @@ def intersect_ray_aabb(box_min, box_max, origin, direction, tmin, tmax):
     """Slab test (reference: src/Tracer.cu:187-200).
 
     Returns (hit, front) where ``front`` is the entry distance used for
-    near-child ordering. Division by a zero direction component produces
-    +/-inf exactly as in CUDA.
+    near-child ordering. A zero direction component must NOT divide to
+    inf here: the reference relies on CUDA fminf/fmaxf IGNORING the
+    resulting 0*inf NaNs (src/Tracer.cu:187-200), but XLA's min/max
+    PROPAGATE NaN — an axis-aligned ray would silently prune every box
+    whose face touches its origin coordinate (round-4 bug, caught by
+    straight-down rays). The tiny-epsilon substitute keeps the interval
+    finite with the same accept set.
     """
-    inv_dir = 1.0 / direction
+    inv_dir = 1.0 / jnp.where(
+        jnp.abs(direction) < 1e-30,
+        jnp.where(direction < 0, -1e-30, 1e-30), direction)
     t1 = (box_min - origin) * inv_dir
     t2 = (box_max - origin) * inv_dir
     lo = jnp.minimum(t1, t2)

@@ -71,9 +71,15 @@ def pad_rows_256(rows: jnp.ndarray):
 def _kernel(rows_i_hbm, rows_f_hbm, ox, oy, oz, dx, dy, dz, tmn, tmx0,
             hit_o, t_o, prim_o, tri_o, u_o, v_o,
             row_i, row_f, sem_i, sem_f, stack):
-    invx = 1.0 / dx[:]
-    invy = 1.0 / dy[:]
-    invz = 1.0 / dz[:]
+    # safe inverse: 0*inf=NaN and TPU min/max propagate NaN (CUDA
+    # fminf ignores it) - axis-aligned rays would prune real subtrees
+    def _safe(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-30,
+                               jnp.where(d < 0, -1e-30, 1e-30), d)
+
+    invx = _safe(dx[:])
+    invy = _safe(dy[:])
+    invz = _safe(dz[:])
 
     stack[0] = jnp.int32(0)
     # Vector state lives in the output refs (Mosaic while loops carry

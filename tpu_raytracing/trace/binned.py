@@ -85,7 +85,9 @@ def trace_rays_binned(
     mn, mx, tag_e, valid_e = _root_entries(inner_i, w)
 
     # --- per-ray root-children slab ([n, w]) ---
-    inv = 1.0 / rays.direction  # [n, 3]
+    _d = rays.direction
+    inv = 1.0 / jnp.where(jnp.abs(_d) < 1e-30,
+                          jnp.where(_d < 0, -1e-30, 1e-30), _d)  # [n, 3]
     t0 = (mn[None, :, :] - rays.origin[:, None, :]) * inv[:, None, :]
     t1 = (mx[None, :, :] - rays.origin[:, None, :]) * inv[:, None, :]
     front = jnp.max(jnp.minimum(t0, t1), axis=2)  # [n, w]

@@ -200,7 +200,12 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
         pltpu.make_async_copy(
             rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
         ).wait()
-        ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+        # safe inverse: 0*inf=NaN and TPU min/max propagate NaN
+        # (CUDA fminf ignores it) - axis-aligned rays would
+        # prune real subtrees
+        _d = ray_scr[c, 3:6, :]
+        ray_scr[c, 8:11, :] = 1.0 / jnp.where(
+            jnp.abs(_d) < 1e-30, jnp.where(_d < 0, -1e-30, 1e-30), _d)
         st_t[c] = ray_scr[c, 7:8, :]
         st_tri[c] = jnp.full((1, k), -1, jnp.int32)
 
@@ -693,7 +698,12 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             pltpu.make_async_copy(
                 rays_hbm.at[c], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
             ).wait()
-            ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+            # safe inverse: 0*inf=NaN and TPU min/max propagate NaN
+            # (CUDA fminf ignores it) - axis-aligned rays would
+            # prune real subtrees
+            _d = ray_scr[c, 3:6, :]
+            ray_scr[c, 8:11, :] = 1.0 / jnp.where(
+                jnp.abs(_d) < 1e-30, jnp.where(_d < 0, -1e-30, 1e-30), _d)
             st_t[c] = ray_scr[c, 7:8, :]
             st_tri[c] = jnp.full((1, k), -1, jnp.int32)
         else:
@@ -811,7 +821,12 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
                 pltpu.make_async_copy(
                     rays_hbm.at[nxt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
                 ).wait()
-                ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+                # safe inverse: 0*inf=NaN and TPU min/max propagate NaN
+                # (CUDA fminf ignores it) - axis-aligned rays would
+                # prune real subtrees
+                _d = ray_scr[c, 3:6, :]
+                ray_scr[c, 8:11, :] = 1.0 / jnp.where(
+                    jnp.abs(_d) < 1e-30, jnp.where(_d < 0, -1e-30, 1e-30), _d)
                 st_t[c] = ray_scr[c, 7:8, :]
                 st_tri[c] = jnp.full((1, k), -1, jnp.int32)
 

@@ -104,7 +104,12 @@ def trace_rays_bfs(
             math.log(max(num_pairs, 2), w))
 
     # Packed per-ray features [R, 8]: origin, inv_dir, tmin, pad.
-    inv = 1.0 / rays.direction
+    # Safe inverse: a zero component would make (lo - o) * inf = NaN,
+    # and XLA min/max PROPAGATE NaN (CUDA fminf ignores it) — an
+    # axis-aligned ray would prune real subtrees (round-4 bug).
+    _d = rays.direction
+    inv = 1.0 / jnp.where(jnp.abs(_d) < 1e-30,
+                          jnp.where(_d < 0, -1e-30, 1e-30), _d)
     tmin = rays.tmin
     tmax0 = rays.tmax
     if active is not None:

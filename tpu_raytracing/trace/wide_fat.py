@@ -194,7 +194,11 @@ def _ray_data(rays: Rays, active, num_p: int, k: int):
     return dict(
         origin=origin,
         direction=direction,
-        inv_dir=1.0 / direction,  # hoisted out of the traversal loop
+        # hoisted out of the traversal loop; safe inverse (0 * inf = NaN
+        # and XLA min/max propagate it, unlike CUDA fminf)
+        inv_dir=1.0 / jnp.where(jnp.abs(direction) < 1e-30,
+                                jnp.where(direction < 0, -1e-30, 1e-30),
+                                direction),
         tmin=rays.tmin.reshape(num_p, k),
         ray_on=(
             jnp.ones((num_p, k), bool) if active is None else active.reshape(num_p, k)
