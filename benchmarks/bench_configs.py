@@ -251,11 +251,39 @@ def config4():
                    static_argnames=("width", "height"))(camera, res, res)
     _trace = jax.jit(lambda ias, r: trace_rays_instanced(ias, packed, r))
 
+    # Fast path: the stackless two-phase instanced grid (trace/
+    # grid_instanced.py — candidate sweep + one shared-BLAS grid pass);
+    # the per-ray-stack tracer is the validated fallback if a frame
+    # overflows the candidate/work caps (host-checked at warmup).
+    from tpu_raytracing.trace.grid_instanced import (
+        build_instanced_grid,
+        check_instanced_grid_capacity,
+        trace_rays_instanced_grid,
+    )
+
+    _build_g = jax.jit(build_instanced_grid)
+    _trace_g = jax.jit(lambda ias, r: trace_rays_instanced_grid(
+        ias, packed, r, m_cand=16))
+
+    use_grid = True
+    try:
+        ias_g = _build_g(packed, transforms)
+        _, _, _, ov = _trace_g(ias_g, rays)
+        check_instanced_grid_capacity(ov)
+    except Exception as e:
+        log(f"config 4: grid-instanced path unavailable ({e}); "
+            f"falling back to the stack tracer")
+        use_grid = False
+
     def frame(j):
         # per-frame TLAS rebuild over jittered transforms (BLAS fixed)
         tf = transforms.at[:, :, 3].add(j)
-        ias = _build(blas, tf)
-        rec, inst_id, _ = _trace(ias, rays)
+        if use_grid:
+            ias = _build_g(packed, tf)
+            rec, inst_id, _, _ov = _trace_g(ias, rays)
+        else:
+            ias = _build(blas, tf)
+            rec, inst_id, _ = _trace(ias, rays)
         return rec.t
 
     jax.block_until_ready(frame(0.0))

@@ -200,12 +200,7 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
         pltpu.make_async_copy(
             rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
         ).wait()
-        # safe inverse: 0*inf=NaN and TPU min/max propagate NaN
-        # (CUDA fminf ignores it) - axis-aligned rays would
-        # prune real subtrees
-        _d = ray_scr[c, 3:6, :]
-        ray_scr[c, 8:11, :] = 1.0 / jnp.where(
-            jnp.abs(_d) < 1e-30, jnp.where(_d < 0, -1e-30, 1e-30), _d)
+        ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
         st_t[c] = ray_scr[c, 7:8, :]
         st_tri[c] = jnp.full((1, k), -1, jnp.int32)
 
@@ -698,12 +693,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             pltpu.make_async_copy(
                 rays_hbm.at[c], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
             ).wait()
-            # safe inverse: 0*inf=NaN and TPU min/max propagate NaN
-            # (CUDA fminf ignores it) - axis-aligned rays would
-            # prune real subtrees
-            _d = ray_scr[c, 3:6, :]
-            ray_scr[c, 8:11, :] = 1.0 / jnp.where(
-                jnp.abs(_d) < 1e-30, jnp.where(_d < 0, -1e-30, 1e-30), _d)
+            ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
             st_t[c] = ray_scr[c, 7:8, :]
             st_tri[c] = jnp.full((1, k), -1, jnp.int32)
         else:
@@ -821,12 +811,7 @@ def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
                 pltpu.make_async_copy(
                     rays_hbm.at[nxt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
                 ).wait()
-                # safe inverse: 0*inf=NaN and TPU min/max propagate NaN
-                # (CUDA fminf ignores it) - axis-aligned rays would
-                # prune real subtrees
-                _d = ray_scr[c, 3:6, :]
-                ray_scr[c, 8:11, :] = 1.0 / jnp.where(
-                    jnp.abs(_d) < 1e-30, jnp.where(_d < 0, -1e-30, 1e-30), _d)
+                ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
                 st_t[c] = ray_scr[c, 7:8, :]
                 st_tri[c] = jnp.full((1, k), -1, jnp.int32)
 
@@ -898,14 +883,25 @@ def trace_rays_split_pallas(
     if active is not None:
         tmin = jnp.where(active, tmin, _F32_MAX)
         tmax = jnp.where(active, tmax, -_F32_MAX)
+    # Sanitize zero direction components ON THE HOST: the kernel's
+    # plain 1/d would make 0*inf NaNs that TPU min/max PROPAGATE
+    # (axis-aligned rays silently pruned real subtrees — round-4 bug,
+    # tests/test_axis_rays.py). Substituting +/-1e-30 shifts MT results
+    # by ~1 ulp at most. The select must NOT live in the kernel's
+    # refill path: a scratch read-modify-write there tripped Mosaic's
+    # bimodal sub-tile feedback pathology (docs/TPU_NOTES.md) and the
+    # 1M trace went 3.5 s -> 750 s.
+    _d = rays.direction
+    _d = jnp.where(jnp.abs(_d) < 1e-30,
+                   jnp.where(_d < 0, -1e-30, 1e-30), _d)
     rays8 = jnp.stack(
         [
             rays.origin[:, 0].reshape(num_p, k),
             rays.origin[:, 1].reshape(num_p, k),
             rays.origin[:, 2].reshape(num_p, k),
-            rays.direction[:, 0].reshape(num_p, k),
-            rays.direction[:, 1].reshape(num_p, k),
-            rays.direction[:, 2].reshape(num_p, k),
+            _d[:, 0].reshape(num_p, k),
+            _d[:, 1].reshape(num_p, k),
+            _d[:, 2].reshape(num_p, k),
             tmin.reshape(num_p, k),
             tmax.reshape(num_p, k),
         ],
