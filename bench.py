@@ -156,6 +156,45 @@ def main():
     # BENCH_r03 up (RESOURCE_EXHAUSTED mid-calibration).
     del split0, packed0, sref
 
+    # --- frame-0 trace tree: binned-SAH (the reference's flagship
+    # build, src/SharedTaskBuilder.cu) when it fits the budget. The
+    # round-4 probe (benchmarks/probe_tree.py, 250k): SAH tree halves
+    # traversal pops vs the Morton-bucket tree — bounce pass 218 ->
+    # 116 ms, primary 44 -> 36 ms. The bucket build stays the per-frame
+    # REBUILD story (rebuild/refit numbers above); the traced tree is
+    # built once at frame 0 exactly like the reference. Falls back to
+    # the bucket tree on deadline/any failure (TPURT_TRACE_TREE=bucket
+    # forces the old behaviour; sah forces no-fallback).
+    sah_tree = False
+    tree_choice = os.environ.get("TPURT_TRACE_TREE", "auto")
+    if (tree_choice in ("auto", "sah")
+            and os.environ.get("TPURT_BOUNCE_TRACER", "auto")
+            in ("auto", "split")):
+        try:
+            from tpu_raytracing.bvh.split_convert import build_sah_split
+
+            t0 = time.perf_counter()
+            ddl = time.monotonic() + float(
+                os.environ.get("TPURT_SAH_BUDGET_S", "1500"))
+            split_s, packed_s = build_sah_split(
+                triangles, enable_pairs=True, leaf_width=sp.LEAFW,
+                host_stepped=True, deadline=ddl)
+            views_s = jax.jit(sp.prep_split_views)(split_s, packed_s)
+            ni = int(split_s.num_inner)  # host sync + sanity
+            assert 0 < ni < split_s.inner.shape[0], ni
+            assert split_s.leaf_width == sp.LEAFW
+            views, packed = views_s, packed_s
+            sah_tree = True
+            log(f"trace tree: binned-SAH ({ni} inner rows, built in "
+                f"{time.perf_counter() - t0:.0f} s at frame 0; rebuild/"
+                f"refit metrics above remain the bucket path)")
+            del split_s
+        except Exception as e:
+            log(f"SAH trace tree unavailable (bucket tree stands): "
+                f"{type(e).__name__}: {e}")
+            if tree_choice == "sah":
+                raise
+
     # --- trace throughput (primary + NEE shadow + bounce rays) ---
     # Split-BVH Pallas kernel (trace/split_pallas.py): C packet slots with
     # pipelined row DMAs, sublane-mapped slab and Moller-Trumbore; work =
@@ -273,10 +312,13 @@ def main():
             lane_tb = pair_loc = None
             if choice == "lane":
                 choice = "split"
-    if pair_loc is None:
-        # The 'tid' bounce sort is the round-3 headline lever for the
-        # SPLIT kernel too (2518 -> 1393 ms); derive pair->treelet ids
-        # via the classification-only path (no 0.5 GB table build).
+    if pair_loc is None and not sah_tree:
+        # The 'tid' bounce sort for the BUCKET tree: derive
+        # pair->treelet ids via the classification-only path (no 0.5 GB
+        # table build). In-frame: tid 1252 ms vs leaf 1370 on the 1M
+        # bounce pass. NOT valid for the SAH tree (different pair
+        # order) — there the 'leaf' key (pair index blocks, order-
+        # agnostic subtree locality) is the default.
         try:
             from tpu_raytracing.bvh.treelet import build_pair_tid
 

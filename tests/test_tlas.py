@@ -150,7 +150,8 @@ def test_instanced_grid_matches_flattened_brute():
 
 
 def test_instanced_grid_overflow_guard():
-    """m_cand=1 with stacked identical instances must overflow loudly,
+    """A work list larger than work_factor * rays (stacked coincident
+    instances, every ray overlapping all of them) must overflow loudly,
     not drop hits silently."""
     from tpu_raytracing.trace.grid_instanced import (
         build_instanced_grid,
@@ -166,9 +167,11 @@ def test_instanced_grid_overflow_guard():
     _, pairs = _build(jnp.asarray(mesh))
     packed = pack_pairs(pairs)
     ias = jax.jit(build_instanced_grid)(packed, jnp.asarray(tf))
-    rays = _rays_grid(np.zeros(3), 0.5, res=4)
+    # 1024 rays x 3 overlapped instances > work_factor=1 * 1024 items
+    rays = _rays_grid(np.zeros(3), 0.5, res=32)
     _, _, _, ov = jax.jit(
-        lambda i, p, r: trace_rays_instanced_grid(i, p, r, m_cand=1))(
+        lambda i, p, r: trace_rays_instanced_grid(i, p, r,
+                                                  work_factor=1))(
         ias, packed, rays)
     with np.testing.assert_raises(RuntimeError):
         check_instanced_grid_capacity(ov)

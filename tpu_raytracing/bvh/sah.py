@@ -505,6 +505,11 @@ def _level_step(leaves: LeafInput, s: dict, max_levels: int) -> dict:
 _level_step_jit = jax.jit(_level_step, static_argnums=(2,))
 
 
+class SahDeadlineExceeded(RuntimeError):
+    """host-stepped frontier ran past its caller's deadline — callers
+    with a fallback tree (bench.py frame-0 SAH attempt) catch this."""
+
+
 def frontier_build(
     leaves: LeafInput,
     arena: Arena,
@@ -516,6 +521,7 @@ def frontier_build(
     max_levels: Optional[int] = None,
     return_ids: bool = False,
     host_stepped: bool = False,
+    deadline: Optional[float] = None,
 ) -> Arena:
     """Level-synchronous binned-SAH build over ``leaves``.
 
@@ -604,8 +610,15 @@ def frontier_build(
         return _level_step(leaves, s, max_levels)
 
     if host_stepped:
+        import time as _time
+
         out = state
         while int(out["ntasks"]) > 0:
+            if deadline is not None and _time.monotonic() > deadline:
+                raise SahDeadlineExceeded(
+                    f"SAH host-stepped frontier exceeded its deadline at "
+                    f"level {int(out['level'])} "
+                    f"({int(out['ntasks'])} tasks live)")
             out = _level_step_jit(leaves, out, max_levels)
     else:
         out = jax.lax.while_loop(cond, body, state)

@@ -72,6 +72,7 @@ def _split_cap(n: int, leaf_width: int) -> int:
 def build_sah_split(
     triangles: jnp.ndarray, enable_pairs: bool = False, leaf_width: int = 64,
     host_stepped: bool = False, enable_splits: bool = False,
+    deadline: float = None,
 ) -> Tuple[SplitBVH, PackedPairs]:
     """Binned-SAH build emitting the split format.
 
@@ -111,6 +112,7 @@ def build_sah_split(
             num_leaves[None].astype(jnp.int32),
             jnp.zeros((1,), jnp.int32),
             jnp.int32(1), return_ids=True, host_stepped=True,
+            deadline=deadline,
         )
         return _emit_from_arena_jit(arena, ids_final, leaves, pairs,
                                     leaf_width)

@@ -93,10 +93,11 @@ def trace_rays_instanced_grid(
     """Closest-hit (or any-hit) over the instanced grid.
 
     Returns (HitRecord, hit_instance [R] int32 (-1 = none), stats,
-    overflow [] int32). ``overflow`` > 0 means a ray overlapped more
-    than ``m_cand`` instance AABBs or the work list exceeded
-    ``work_factor * R`` items — hits may be missing; callers host-check
-    via check_instanced_grid_capacity."""
+    overflow [] int32). ``overflow`` > 0 means the (ray, instance) work
+    list exceeded ``work_factor * R`` items — hits may be missing;
+    callers host-check via check_instanced_grid_capacity. ``m_cand`` is
+    accepted for API compatibility and ignored (the dense sweep has no
+    per-ray candidate limit)."""
     num = rays.origin.shape[0]
     n_inst = ias.inst_min.shape[0]
     ox, oy, oz = (rays.origin[:, i] for i in range(3))
@@ -104,42 +105,47 @@ def trace_rays_instanced_grid(
     safe = lambda a: jnp.where(jnp.abs(a) < 1e-20, 1e-20, a)  # noqa: E731
     ivx, ivy, ivz = 1.0 / safe(dx), 1.0 / safe(dy), 1.0 / safe(dz)
 
-    # --- phase 1: candidate sweep (M flat [R] slot arrays) ---
-    def sweep(i, carry):
-        cnt, over, *slots = carry
-        lo = ias.inst_min[i]
-        hi = ias.inst_max[i]
-        t0x, t1x = (lo[0] - ox) * ivx, (hi[0] - ox) * ivx
-        t0y, t1y = (lo[1] - oy) * ivy, (hi[1] - oy) * ivy
-        t0z, t1z = (lo[2] - oz) * ivz, (hi[2] - oz) * ivz
+    # --- phase 1: candidate sweep — dense [I, R] overlap mask, built in
+    # instance CHUNKS of a static python loop. The original fori_loop
+    # carried m_cand+1 flat [R] slot arrays and REWROTE all of them
+    # every instance iteration — the documented carried-operand
+    # pathology made the 1k-instance sweep ~10 s at 262k rays (round-4
+    # measurement); the dense mask is pure elementwise work and one
+    # compaction, and its instance-major order groups the work list by
+    # instance so the BLAS grid pass sees object-space-coherent items.
+    del m_cand  # kept in the signature for API compatibility
+    ch = 128
+    masks = []
+    for c0 in range(0, n_inst, ch):
+        c1 = min(c0 + ch, n_inst)
+        lo = ias.inst_min[c0:c1]                        # [C, 3]
+        hi = ias.inst_max[c0:c1]
+        t0x = (lo[:, 0:1] - ox[None, :]) * ivx[None, :]  # [C, R]
+        t1x = (hi[:, 0:1] - ox[None, :]) * ivx[None, :]
+        t0y = (lo[:, 1:2] - oy[None, :]) * ivy[None, :]
+        t1y = (hi[:, 1:2] - oy[None, :]) * ivy[None, :]
+        t0z = (lo[:, 2:3] - oz[None, :]) * ivz[None, :]
+        t1z = (hi[:, 2:3] - oz[None, :]) * ivz[None, :]
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), rays.tmin))
+                         jnp.maximum(jnp.minimum(t0z, t1z),
+                                     rays.tmin[None, :]))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
-                         jnp.minimum(jnp.maximum(t0z, t1z), rays.tmax))
-        ov = tn <= tf
-        new_slots = []
-        for j, s in enumerate(slots):
-            new_slots.append(jnp.where(ov & (cnt == j), i, s))
-        over = over + jnp.sum((ov & (cnt >= m_cand)).astype(jnp.int32))
-        cnt = cnt + ov.astype(jnp.int32)
-        return (cnt, over, *new_slots)
+                         jnp.minimum(jnp.maximum(t0z, t1z),
+                                     rays.tmax[None, :]))
+        masks.append(tn <= tf)
+    live = jnp.concatenate(masks).reshape(-1)           # [I * R]
 
-    init = (jnp.zeros((num,), jnp.int32), jnp.zeros((), jnp.int32),
-            *[jnp.full((num,), -1, jnp.int32) for _ in range(m_cand)])
-    cnt, overflow, *slots = jax.lax.fori_loop(0, n_inst, sweep, init)
-
-    # --- phase 2: work-item expansion (slot-major 1-D concat) ---
-    cand_flat = jnp.concatenate(slots)            # [M * R]
-    live = cand_flat >= 0
-    work_cap = min(max(work_factor * num, 1024), m_cand * num)
-    (widx,) = jnp.nonzero(live, size=work_cap, fill_value=m_cand * num)
+    # --- phase 2: work-item expansion (instance-major) ---
+    work_cap = min(max(work_factor * num, 1024), n_inst * num)
+    (widx,) = jnp.nonzero(live, size=work_cap, fill_value=n_inst * num)
     n_work = jnp.sum(live.astype(jnp.int32))
-    overflow = overflow + jnp.maximum(n_work - work_cap, 0)
-    sidx = jnp.minimum(widx, m_cand * num - 1)
-    ray_id = jnp.where(widx < m_cand * num, sidx % num, num)  # num = drop
-    inst = cand_flat[sidx]
+    overflow = jnp.maximum(n_work - work_cap, 0)
+    sidx = jnp.minimum(widx, n_inst * num - 1)
+    in_cap = widx < n_inst * num
+    ray_id = jnp.where(in_cap, sidx % num, num)  # num = drop
+    inst = sidx // num
     g = lambda a: a[jnp.minimum(ray_id, num - 1)]  # noqa: E731
     tf = ias.inv_transforms[jnp.maximum(inst, 0)]  # [W, 3, 4]
     worig = jnp.einsum("wjk,wk->wj", tf[:, :, :3], g(rays.origin)) \
