@@ -167,6 +167,20 @@ def main():
     # forces the old behaviour; sah forces no-fallback).
     sah_tree = False
     tree_choice = os.environ.get("TPURT_TRACE_TREE", "auto")
+    # 'auto' only attempts the SAH build once a prior run PROVED it at
+    # this scale on this machine (marker next to the compile cache):
+    # the 1M level-step compile measured >90 min cold — without the
+    # warm cache the attempt would eat the whole bench window before
+    # its deadline can even fire (the deadline only checks between
+    # level steps). benchmarks/warm_sah.py pays the compile once and
+    # writes the marker.
+    _sah_marker = os.path.join(
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"),
+        f"sah_ok_{num_tris}")
+    if tree_choice == "auto" and not os.path.exists(_sah_marker):
+        log(f"SAH trace tree skipped: no warm marker {_sah_marker} "
+            f"(run benchmarks/warm_sah.py; TPURT_TRACE_TREE=sah forces)")
+        tree_choice = "bucket"
     if (tree_choice in ("auto", "sah")
             and os.environ.get("TPURT_BOUNCE_TRACER", "auto")
             in ("auto", "split")):
@@ -189,6 +203,10 @@ def main():
                 f"{time.perf_counter() - t0:.0f} s at frame 0; rebuild/"
                 f"refit metrics above remain the bucket path)")
             del split_s
+            try:
+                open(_sah_marker, "w").close()
+            except OSError:
+                pass
         except Exception as e:
             log(f"SAH trace tree unavailable (bucket tree stands): "
                 f"{type(e).__name__}: {e}")
