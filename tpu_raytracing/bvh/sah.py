@@ -610,8 +610,11 @@ def frontier_build(
         return _level_step(leaves, s, max_levels)
 
     if host_stepped:
+        import os as _os
+        import sys as _sys
         import time as _time
 
+        verbose = _os.environ.get("TPURT_SAH_VERBOSE") == "1"
         out = state
         while int(out["ntasks"]) > 0:
             if deadline is not None and _time.monotonic() > deadline:
@@ -619,7 +622,14 @@ def frontier_build(
                     f"SAH host-stepped frontier exceeded its deadline at "
                     f"level {int(out['level'])} "
                     f"({int(out['ntasks'])} tasks live)")
+            _t0 = _time.perf_counter()
             out = _level_step_jit(leaves, out, max_levels)
+            if verbose:
+                # the ntasks read in the loop condition is the fetch
+                print(f"  sah level {int(out['level'])}: "
+                      f"{int(out['ntasks'])} tasks, "
+                      f"{_time.perf_counter() - _t0:.2f} s",
+                      file=_sys.stderr, flush=True)
     else:
         out = jax.lax.while_loop(cond, body, state)
     if return_ids:
