@@ -584,6 +584,10 @@ def main():
     mrays = total_rays / elapsed / 1e6
     log(f"trace: {total_rays} rays in {elapsed:.3f}s -> {mrays:.1f} Mrays/s "
         f"(target >= 300)")
+    log("note: since round 4, shadow rays for path vertices whose "
+        "closest trace MISSED are neither traced nor counted (they "
+        "carry no NEE term); rounds <= 3 traced and counted them, "
+        "inflating their ray totals ~6% on this scene.")
 
     metric = f"Mrays/s/chip (primary+bounce) at {num_tris} tris"
     if os.environ.get("TPURT_CPU_FALLBACK") == "1":
