@@ -265,11 +265,32 @@ def config4():
     _trace_g = jax.jit(lambda ias, r: trace_rays_instanced_grid(
         ias, packed, r, m_cand=16))
 
-    use_grid = True
+    # pick the faster path by MEASUREMENT at warmup (round-4 numbers on
+    # the v5e: stack tracer ~9.6 s/frame, grid-instanced ~13 s — the
+    # dense sweep fixed the carried-operand pathology but the 1M-item
+    # grid pass still loses here; neither is near-fast yet, see
+    # TPU_NOTES "config 4")
+    use_grid = False
     try:
         ias_g = _build_g(packed, transforms)
         _, _, _, ov = _trace_g(ias_g, rays)
         check_instanced_grid_capacity(ov)
+
+        def _t_of(f):
+            out = f(); jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            out = f()
+            float(jnp.sum(jax.tree.leaves(out)[0][:64].astype(jnp.float32)))
+            return time.perf_counter() - t0
+
+        tg = _t_of(lambda: _trace_g(
+            _build_g(packed, transforms.at[:, :, 3].add(1e-4)),
+            rays)[0].t)
+        ts = _t_of(lambda: _trace(
+            _build(blas, transforms.at[:, :, 3].add(2e-4)), rays)[0].t)
+        use_grid = tg < ts
+        log(f"config 4 calibration: grid {tg*1000:.0f} ms, "
+            f"stack {ts*1000:.0f} ms -> {'grid' if use_grid else 'stack'}")
     except Exception as e:
         log(f"config 4: grid-instanced path unavailable ({e}); "
             f"falling back to the stack tracer")
