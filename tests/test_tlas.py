@@ -204,3 +204,49 @@ def test_single_instance_tlas():
     assert int(bvh.child[0]) == 7
     np.testing.assert_array_equal(np.asarray(bvh.node_min[0]),
                                   np.asarray(lo[0]))
+
+
+def test_instanced_split_matches_flattened_brute():
+    """Flagship shared-BLAS instanced tracer (trace/instanced_split.py:
+    bitmask candidates + one object-space split-Pallas pass) vs the
+    flattened world-space oracle."""
+    from tpu_raytracing.bvh import bucket
+    from tpu_raytracing.trace import split_pallas as sp
+    from tpu_raytracing.trace.instanced_split import (
+        build_instanced_split,
+        check_candidate_capacity,
+        trace_rays_instanced_split,
+    )
+
+    rng = np.random.default_rng(7)
+    mesh = icosphere(subdivisions=1, radius=0.8)
+    transforms = _transforms(12, rng)
+
+    split, packed = jax.jit(
+        lambda t: bucket.emit_split(
+            bucket.split_front(t, enable_pairs=True),
+            leaf_width=sp.LEAFW))(jnp.asarray(mesh))
+    views = jax.jit(sp.prep_split_views)(split, packed)
+    blas_lo = jnp.min(jnp.asarray(mesh).reshape(-1, 3), axis=0)
+    blas_hi = jnp.max(jnp.asarray(mesh).reshape(-1, 3), axis=0)
+    ias = jax.jit(build_instanced_split)(
+        views, packed, blas_lo, blas_hi, jnp.asarray(transforms))
+
+    rays = _rays_grid(np.zeros(3), 6.0)
+    rec, inst_id, stats, nov = jax.jit(
+        lambda i, r: trace_rays_instanced_split(i, r, k_slots=8))(ias, rays)
+    check_candidate_capacity(nov, 8)
+
+    flat = _flatten(mesh, transforms)
+    ref = _brute(jnp.asarray(flat), rays)
+
+    hit = np.asarray(rec.hit)
+    np.testing.assert_array_equal(hit, np.asarray(ref.hit))
+    np.testing.assert_allclose(
+        np.asarray(rec.t)[hit], np.asarray(ref.t)[hit],
+        rtol=2e-4, atol=1e-5)
+    ref_inst = np.asarray(ref.prim_id) // mesh.shape[0]
+    same_t = np.isclose(np.asarray(rec.t), np.asarray(ref.t), rtol=1e-4)
+    check = hit & same_t
+    np.testing.assert_array_equal(
+        np.asarray(inst_id)[check], ref_inst[check])

@@ -44,7 +44,7 @@ from tpu_raytracing.bvh import invariants
 from tpu_raytracing.bvh.pairing import can_form_pair, create_pairs, should_form_pair
 from tpu_raytracing.bvh.types import BVH, CHILD_BOX, CHILD_NONE, CHILD_TRI, TrianglePairs
 from tpu_raytracing.ops.intersect import aabb_surface_area, triangle_aabb
-from tpu_raytracing.ops.scan import segmented_scan
+from tpu_raytracing.ops.rangemin import build_range_min, range_min_query
 
 NUM_BINS = 8
 LEAF_THRESHOLD = 2
@@ -361,6 +361,10 @@ def _level_step(leaves: LeafInput, s: dict, max_levels: int) -> dict:
     arena = arena.replace(wptr=arena.wptr + 2 * n_split)
 
     # ---- per-primitive task/bin assignment ----
+    # Scatter + 1-channel max-scan (the round-4 form): measured 14.5 ms
+    # at 1M vs 167 ms for a searchsorted binary-search chain
+    # (benchmarks/probe_sah_runtime.py), and its compile is benign —
+    # only the 12-channel flagged segmented scans blew the 1M compile.
     scat = jnp.full((cap,), -1, jnp.int32)
     starts_clip = jnp.where(active & (counts > 0), tstart, cap)
     scat = scat.at[starts_clip].set(tslot, mode="drop")
@@ -394,56 +398,40 @@ def _level_step(leaves: LeafInput, s: dict, max_levels: int) -> dict:
 
     _, ids_new = jax.lax.sort_key_val(key, ids, is_stable=True)
 
-    # ---- segmented SAH sweep over the sorted order ----
-    lmin = leaves.aabb_min[ids_new]
-    lmax = leaves.aabb_max[ids_new]
-    centre = (lmin + lmax) * 0.5
-    start_flags = jnp.zeros((cap,), bool).at[
-        jnp.where(is_split, tstart, cap)
-    ].set(True, mode="drop")
-    end_flags = jnp.zeros((cap,), bool).at[
-        jnp.where(is_split, tend - 1, cap)
-    ].set(True, mode="drop")
-    fwd = segmented_scan(
-        jnp.concatenate([lmin, centre, -lmax, -centre], axis=1),
-        start_flags, jnp.minimum,
-    )
-    bwd = segmented_scan(
-        jnp.concatenate([lmin, centre, -lmax, -centre], axis=1),
-        end_flags, jnp.minimum, reverse=True,
-    )
-
-    # Boundary counts need the one-hot bin histogram in *sorted* order;
-    # carry bin and task ids through the same stable sort.
-    _, bin_sorted = jax.lax.sort_key_val(key, jnp.where(splitting, bin_id, 15),
-                                         is_stable=True)
-    _, task_sorted = jax.lax.sort_key_val(key, jnp.where(splitting, t, tcap),
-                                          is_stable=True)
-    onehot = (
-        (bin_sorted[:, None] == jnp.arange(NUM_BINS)[None, :])
-        & (task_sorted < tcap)[:, None]
-    ).astype(jnp.int32)
-    csum = jnp.cumsum(onehot, axis=0)  # [L, 8]
-    end_idx = jnp.clip(tend - 1, 0, cap - 1)
-    start_idx = jnp.clip(tstart - 1, 0, cap - 1)
-    cnt_end = csum[end_idx]  # [T, 8]
-    cnt_start = jnp.where((tstart > 0)[:, None], csum[start_idx], 0)
-    bin_counts = cnt_end - cnt_start  # per-task per-bin counts
-    cl = jnp.cumsum(bin_counts, axis=1)  # [T, 8]: count with bin <= b
-
-    def plane_fields(clb):
-        boundary = tstart + clb
-        left = fwd[jnp.clip(boundary - 1, 0, cap - 1)]
-        right = bwd[jnp.clip(boundary, 0, cap - 1)]
-        return left, right
+    # ---- SAH sweep via per-(task, bin) scatter reductions ----
+    # The round-4 form (fwd/bwd segmented scans over [cap, 12], a
+    # [cap, 8] one-hot cumsum, two extra payload sorts) is the measured
+    # 1M COMPILE blocker on this backend; the first round-5 rewrite
+    # (range-min table + searchsorted boundaries) compiled in 58 s but
+    # RAN 16 s/level (probe_sah_runtime.py: searchsorted boundaries
+    # 1.45 s, table build 0.66 s, per-channel query gathers ~0.3 s each
+    # and program-size-heavy). Winning form, compile- AND runtime-light:
+    # one scatter-add histogram (0.16 s) + one 12-channel scatter-min +
+    # dense 8-bin prefix/suffix mins. Values reduce in PRE-sort order
+    # (min is order-free), so the sort carries only ids.
+    seg = jnp.where(splitting, t * NUM_BINS + bin_id, tcap * NUM_BINS)
+    hist = jnp.zeros((tcap * NUM_BINS + 1,), jnp.int32).at[seg].add(
+        1, mode="drop")
+    cl = jnp.cumsum(
+        hist[:tcap * NUM_BINS].reshape(tcap, NUM_BINS), axis=1)
+    packed12 = jnp.concatenate([lmin, centre, -lmax, -centre], axis=1)
+    binmin = jnp.full((tcap * NUM_BINS + 1, 12), _F32_MAX).at[seg].min(
+        packed12, mode="drop")
+    binmin = binmin[:tcap * NUM_BINS].reshape(tcap, NUM_BINS, 12)
+    # lpre[:, b] = min over bins <= b (the left side of plane b);
+    # rsuf[:, b] = min over bins >= b (right side of plane b-1).
+    lpre = jax.lax.associative_scan(jnp.minimum, binmin, axis=1)
+    rsuf = jax.lax.associative_scan(
+        jnp.minimum, binmin[:, ::-1], axis=1)[:, ::-1]
 
     best_score = jnp.full((tcap,), _F32_MAX)
-    best_cl = jnp.zeros((tcap,), jnp.int32)
+    best_b = jnp.zeros((tcap,), jnp.int32)
     # Right-to-left strict improvement keeps the largest bin on ties
     # (src/SharedTaskBuilder.cu:313-327).
     for b in range(NUM_BINS - 2, -1, -1):
         clb = cl[:, b]
-        left, right = plane_fields(clb)
+        left = lpre[:, b]
+        right = rsuf[:, b + 1]
         l_pmin, l_pmax = left[:, 0:3], -left[:, 6:9]
         r_pmin, r_pmax = right[:, 0:3], -right[:, 6:9]
         nl = clb.astype(jnp.float32)
@@ -452,27 +440,46 @@ def _level_step(leaves: LeafInput, s: dict, max_levels: int) -> dict:
         valid = (clb > 0) & (clb < counts)
         take = valid & (score < best_score)
         best_score = jnp.where(take, score, best_score)
-        best_cl = jnp.where(take, clb, best_cl)
-    best_cl = jnp.where(degen, counts >> 1, best_cl)
+        best_b = jnp.where(take, b, best_b)
+    # Degenerate tasks bin by midpoint into bins {0, 1}: the plane after
+    # bin 0 IS the midpoint split, so best_b = 0 and cl[:, 0] ==
+    # counts >> 1 exactly.
+    best_b = jnp.where(degen, 0, best_b)
+    best_cl = jnp.take_along_axis(cl, best_b[:, None], axis=1)[:, 0]
     # Plane found/valid (src/SharedTaskBuilder.cu:329-347): a
     # non-degenerate split task must have found a proper SAH plane.
     invariants.check(
         jnp.all(jnp.where(is_split & ~degen,
                           (best_cl > 0) & (best_cl < counts), True)),
         "no valid SAH plane for a split task")
-    # A split task with no valid SAH plane cannot occur (binning spreads
-    # the longest non-degenerate centroid axis over >= 2 bins), but fall
-    # back to midpoint defensively rather than dropping primitives.
-    best_cl = jnp.where(is_split & (best_cl == 0), counts >> 1, best_cl)
+    # A split task with no valid plane cannot occur (binning spreads the
+    # longest non-degenerate centroid axis over >= 2 bins); defensively
+    # fall back to a midpoint count with the PARENT's boxes for both
+    # children (a conservative superset — never drops primitives).
+    use_parent = is_split & ~degen & (
+        (best_cl == 0) | (best_cl >= counts))
+    best_cl = jnp.where(use_parent, counts >> 1, best_cl)
 
     mid = tstart + best_cl
-    left, right = plane_fields(best_cl)
+    left = jnp.take_along_axis(
+        lpre, best_b[:, None, None], axis=1)[:, 0, :]
+    right = jnp.take_along_axis(
+        rsuf, (best_b + 1)[:, None, None], axis=1)[:, 0, :]
     l_pmin, l_cmin, l_pmax, l_cmax = (
         left[:, 0:3], left[:, 3:6], -left[:, 6:9], -left[:, 9:12]
     )
     r_pmin, r_cmin, r_pmax, r_cmax = (
         right[:, 0:3], right[:, 3:6], -right[:, 6:9], -right[:, 9:12]
     )
+    up = use_parent[:, None]
+    l_pmin = jnp.where(up, tpmin, l_pmin)
+    l_pmax = jnp.where(up, tpmax, l_pmax)
+    l_cmin = jnp.where(up, tcmin, l_cmin)
+    l_cmax = jnp.where(up, tcmax, l_cmax)
+    r_pmin = jnp.where(up, tpmin, r_pmin)
+    r_pmax = jnp.where(up, tpmax, r_pmax)
+    r_cmin = jnp.where(up, tcmin, r_cmin)
+    r_cmax = jnp.where(up, tcmax, r_cmax)
 
     # ---- new frontier (children of splitting tasks, slot-ordered) ----
     new_n = 2 * n_split
@@ -503,6 +510,34 @@ def _level_step(leaves: LeafInput, s: dict, max_levels: int) -> dict:
 # Cached across host-stepped builds: one compile per (shape, max_levels)
 # combination, reused for every level and every subsequent rebuild.
 _level_step_jit = jax.jit(_level_step, static_argnums=(2,))
+
+
+def _seed_aabbs(leaves: LeafInput, ids, starts, ends, n_tasks):
+    """Per-seed-task centroid/prim AABBs via range-min-table queries.
+
+    Module-level (and jitted for the host-stepped driver: eagerly this
+    dispatched ~100 ops one by one to the remote device — measured
+    minutes of the round-5 cold 1M build's non-level time)."""
+    tcap = starts.shape[0]
+    tslot = jnp.arange(tcap, dtype=jnp.int32)
+    lmin = leaves.aabb_min[ids]
+    lmax = leaves.aabb_max[ids]
+    centre = (lmin + lmax) * 0.5
+    valid = (tslot < n_tasks) & (ends > starts)
+    tbl = build_range_min(
+        jnp.concatenate([lmin, centre, -lmax, -centre], axis=1))
+    q = range_min_query(
+        tbl, jnp.where(valid, starts, 0),
+        jnp.where(valid, ends - starts, 0))
+    return (
+        q[:, 6:9] * -1.0,  # pmax
+        q[:, 0:3],  # pmin
+        q[:, 9:12] * -1.0,  # cmax
+        q[:, 3:6],  # cmin
+    )
+
+
+_seed_aabbs_jit = jax.jit(_seed_aabbs)
 
 
 class SahDeadlineExceeded(RuntimeError):
@@ -568,26 +603,22 @@ def frontier_build(
     seed_parent = pad_t(seed_parent.astype(jnp.int32))
     num_seeds = jnp.asarray(num_seeds, jnp.int32)
 
-    def seg_reduce_aabbs(ids, starts, ends, n_tasks):
-        """Per-task centroid/prim AABBs via segmented scans + end gathers."""
-        lmin = leaves.aabb_min[ids]
-        lmax = leaves.aabb_max[ids]
-        centre = (lmin + lmax) * 0.5
-        valid = (tslot < n_tasks) & (ends > starts)
-        flags = jnp.zeros((cap,), bool).at[jnp.where(valid, starts, cap)].set(
-            True, mode="drop"
-        )
-        neg = jnp.concatenate([lmin, centre, -lmax, -centre], axis=1)  # [L, 12]
-        run = segmented_scan(neg, flags, jnp.minimum)
-        at_end = run[jnp.clip(ends - 1, 0, cap - 1)]
-        return (
-            at_end[:, 6:9] * -1.0,  # pmax
-            at_end[:, 0:3],  # pmin
-            at_end[:, 9:12] * -1.0,  # cmax
-            at_end[:, 3:6],  # cmin
-        )
+    seed_fn = _seed_aabbs_jit if host_stepped else _seed_aabbs
+    if host_stepped:
+        import os as _os
+        import sys as _sys
+        import time as _time
 
-    pmax0, pmin0, cmax0, cmin0 = seg_reduce_aabbs(ids0, seed_start, seed_end, num_seeds)
+        _t0 = _time.perf_counter()
+        pmax0, pmin0, cmax0, cmin0 = seed_fn(
+            leaves, ids0, seed_start, seed_end, num_seeds)
+        if _os.environ.get("TPURT_SAH_VERBOSE") == "1":
+            jax.block_until_ready(pmax0)
+            print(f"  sah stage seed: {_time.perf_counter() - _t0:.1f} s",
+                  file=_sys.stderr, flush=True)
+    else:
+        pmax0, pmin0, cmax0, cmin0 = seed_fn(
+            leaves, ids0, seed_start, seed_end, num_seeds)
 
     state = dict(
         ids=ids0,

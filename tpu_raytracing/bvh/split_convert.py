@@ -100,8 +100,24 @@ def build_sah_split(
     minutes-slow (docs/TPU_NOTES.md, benchmarks/probe_tree.py).
     """
     if host_stepped:
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        verbose = _os.environ.get("TPURT_SAH_VERBOSE") == "1"
+
+        def _mark(label, t0):
+            if verbose:
+                print(f"  sah stage {label}: "
+                      f"{_time.perf_counter() - t0:.1f} s",
+                      file=_sys.stderr, flush=True)
+            return _time.perf_counter()
+
+        t = _time.perf_counter()
         leaves, pairs = _setup_leaves_jit(triangles, enable_pairs,
                                           enable_splits)
+        jax.block_until_ready(leaves.aabb_min)
+        t = _mark("setup", t)
         cap = leaves.aabb_min.shape[0]
         num_leaves = leaves.num_leaves
         arena = sah.make_arena(2 * cap + 2, track_segments=True)
@@ -114,8 +130,12 @@ def build_sah_split(
             jnp.int32(1), return_ids=True, host_stepped=True,
             deadline=deadline,
         )
-        return _emit_from_arena_jit(arena, ids_final, leaves, pairs,
-                                    leaf_width)
+        t = _mark("frontier", t)
+        out = _emit_from_arena_jit(arena, ids_final, leaves, pairs,
+                                   leaf_width)
+        jax.block_until_ready(out[0].inner)
+        _mark("emit", t)
+        return out
 
     leaves, pairs = _setup(triangles, enable_pairs, enable_splits)
     cap = leaves.aabb_min.shape[0]
@@ -156,6 +176,22 @@ def build_sah_split_auto(
             t, enable_pairs, leaf_width, enable_splits=enable_splits))
         _JIT_CACHE[key] = fn
     return fn(triangles)
+
+
+def check_sah_split_capacity(split: SplitBVH) -> None:
+    """Host-fetch guard for the SAH->split emission (ADVICE r4): anchor
+    rows whose destination slot 1+rank lands past ICAP are scatter-dropped
+    (mode='drop' in _emit_from_arena), which would silently truncate the
+    traced tree. Call wherever the emitted tree is fetched/adopted, like
+    bucket.check_split_capacity on the bucket path."""
+    ni = int(split.num_inner)
+    icap = int(split.inner.shape[0])
+    if not 0 < ni <= icap:
+        raise RuntimeError(
+            f"SAH split emit overflow: num_inner {ni} outside (0, {icap}] "
+            f"— anchor rows were dropped; raise _split_cap")
+    if int(split.num_leaves) <= 0:
+        raise RuntimeError("SAH split emit produced no live leaves")
 
 
 def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):

@@ -94,6 +94,16 @@ def _clip_tri_box_aabb(v0, v1, v2, bmin, bmax):
     # barycentric test helper (projected, via normal-scaled areas)
     nn = jnp.sum(n * n, axis=-1)
 
+    # Largest edge length: the in_tri tolerance must bound the rounding
+    # error of s = n·(e × (p − v)), which scales with |n|·|e|·|p − v| —
+    # NOT with |n|² (the r4 tolerance was dimensionally inconsistent,
+    # ADVICE r4 low). Over-accepting only LOOSENS the AABB (safe).
+    e3 = verts[:, 2] - verts[:, 1]
+    e_len = jnp.sqrt(jnp.maximum(jnp.maximum(
+        jnp.sum(e1 * e1, axis=-1), jnp.sum(e2 * e2, axis=-1)),
+        jnp.sum(e3 * e3, axis=-1)))
+    n_len = jnp.sqrt(jnp.maximum(nn, 1e-30))
+
     def in_tri(p):
         c0 = jnp.cross(verts[:, 1] - verts[:, 0], p - verts[:, 0])
         c1 = jnp.cross(verts[:, 2] - verts[:, 1], p - verts[:, 1])
@@ -101,7 +111,8 @@ def _clip_tri_box_aabb(v0, v1, v2, bmin, bmax):
         s0 = jnp.sum(c0 * n, axis=-1)
         s1 = jnp.sum(c1 * n, axis=-1)
         s2 = jnp.sum(c2 * n, axis=-1)
-        tol = eps * jnp.maximum(nn, 1e-30)
+        pd = jnp.sqrt(jnp.sum((p - verts[:, 0]) ** 2, axis=-1))
+        tol = eps * n_len * e_len * (pd + e_len) + 1e-30
         return (s0 >= -tol) & (s1 >= -tol) & (s2 >= -tol)
 
     for axis in range(3):
@@ -133,10 +144,16 @@ def _clip_tri_box_aabb(v0, v1, v2, bmin, bmax):
         lo = jnp.minimum(lo, jnp.where(o[:, None], p, big))
         hi = jnp.maximum(hi, jnp.where(o[:, None], p, -big))
         nonempty = nonempty | o
-    # conservative: inflate a hair, clamp into the cell box
+    # conservative: inflate a hair, clamp into the cell box. Candidate
+    # points from edge/plane divisions carry error ~ ulp(|coordinate|),
+    # so the margin must scale with coordinate MAGNITUDE, not just the
+    # clipped span (ADVICE r4 low: scenes far from the origin could get
+    # a non-conservative box). 4 ulps of the cell-corner magnitude.
     span = jnp.maximum(hi - lo, 0.0)
-    lo = jnp.maximum(lo - eps * span - 1e-7, bmin)
-    hi = jnp.minimum(hi + eps * span + 1e-7, bmax)
+    mag = jnp.maximum(jnp.abs(bmin), jnp.abs(bmax))
+    margin = eps * span + 4.8e-7 * mag + 1e-7
+    lo = jnp.maximum(lo - margin, bmin)
+    hi = jnp.minimum(hi + margin, bmax)
     return lo, hi, nonempty
 
 

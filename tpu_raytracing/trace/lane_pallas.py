@@ -52,6 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpu_raytracing.bvh import invariants
 from tpu_raytracing.bvh.treelet import INNER_WIDTH, TreeletBVH
 from tpu_raytracing.trace.brute import HitRecord
 from tpu_raytracing.trace.ray import Rays
@@ -617,6 +618,28 @@ def trace_rays_lane_pallas(
     return rec, stats
 
 
+def _warn_unfinished(want, where: str) -> None:
+    """ADVICE r4 low: a lane still flagged wanting work after the final
+    recovery round silently drops hits (e.g. tiny TPURT_LANE_STACK with
+    no tbest tightening between attempts). Expose it instead: debug-mode
+    checkify invariant plus a host-side warning (works under jit via
+    debug.callback; prints only when the count is nonzero)."""
+    n = jnp.sum((want > 0).astype(jnp.int32))
+    invariants.check(
+        n == 0, "lane driver: lanes unfinished after RECOVER rounds "
+                "(hits may be dropped)")
+
+    def _cb(nv):
+        if int(nv):
+            import sys
+            print(
+                f"WARNING tpu_raytracing.lane_pallas [{where}]: {int(nv)} "
+                f"lanes still unfinished after recovery rounds - hits may "
+                f"be missing (raise TPURT_LANE_RECOVER or TPURT_LANE_STACK)",
+                file=sys.stderr, flush=True)
+    jax.debug.callback(_cb, n)
+
+
 def trace_rays_lane_restart(
     tb: TreeletBVH, packed: PackedPairs, rays: Rays, active=None,
     any_hit: bool = False, c_slots: int = None, raw: bool = False,
@@ -670,6 +693,7 @@ def trace_rays_lane_restart(
         box = box + st2.box_tests[inv]
         trit = trit + st2.tri_tests[inv]
         want = out2[:, 7, :].astype(jnp.int32).reshape(num)[inv]
+    _warn_unfinished(want, "restart")
     stats = TraceStats(box_tests=box, tri_tests=trit)
     if any_hit:
         t = rays.tmax
@@ -751,6 +775,7 @@ def trace_rays_lane_wave(
         cur_rays = jax.tree.map(lambda a: take_rows(a, perm), cur_rays)
         box, trit, orig = box[perm], trit[perm], orig[perm]
         cur_act = None  # liveness rides in the state (cur/stack/tbest)
+    _warn_unfinished(out[:, 7, :].astype(jnp.int32).reshape(num), "wave")
     inv = jnp.argsort(orig)
     t, tri = t[inv], tri[inv]
     stats = TraceStats(box_tests=box[inv], tri_tests=trit[inv])
@@ -823,6 +848,7 @@ def trace_rays_lane_phase(
         cur_rays = jax.tree.map(lambda a: take_rows(a, perm), cur_rays)
         box, trit, orig = box[perm], trit[perm], orig[perm]
         cur_act = None
+    _warn_unfinished(out[:, 7, :].astype(jnp.int32).reshape(num), "phase")
     inv = jnp.argsort(orig)
     t, tri = t[inv], tri[inv]
     stats = TraceStats(box_tests=box[inv], tri_tests=trit[inv])

@@ -73,9 +73,15 @@ def _stack_cap(w: int, num_pair_rows: int) -> int:
     return (w - 1) * max_levels + 8
 # Pairs per leaf window; build_bucket_split(leaf_width=...) must match.
 LEAFW = int(_os.environ.get("TPURT_SPLIT_LEAFW", "64"))
-# Kernel version (TPURT_SPLIT_V): 3 = latency-batched pops (default),
+# Kernel version (TPURT_SPLIT_V): 4 = leaf-batched pops (round-5
+# default pending hardware A/B), 3 = latency-batched pops,
 # 2 = round-1 kernel (kept for A/B measurement).
 KERNEL_V = int(_os.environ.get("TPURT_SPLIT_V", "3"))
+# Leaf windows per batched flush in the v4 kernel (TPURT_SPLIT_LB):
+# a slot defers leaf windows into a queue and intersects LB of them in
+# ONE loop visit, amortizing the per-pop scalar control (the measured
+# ~550 ns/pop wall, docs/TPU_NOTES.md) over LB windows.
+LEAF_BATCH = int(_os.environ.get("TPURT_SPLIT_LB", "4"))
 # Measurement build: double the leaf Moller-Trumbore (folded in as a
 # no-op) to attribute leaf vector cost; see leaf_mt. Measured: +17 ms on
 # the 1170 ms bounce pass — leaf vector compute is ~free; the pass is
@@ -528,6 +534,363 @@ def _kernel_v3(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
             ).wait()
 
 
+def _kernel_v4(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
+               ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
+               ii_s, istack, lq, lwin, sps, lqn, mode, fcnt, cur, acts,
+               outp, pkts, ipops, lpops, cursor,
+               sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w,
+               leafw, any_hit, k, stack_cap, c_slots, lbatch):
+    """v4: leaf-batched pops — the round-5 attack on the ~550 ns/pop
+    scalar-control wall (VERDICT r4 #1).
+
+    The measured decomposition (docs/TPU_NOTES.md pop accounting): per-pop
+    cost is fixed serialized scalar control — branch checks, semaphore
+    ops, vector<->scalar syncs — insensitive to C, sublane mapping and
+    branch trims; leaf windows are ~60% of bounce pops and their vector
+    Moller-Trumbore is measured ~free next to that control. So: defer
+    leaf windows into a per-slot SMEM queue and intersect LB of them in
+    ONE loop visit — one set of branch checks / DMA semaphores / loop
+    overhead amortized over LB windows, with the LB window DMAs in
+    flight together. Interior pops keep the v3 shape (phase-A reduction
+    issue, phase-B consume) and push inner children near-first; leaf
+    children enqueue instead of pushing.
+
+    Ordering cost: leaf windows within a batch are tested LIFO but t
+    tightening is delayed by up to LB-1 windows vs v3's strict stack
+    order, so pops can rise slightly; measured head-to-head by
+    benchmarks/probe_v4.py before adoption. Correctness is order-free
+    (closest hit = min over all tested windows; every queued window is
+    real scene geometry).
+
+    Queue bound: a flush drains min(lqn, LB) and an interior pop adds at
+    most w entries, and a slot flushes whenever lqn >= LB, so
+    lqn <= LB - 1 + w always; lq is sized LB + w + 1 (trash slot last).
+    """
+    STACK = stack_cap
+    C = c_slots
+    LB = lbatch
+    LQCAP = LB + w  # + trash slot in the scratch shape
+    num_p = rays_hbm.shape[0]
+    npack = (C * w + 31) // 32
+    per = 32 // w
+
+    def start_inner(c, idx):
+        pltpu.make_async_copy(inner_i.at[idx], ii_s.at[c], sem_ii.at[c]).start()
+        pltpu.make_async_copy(inner_v.at[idx], iv_s.at[c], sem_iv.at[c]).start()
+
+    def start_leafj(c, j, win):
+        pltpu.make_async_copy(
+            pairs_f.at[pl.ds(win, leafw), :], leaf_scr.at[c, j],
+            sem_leaf.at[c, j],
+        ).start()
+
+    def init_slot(c, pkt):
+        pkts[c] = pkt
+        t0 = ptag[pkt]
+        ipops[c] = jnp.int32(0)
+        lpops[c] = jnp.int32(0)
+        sps[c] = jnp.int32(0)
+        lqn[c] = jnp.int32(0)
+        pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+        ).start()
+        is_l0 = (t0 & 1) == 1
+
+        @pl.when(is_l0)
+        def _():
+            lwin[c, 0] = t0 >> 1
+            fcnt[c] = jnp.int32(1)
+            mode[c] = jnp.int32(1)
+            start_leafj(c, 0, t0 >> 1)
+
+        @pl.when(jnp.logical_not(is_l0))
+        def _():
+            cur[c] = t0
+            mode[c] = jnp.int32(0)
+            start_inner(c, t0 >> 1)
+        pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+        ).wait()
+        ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+        st_t[c] = ray_scr[c, 7:8, :]
+        st_tri[c] = jnp.full((1, k), -1, jnp.int32)
+
+    def slab_keys(c):
+        row = iv_s[c]
+        ox, oy, oz = (ray_scr[c, i : i + 1, :] for i in range(3))
+        invx, invy, invz = (ray_scr[c, i : i + 1, :] for i in range(8, 11))
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+        tx0 = (row[:, 0:1] - ox) * invx
+        ty0 = (row[:, 1:2] - oy) * invy
+        tz0 = (row[:, 2:3] - oz) * invz
+        tx1 = (row[:, 3:4] - ox) * invx
+        ty1 = (row[:, 4:5] - oy) * invy
+        tz1 = (row[:, 5:6] - oz) * invz
+        front = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        back = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        bh = (back >= front) & (front <= t_cur) & (back >= tmn)
+        frontv = jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX)
+        d8 = jnp.min(frontv, axis=1, keepdims=True)
+        validv = d8 < _F32_MAX
+        e_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        key = (pltpu.bitcast(d8, jnp.int32) & ~(w - 1)) | (w - 1 - e_iota)
+        return jnp.where(validv, key, 0x7FFFFFFF), validv
+
+    def leaf_mt(c, j, win):
+        """MT the j-th batched window against the packet (as v3 leaf_mt
+        but reading batch slot j; tri ids reconstruct from win)."""
+        row = leaf_scr[c, j]  # (leafw, 128)
+        dx = ray_scr[c, 3:4, :]
+        dy = ray_scr[c, 4:5, :]
+        dz = ray_scr[c, 5:6, :]
+        ox = ray_scr[c, 0:1, :]
+        oy = ray_scr[c, 1:2, :]
+        oz = ray_scr[c, 2:3, :]
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+
+        def col(word):
+            return row[:, word : word + 1]
+
+        def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
+            e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
+            e2x, e2y, e2z = c0 - a0, c1 - a1, c2 - a2
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
+            f = 1.0 / det
+            sx, sy, sz = ox - a0, oy - a1, oz - a2
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            acc = (
+                ~degen & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0) & (tt >= tmn) & (tt <= t_cur)
+            )
+            return acc, tt
+
+        v0 = (col(0), col(1), col(2))
+        v1 = (col(3), col(4), col(5))
+        v2 = (col(6), col(7), col(8))
+        v3_ = (col(9), col(10), col(11))
+        acc_a, tt_a = mt(*v0, *v1, *v2)
+        acc_b, tt_b = mt(*v2, *v1, *v3_)
+        cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
+        cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
+        enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, k), 0) * 2
+        cand = jnp.minimum(cand_a, cand_b)
+        encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
+        tm = jnp.min(cand, axis=0, keepdims=True)
+        wenc = jnp.max(jnp.where(cand == tm, encab, -1), axis=0, keepdims=True)
+        take = tm <= t_cur
+        tri_new = win * 2 + wenc
+        st_tri[c] = jnp.where(take, tri_new, st_tri[c])
+        if any_hit:
+            st_t[c] = jnp.where(take, -_F32_MAX, st_t[c])
+        else:
+            st_t[c] = jnp.where(take, tm, st_t[c])
+
+    # --- init: prime slots 0..C-1 ---
+    for c in range(C):
+        outp[c] = jnp.int32(0)
+        if c < num_p:
+            acts[c] = jnp.int32(1)
+            init_slot(c, jnp.int32(c))
+        else:
+            acts[c] = jnp.int32(0)
+            sps[c] = jnp.int32(0)
+            lqn[c] = jnp.int32(0)
+            mode[c] = jnp.int32(0)
+            fcnt[c] = jnp.int32(0)
+            cur[c] = jnp.int32(0)
+            pkts[c] = jnp.int32(0)
+            ipops[c] = jnp.int32(0)
+            lpops[c] = jnp.int32(0)
+    cursor[0] = jnp.int32(min(C, num_p))
+
+    def body(nd):
+        # ---- phase A: DMA waits + vector work + reduction ISSUE ----
+        acts_v = [acts[c] == 1 for c in range(C)]
+        modes_v = [mode[c] for c in range(C)]
+        keyvs = [None] * C
+        validvs = [None] * C
+        for c in range(C):
+            @pl.when(acts_v[c] & (modes_v[c] == 0))
+            def _(c=c):
+                idx = jnp.maximum(cur[c] >> 1, 0)
+                pltpu.make_async_copy(
+                    inner_i.at[idx], ii_s.at[c], sem_ii.at[c]).wait()
+                pltpu.make_async_copy(
+                    inner_v.at[idx], iv_s.at[c], sem_iv.at[c]).wait()
+
+            @pl.when(acts_v[c] & (modes_v[c] == 1))
+            def _(c=c):
+                f = fcnt[c]
+                for j in range(LB):
+                    @pl.when(j < f)
+                    def _(c=c, j=j):
+                        win = lwin[c, j]
+                        pltpu.make_async_copy(
+                            pairs_f.at[pl.ds(win, leafw), :],
+                            leaf_scr.at[c, j], sem_leaf.at[c, j],
+                        ).wait()
+                        leaf_mt(c, j, win)
+
+            keyvs[c], validvs[c] = slab_keys(c)
+
+        packs = []
+        for g in range(npack):
+            cs = range(g * per, min((g + 1) * per, C))
+            bits = jnp.concatenate(
+                [
+                    jnp.where(
+                        validvs[c],
+                        jnp.int32(1)
+                        << (jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+                            + (c % per) * w),
+                        0,
+                    )
+                    for c in cs
+                ],
+                axis=0,
+            )
+            packs.append(jnp.sum(bits))
+        kmins = [jnp.min(keyvs[c]) for c in range(C)]
+        dones = [None] * C
+        if any_hit:
+            for c in range(C):
+                done = (st_tri[c] >= 0) | (ray_scr[c, 7:8, :] < 0.0)
+                dones[c] = jnp.min(done.astype(jnp.int32))
+
+        # ---- phase B: consume scalars, push/enqueue, decide, DMA ----
+        for c in range(C):
+            act = acts_v[c]
+            is_inner = modes_v[c] == 0
+            vmask = (packs[c // per] >> ((c % per) * w)) & ((1 << w) - 1)
+            kmin = kmins[c]
+            emin = (w - 1) - (kmin & (w - 1))
+
+            @pl.when(act & is_inner)
+            def _(c=c, vmask=vmask, emin=emin):
+                sp = sps[c]
+                ln = lqn[c]
+                last_tag = jnp.int32(-1)
+                for e in range(w):
+                    meta = ii_s[c, e * 8 + 6]
+                    ntype = meta & 3
+                    tag_e = ((meta >> 5) << 1) | (
+                        ntype == CHILD_TRI
+                    ).astype(jnp.int32)
+                    is_l = (tag_e & 1) == 1
+                    ok = (((vmask >> e) & 1) == 1) & (ntype != 0)
+                    ok_i = ok & jnp.logical_not(is_l)
+                    ok_l = ok & is_l
+                    last_tag = jnp.where(ok_i & (e == emin), tag_e, last_tag)
+                    push = ok_i & (e != emin)
+                    istack[c, jnp.where(push, sp, STACK)] = tag_e
+                    sp = sp + push.astype(jnp.int32)
+                    lq[c, jnp.where(ok_l, ln, LQCAP)] = tag_e
+                    ln = ln + ok_l.astype(jnp.int32)
+                ok_last = last_tag >= 0
+                istack[c, jnp.where(ok_last, sp, STACK)] = last_tag
+                sps[c] = sp + ok_last.astype(jnp.int32)
+                lqn[c] = ln
+                ipops[c] = ipops[c] + 1
+
+            @pl.when(act & jnp.logical_not(is_inner))
+            def _(c=c):
+                lpops[c] = lpops[c] + fcnt[c]
+                if any_hit:
+                    # Occlusion early-finish once every live lane hit.
+                    @pl.when(dones[c] == 1)
+                    def _(c=c):
+                        sps[c] = jnp.int32(0)
+                        lqn[c] = jnp.int32(0)
+
+            # --- decide next action ---
+            sp_v = sps[c]
+            ln_v = lqn[c]
+            do_flush = act & ((ln_v >= LB) | ((sp_v == 0) & (ln_v > 0)))
+            cont_i = act & jnp.logical_not(do_flush) & (sp_v > 0)
+            finished = act & (sp_v == 0) & (ln_v == 0)
+            nxt = cursor[0]
+            refill = finished & (nxt < num_p)
+
+            @pl.when(do_flush)
+            def _(c=c, ln_v=ln_v):
+                f = jnp.minimum(ln_v, LB)
+                for j in range(LB):
+                    @pl.when(j < f)
+                    def _(c=c, j=j, ln_v=ln_v):
+                        wt = lq[c, ln_v - 1 - j]
+                        lwin[c, j] = wt >> 1
+                        start_leafj(c, j, wt >> 1)
+                lqn[c] = ln_v - f
+                fcnt[c] = f
+                mode[c] = jnp.int32(1)
+
+            @pl.when(cont_i)
+            def _(c=c, sp_v=sp_v):
+                nt = istack[c, jnp.maximum(sp_v - 1, 0)]
+                sps[c] = sp_v - 1
+                cur[c] = nt
+                mode[c] = jnp.int32(0)
+                start_inner(c, jnp.maximum(nt >> 1, 0))
+
+            @pl.when(finished & (outp[c] == 1))
+            def _(c=c):
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).wait()
+
+            @pl.when(finished)
+            def _(c=c):
+                out_stage[c, 0:1, :] = st_t[c]
+                out_stage[c, 1:2, :] = pltpu.bitcast(st_tri[c], jnp.float32)
+                out_stage[c, 2:3, :] = (
+                    jnp.zeros((1, k), jnp.float32)
+                    + ipops[c].astype(jnp.float32)
+                )
+                out_stage[c, 3:4, :] = (
+                    jnp.zeros((1, k), jnp.float32)
+                    + lpops[c].astype(jnp.float32)
+                )
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).start()
+                outp[c] = jnp.int32(1)
+                acts[c] = refill.astype(jnp.int32)
+
+            @pl.when(refill)
+            def _(c=c, nxt=nxt):
+                cursor[0] = nxt + 1
+                init_slot(c, nxt)
+
+            nd = nd + finished.astype(jnp.int32)
+        return nd
+
+    jax.lax.while_loop(lambda nd: nd < num_p, body, jnp.int32(0))
+
+    for c in range(C):
+        @pl.when(outp[c] == 1)
+        def _(c=c):
+            pltpu.make_async_copy(
+                out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+            ).wait()
+
+
 def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             ray_scr, leaf_scr, leaf_scr2, iv_s, st_t, st_tri, out_stage,
             ii_s, stack, sps, tags, acts, outp, pkts, nxt2k, cursor, pops,
@@ -864,7 +1227,7 @@ def trace_rays_split_pallas(
     views, packed: PackedPairs, rays: Rays, active=None, leafw: int = None,
     any_hit: bool = False, k: int = None, c_slots: int = None,
     diag_waste: bool = False, stale_skip: bool = False, packet_tags=None,
-    raw: bool = False,
+    raw: bool = False, kernel_v: int = None,
 ) -> Tuple[HitRecord, TraceStats]:
     """Closest-hit trace against a SplitBVH (views from prep_split_views).
 
@@ -913,7 +1276,67 @@ def trace_rays_split_pallas(
     w = views[1].shape[1]
     stack_cap = _stack_cap(w, views[2].shape[0])
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    if KERNEL_V >= 3:
+    kv = KERNEL_V if kernel_v is None else kernel_v
+    if kv >= 4 and not (diag_waste or stale_skip):
+        if packet_tags is None:
+            packet_tags = jnp.zeros((num_p,), jnp.int32)
+        cc = C if c_slots is None else c_slots
+        lb = LEAF_BATCH
+        out = pl.pallas_call(
+            functools.partial(_kernel_v4, w=w, leafw=leafw, any_hit=any_hit,
+                              k=k, stack_cap=stack_cap, c_slots=cc,
+                              lbatch=lb),
+            in_specs=[hbm] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=hbm,
+            out_shape=jax.ShapeDtypeStruct((num_p, 4, k), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((cc, 16, k), jnp.float32),       # ray_scr
+                pltpu.VMEM((cc, lb, leafw, 128), jnp.float32),  # leaf_scr
+                pltpu.VMEM((cc, w, 128), jnp.float32),      # iv_s
+                pltpu.VMEM((cc, 1, k), jnp.float32),        # st_t
+                pltpu.VMEM((cc, 1, k), jnp.int32),          # st_tri
+                pltpu.VMEM((cc, 4, k), jnp.float32),        # out_stage
+                pltpu.SMEM((cc, 128), jnp.int32),           # ii_s
+                pltpu.SMEM((cc, stack_cap + 1), jnp.int32),  # istack
+                pltpu.SMEM((cc, lb + w + 1), jnp.int32),    # lq (+ trash)
+                pltpu.SMEM((cc, lb), jnp.int32),            # lwin
+                pltpu.SMEM((cc,), jnp.int32),               # sps
+                pltpu.SMEM((cc,), jnp.int32),               # lqn
+                pltpu.SMEM((cc,), jnp.int32),               # mode
+                pltpu.SMEM((cc,), jnp.int32),               # fcnt
+                pltpu.SMEM((cc,), jnp.int32),               # cur
+                pltpu.SMEM((cc,), jnp.int32),               # acts
+                pltpu.SMEM((cc,), jnp.int32),               # outp
+                pltpu.SMEM((cc,), jnp.int32),               # pkts
+                pltpu.SMEM((cc,), jnp.int32),               # ipops
+                pltpu.SMEM((cc,), jnp.int32),               # lpops
+                pltpu.SMEM((1,), jnp.int32),                # cursor
+                pltpu.SemaphoreType.DMA((cc,)),             # sem_ii
+                pltpu.SemaphoreType.DMA((cc,)),             # sem_iv
+                pltpu.SemaphoreType.DMA((cc, lb)),          # sem_leaf
+                pltpu.SemaphoreType.DMA((cc,)),             # sem_ray
+                pltpu.SemaphoreType.DMA((cc,)),             # sem_out
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=_interpret(),
+        )(inner_i, inner_v, pairs_f, rays8, packet_tags)
+        t_flat = out[:, 0, :].reshape(num_rays)
+        tri_flat = jax.lax.bitcast_convert_type(
+            out[:, 1, :], jnp.int32
+        ).reshape(num_rays)
+        ip = out[:, 2, 0].astype(jnp.int32)
+        lp = out[:, 3, 0].astype(jnp.int32)
+        box_tests = jnp.repeat(ip * w, k, total_repeat_length=num_rays)
+        tri_tests = jnp.repeat(lp * 2 * leafw, k,
+                               total_repeat_length=num_rays)
+        if any_hit:
+            t_flat = rays.tmax
+        stats = TraceStats(box_tests=box_tests, tri_tests=tri_tests)
+        if raw:
+            return (t_flat, tri_flat), stats
+        rec = _reconstruct(packed, rays, t_flat, tri_flat)
+        return rec, stats
+    if kv >= 3:
         if packet_tags is None:
             packet_tags = jnp.zeros((num_p,), jnp.int32)  # root row for all
         cc = C if c_slots is None else c_slots
