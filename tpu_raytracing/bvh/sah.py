@@ -445,6 +445,10 @@ def _level_step(leaves: LeafInput, s: dict, max_levels: int) -> dict:
     # bin 0 IS the midpoint split, so best_b = 0 and cl[:, 0] ==
     # counts >> 1 exactly.
     best_b = jnp.where(degen, 0, best_b)
+    # NOTE: keep these as take_along_axis — the "static 8-way select
+    # chain" variant crashed the remote TPU compiler helper outright
+    # (round 5; the emit's multi-dim-index gathers were the real compile
+    # hog, fixed in split_convert.py:g1).
     best_cl = jnp.take_along_axis(cl, best_b[:, None], axis=1)[:, 0]
     # Plane found/valid (src/SharedTaskBuilder.cu:329-347): a
     # non-degenerate split task must have found a proper SAH plane.

@@ -227,43 +227,57 @@ def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):
     wid_of_slot = jnp.where(anchor, 1 + rank, -1)
     num_inner = 1 + jnp.sum(anchor.astype(jnp.int32))
 
+    def g1(arr, s):
+        """Gather with FLATTENED (1-D) indices: multi-dim index gathers
+        compile pathologically on this backend (probe_emit bisect,
+        round 5: the [ns, 2..8]-indexed expand chain alone cost ~295 s
+        of the emit's ~260 s compile; 1-D-index gathers are seconds)."""
+        out = arr[s.reshape(-1)]
+        return out.reshape(s.shape + arr.shape[1:])
+
     # --- frontier with early window termination ---
-    def expand(entries):
-        w = entries.shape[-1]
+    # Path-walk form: entry e of an anchor's row is the descendant
+    # reached by child-bit path (e>>2, (e>>1)&1, e&1) — 16 flat
+    # dependent [N] gathers. The interleaved stack/reshape doubling
+    # chain this replaces compiled in ~506 s at 1M on the remote
+    # backend (round-5 emit bisect, /tmp/probe_emit5) vs ~12 s for this
+    # bit-identical layout (entry index bits are MSB-first in both).
+    def stepb(entries, bit):
         s = jnp.clip(entries, 0, nslots - 1)
-        grow = (entries >= 0) & is_box[s] & big[s]
-        left = jnp.where(grow, arena.child[s], entries)
-        right = jnp.where(grow, jnp.clip(arena.child[s] + 1, 0, nslots - 1),
-                          -1)
-        return jnp.stack([left, right], axis=-1).reshape(
-            entries.shape[:-1] + (2 * w,))
+        grow = (entries >= 0) & g1(is_box, s) & g1(big, s)
+        nxt = jnp.clip(g1(arena.child, s) + bit, 0, nslots - 1)
+        if bit == 0:
+            return jnp.where(grow, nxt, entries)
+        return jnp.where(grow, nxt, -1)
 
+    base = [jnp.where(is_box & big, c0, -1),
+            jnp.where(is_box & big,
+                      jnp.clip(arena.child + 1, 0, nslots - 1), -1)]
     ent = jnp.stack(
-        [jnp.where(is_box & big, c0, -1),
-         jnp.where(is_box & big, jnp.clip(arena.child + 1, 0, nslots - 1),
-                   -1)], axis=1)
-    for _ in range(2):
-        ent = expand(ent)  # [N, 8]
+        [stepb(stepb(base[e >> 2], (e >> 1) & 1), e & 1)
+         for e in range(WIDE)], axis=1)  # [N, 8]
 
-    root_ent = jnp.zeros((1, 1), jnp.int32)  # slot 0
-    for _ in range(3):
-        root_ent = expand(root_ent)  # [1, 8]
+    root0 = jnp.zeros((1,), jnp.int32)  # slot 0
+    root_ent = jnp.stack(
+        [stepb(stepb(stepb(root0, e >> 2), (e >> 1) & 1), e & 1)
+         for e in range(WIDE)], axis=1)  # [1, 8]
 
     win_max = jnp.maximum(num_leaves - leaf_width, 0)
 
     def pack(entries):
         s = jnp.clip(entries, 0, nslots - 1)
         valid = entries >= 0
-        term = valid & ~(is_box[s] & big[s])
-        win = jnp.clip(jnp.minimum(starts[s], win_max), 0, cap - 1)
-        child = jnp.where(term, win, jnp.maximum(wid_of_slot[s], 0))
+        term = valid & ~(g1(is_box, s) & g1(big, s))
+        starts_s = g1(starts, s)
+        win = jnp.clip(jnp.minimum(starts_s, win_max), 0, cap - 1)
+        child = jnp.where(term, win, jnp.maximum(g1(wid_of_slot, s), 0))
         etype = jnp.where(term, CHILD_TRI,
                           jnp.where(valid, CHILD_BOX, CHILD_NONE))
         meta = ((child << _META_CHILD_SHIFT) | etype).astype(jnp.int32)
         meta = jnp.where(valid, meta, 0)
         f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa
-        nmin = jnp.where(valid[..., None], arena.node_min[s], _F32_MAX)
-        nmax = jnp.where(valid[..., None], arena.node_max[s], -_F32_MAX)
+        nmin = jnp.where(valid[..., None], g1(arena.node_min, s), _F32_MAX)
+        nmax = jnp.where(valid[..., None], g1(arena.node_max, s), -_F32_MAX)
         row = jnp.concatenate(
             [f2i(nmin.astype(jnp.float32)), f2i(nmax.astype(jnp.float32)),
              meta[..., None], jnp.zeros(meta.shape + (1,), jnp.int32)],
@@ -271,8 +285,8 @@ def _emit_from_arena(arena, ids_final, leaves, pairs, leaf_width):
         # Per-entry subtree (start, count) in the final leaf permutation
         # — exactly what refit_split refreshes AABBs from (count 0 =
         # empty slot keeps its NONE/inverted box).
-        er = jnp.stack([jnp.where(valid, starts[s], 0),
-                        jnp.where(valid, counts[s], 0)], axis=-1)
+        er = jnp.stack([jnp.where(valid, starts_s, 0),
+                        jnp.where(valid, g1(counts, s), 0)], axis=-1)
         return row.reshape(row.shape[:-2] + (WIDE * 8,)), er
 
     icap = _split_cap(cap, leaf_width)
