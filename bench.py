@@ -102,14 +102,20 @@ def main():
     # is multi-minute COLD but rides the persistent compilation cache;
     # the staged _front remains for the one-time pair_tid/lane builds.
     _front = jax.jit(lambda tris: bucket.split_front(tris, enable_pairs=True))
-    _build_one = jax.jit(lambda tris: (lambda s, p: (
-        sp.prep_split_views(s, p), p, s))(
-        *bucket.emit_split(bucket.split_front(tris, enable_pairs=True),
-                           leaf_width=sp.LEAFW)))
+    # Frame-0 build: fused view emit (bucket.emit_split_views — the entry
+    # scatter writes the padded kernel layouts directly; round-5 rebuild
+    # trim) + the SplitBVH for the capacity check.
+    _build_one = jax.jit(lambda tris: bucket.emit_split_views(
+        bucket.split_front(tris, enable_pairs=True), leaf_width=sp.LEAFW))
+    # Per-frame rebuild: views + packed ONLY — the SplitBVH outputs
+    # (inner slice, e_ranges) are dead per-frame and DCE out of the timed
+    # program. This is a legitimate use of DCE (the per-frame consumer
+    # really doesn't read them), unlike the round-4 stage-timing trap.
+    _build_views = jax.jit(lambda tris: bucket.emit_split_views(
+        bucket.split_front(tris, enable_pairs=True), leaf_width=sp.LEAFW)[:2])
 
     def build(tris):
-        views, packed, _ = _build_one(tris)
-        return views, packed
+        return _build_views(tris)
 
     views, packed, split_f0 = _build_one(triangles)
     # Frame-0 sync doubles as the overflow guard: a truncated tree would
@@ -120,6 +126,9 @@ def main():
     # windows would DMA past live pairs (silent wrong hits)
     assert split_f0.leaf_width == sp.LEAFW, (split_f0.leaf_width, sp.LEAFW)
     float(jnp.sum(views[0][0]).astype(jnp.float32))  # force completion
+    # Warm the per-frame (views-only) jit before the timed loop.
+    views, packed = build(triangles)
+    float(jnp.sum(views[0][0]).astype(jnp.float32))
     # Vary the input every frame (this backend memoizes identical executions)
     # and fetch at the end: throughput timing over pipelined frames.
     t0 = time.perf_counter()
@@ -232,11 +241,20 @@ def main():
     # 127 ms at C=4/C=16 but 267 ms at C=8 on the primary pass (slot-count
     # resonance in the round-robin DMA); incoherent bounce passes measured
     # best at C=8 (benchmarks/sweep_sort.py).
-    tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=4)
+    # Coherent C=4 passes run the v4 (leaf-batched) kernel: measured
+    # stable at ~97-118 ms across independent compiles on the 1M primary
+    # pass, while the v3 kernel at C=4 compiled into a pathologically
+    # slow binary twice in round 5 (1.5 s and 7.3 s for the SAME pops —
+    # benchmarks/probe_v4.py; the r2-r4 ~100-127 ms numbers rode a good
+    # cached binary). Incoherent bounce passes stay on v3 (v4's batched
+    # flush measured 963 vs 789 ns/pop on the real tid-sorted bounce set).
+    tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=4,
+                                         kernel_v=4)
     bounce_tracer = sp.make_split_pallas_tracer(
         None, None, res, res, k=256, c_slots=16, sort_mode="presorted")
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
-                                                any_hit=True, c_slots=4)
+                                                any_hit=True, c_slots=4,
+                                                kernel_v=4)
     # Shadow rays originate at the bounce HIT points — path_trace now
     # permutes them by the hit's PAIR INDEX before this tracer runs
     # (round-4 ablation: 43 ms vs 293 ms origin-Morton vs 363 unsorted

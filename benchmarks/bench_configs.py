@@ -97,11 +97,9 @@ def _flagship(scene, res_w, res_h, **kw):
     from tpu_raytracing.trace import split_pallas as sp
 
     tris = jnp.asarray(scene.triangles)
-    front = jax.jit(lambda t: bucket.split_front(t, enable_pairs=True))
-    emit_j = jax.jit(lambda f: (lambda s, p: (
-        sp.prep_split_views(s, p), p, s))(
-        *bucket.emit_split(f, leaf_width=sp.LEAFW)))
-    views, packed, split = emit_j(front(tris))
+    build = jax.jit(lambda t: bucket.emit_split_views(
+        bucket.split_front(t, enable_pairs=True), leaf_width=sp.LEAFW))
+    views, packed, split = build(tris)
     bucket.check_split_capacity(split, tris.shape[0])
     tracer = sp.make_split_pallas_tracer(None, None, res_w, res_h, **kw)
     return views, packed, tracer, tris

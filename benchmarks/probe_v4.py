@@ -51,12 +51,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_pops(label, fn, rays, act, nrays, k, w, leafw, n=ITERS):
-    (t_, tri_), stats = fn(rays, act)
+def timed_pops(label, fn, views, packed, rays, act, nrays, k, w, leafw,
+               n=ITERS):
+    (t_, tri_), stats = fn(views, packed, rays, act)
     jax.block_until_ready(t_)
     t0 = time.perf_counter()
     for i in range(n):
         (t_, tri_), stats = fn(
+            views, packed,
             rays.replace(tmin=rays.tmin + (i % 3) * 1e-7), act)
     float(jnp.sum(t_[:64]))
     dt = (time.perf_counter() - t0) / n
@@ -83,9 +85,17 @@ def main():
         lambda f: bucket.emit_split(f, leaf_width=sp.LEAFW)[1])(front)
     w = views[1].shape[1]
 
-    camera = cam.camera_to_device(
-        cam.update_camera(
-            cam.initialise_camera(scene.aabb_min, scene.aabb_max)))
+    host_cam = cam.initialise_camera(scene.aabb_min, scene.aabb_max)
+    if os.environ.get("TPURT_PROBE_AERIAL", "1") == "1":
+        # bench.py's aerial view (the headline camera): the scene-framing
+        # default sits INSIDE the hills and makes every ray graze
+        # hundreds of cells - a different (and pathological) regime.
+        host_cam.position = (scene.aabb_max * 0.0).astype("float32")
+        host_cam.position[1] = float(scene.aabb_max[1]) * 1.5 + 20.0
+        host_cam.position[2] = float(scene.aabb_min[2]) * 0.7
+        host_cam.yaw = 0.0
+        host_cam.pitch = 0.7
+    camera = cam.camera_to_device(cam.update_camera(host_cam))
     rays = generate_primary_rays(camera, RES, RES)
     nrays = RES * RES
     tiled = jax.block_until_ready(
@@ -95,8 +105,10 @@ def main():
     passes = os.environ.get("TPURT_PROBE_PASSES", "PB")
 
     def make_fn(kv, k, cs):
-        return jax.jit(lambda r, a: sp.trace_rays_split_pallas(
-            views, packed, r, active=a, k=k, c_slots=cs, raw=True,
+        # big arrays as jit ARGUMENTS: closure constants overflow the
+        # remote-compile payload (HTTP 413, docs/TPU_NOTES.md)
+        return jax.jit(lambda v, p, r, a: sp.trace_rays_split_pallas(
+            v, p, r, active=a, k=k, c_slots=cs, raw=True,
             kernel_v=kv))
 
     # ---- P: primary (screen-tile packets, coherent; K=256 C=4) ----
@@ -104,10 +116,10 @@ def main():
     for kv in VERSIONS:
         fn = make_fn(kv, 256, 4)
         if "P" in passes:
-            timed_pops(f"P v{kv} primary", fn, tiled, ones, nrays, 256, w,
-                       sp.LEAFW)
+            timed_pops(f"P v{kv} primary", fn, views, packed, tiled, ones,
+                       nrays, 256, w, sp.LEAFW)
         if out_p is None:
-            out_p = jax.block_until_ready(fn(tiled, ones)[0])
+            out_p = jax.block_until_ready(fn(views, packed, tiled, ones)[0])
 
     if "B" not in passes:
         return
@@ -144,8 +156,8 @@ def main():
 
     for kv in VERSIONS:
         fn = make_fn(kv, 256, 16)
-        timed_pops(f"B v{kv} bounce", fn, bsort, act, n_act, 256, w,
-                   sp.LEAFW)
+        timed_pops(f"B v{kv} bounce", fn, views, packed, bsort, act, n_act,
+                   256, w, sp.LEAFW)
 
 
 if __name__ == "__main__":

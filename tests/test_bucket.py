@@ -93,3 +93,33 @@ def test_bucket_phased_trace(sphere):
     )
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(got.t))
+
+
+def test_emit_split_views_bit_identical(sphere, soup):
+    """The fused view emit (rebuild trim: entry scatter straight into the
+    padded kernel layouts) must be bit-identical to the unfused
+    prep_split_views(*emit_split(front)) pipeline on every output."""
+    from tpu_raytracing.trace import split_pallas as sp
+
+    for scene, lw in [(sphere, 16), (soup, 32)]:
+        tris = jnp.asarray(scene.triangles)
+        front = jax.jit(
+            lambda t: bucket.split_front(t, enable_pairs=True))(tris)
+        split_u, packed_u = jax.jit(
+            lambda f, lw=lw: bucket.emit_split(f, leaf_width=lw))(front)
+        views_u = sp.prep_split_views(split_u, packed_u)
+        views_f, packed_f, split_f = jax.jit(
+            lambda f, lw=lw: bucket.emit_split_views(f, leaf_width=lw))(front)
+        for a, b, name in zip(views_u, views_f,
+                              ("inner_i", "inner_v", "pairs_f")):
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.int32), np.asarray(b).view(np.int32),
+                err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(packed_u.rows), np.asarray(packed_f.rows))
+        np.testing.assert_array_equal(
+            np.asarray(split_u.inner), np.asarray(split_f.inner))
+        np.testing.assert_array_equal(
+            np.asarray(split_u.e_ranges), np.asarray(split_f.e_ranges))
+        assert int(split_u.num_inner) == int(split_f.num_inner)
+        assert int(split_u.max_slot) == int(split_f.max_slot)

@@ -285,13 +285,15 @@ def main(argv=None):
             # Staged jits: the payload-sort front composed with the
             # emitter in one jit costs a multi-minute compile
             # (docs/TPU_NOTES.md).
-            from tpu_raytracing.bvh.bucket import emit_split, split_front
+            from tpu_raytracing.bvh.bucket import emit_split_views, split_front
 
             _front = jax.jit(
                 lambda tris: split_front(tris, enable_pairs=args.pairs))
-            _emit = jax.jit(lambda front: (lambda s, p: (
-                sp_mod.prep_split_views(s, p), p, s))(
-                *emit_split(front, leaf_width=sp_mod.LEAFW)))
+            # Fused view emit (round-5 rebuild trim): the entry scatter
+            # writes the padded kernel layouts directly instead of a
+            # separate prep_split_views pad pass.
+            _emit = jax.jit(lambda front: emit_split_views(
+                front, leaf_width=sp_mod.LEAFW))
 
             def _split_build(tris):
                 return _emit(_front(tris))

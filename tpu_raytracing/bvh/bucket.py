@@ -962,6 +962,143 @@ def emit_split(
                     e_ranges=e_ranges, max_slot=max_slot), packed
 
 
+def emit_split_views(
+    front, leaf_width: int = 16, inner_width: int = 8,
+):
+    """Fused emit: entry words scatter STRAIGHT into the trace-kernel
+    view layouts (round-5 rebuild trim, docs/TPU_NOTES.md round-3 plan
+    item 1 — fold prep_split_views' pad materializations into the
+    producing scatter).
+
+    vs ``prep_split_views(*emit_split(front))``: the single entry
+    scatter targets a 16-slot padded row buffer, so ``inner_i``
+    ([ICAP, 128], the DMA-alignment-padded row view) is a pure reshape
+    instead of a separate pad copy, and the [ICAP, width*8] ``inner``
+    intermediate is never materialized on the rebuild path (a
+    views-only jit DCEs the SplitBVH outputs entirely).
+
+    Returns ((inner_i, inner_v, pairs_f), packed, split) — bit-identical
+    to the unfused pipeline (tests/test_bucket.py equivalence test).
+    """
+    assert inner_width in (8, 16), inner_width
+    assert leaf_width >= inner_width
+    width = inner_width
+    (sorted_codes, packed, lo, hi, _ccount, num_leaves) = front
+    n = sorted_codes.shape[0]
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    live = iota < num_leaves
+    rows_live = jnp.where(live[:, None], packed.rows, 0)
+    packed = PackedPairs(rows=rows_live)
+
+    heads, starts, nxts, counts = leaf_major_tables(
+        sorted_codes, num_leaves, n, width)
+    L = heads.shape[0]
+    alive, branch, wid_dense, num_inner, effs = classify_split(
+        heads, starts, counts, live, num_leaves, n, leaf_width)
+
+    emask = heads[1:] & (alive[:-1] & branch[:-1]) & live[None, :]
+    icap = _inner_cap(n, leaf_width)
+    ecap = min(icap * inner_width, (L - 1) * n)
+    flat = emask.reshape(-1)
+    (fidx,) = jnp.nonzero(flat, size=ecap, fill_value=flat.shape[0])
+    valid_e = fidx < flat.shape[0]
+    fidx = jnp.minimum(fidx, flat.shape[0] - 1)
+    gidx = fidx + n
+
+    e_start = starts.reshape(-1)[gidx]
+    e_count = counts.reshape(-1)[gidx]
+    e_eff = effs.reshape(-1)[gidx]
+    wid_parent = wid_dense.reshape(-1)[gidx - n]
+    eidx = jnp.arange(fidx.shape[0], dtype=jnp.int32)
+    prev_wp = jnp.concatenate(
+        [jnp.full((1,), -2, jnp.int32), wid_parent[:-1]])
+    run_start = jax.lax.cummax(
+        jnp.where(wid_parent != prev_wp, eidx, -1))
+    e_j = eidx - run_start
+
+    e_lo, e_hi = _range_lookup(_range_min_table(lo, hi), e_start, e_count)
+
+    f2i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)  # noqa: E731
+    is_leaf_e = (e_eff & 1) == 1
+    child = e_eff >> 1
+    etype = jnp.where(is_leaf_e, CHILD_TRI, CHILD_BOX)
+    meta = ((child << _META_CHILD_SHIFT) | etype).astype(jnp.int32)
+    ecnt = fidx.shape[0]
+    words = jnp.concatenate(
+        [f2i(e_lo), f2i(e_hi), meta[:, None],
+         jnp.zeros((ecnt, 1), jnp.int32)], axis=1)  # [E, 8]
+
+    empty_entry = jnp.concatenate([
+        f2i(jnp.full((3,), _F32_MAX, jnp.float32)),
+        f2i(jnp.full((3,), -_F32_MAX, jnp.float32)),
+        jnp.zeros((2,), jnp.int32),
+    ])
+    # 16-slot padded row buffer: real slots get the empty (inverted-box)
+    # pattern, pad slots (width..15) stay zero — exactly the layout
+    # prep_split_views produced via jnp.pad on the 64-word rows.
+    slot16 = jnp.arange(icap * 16, dtype=jnp.int32) % 16
+    flat16 = jnp.where((slot16 < width)[:, None],
+                       jnp.broadcast_to(empty_entry, (icap * 16, 8)),
+                       0)
+    ok = valid_e & (e_j >= 0) & (e_j < inner_width)
+    max_slot = jnp.max(jnp.where(valid_e, e_j, 0))
+    invariants.check(
+        jnp.all(jnp.where(valid_e, (e_j >= 0) & (e_j < inner_width), True)),
+        "bucket entry slot out of row range")
+    invariants.check(
+        jnp.all(jnp.where(valid_e,
+                          (wid_parent >= 0) & (wid_parent < num_inner),
+                          True)),
+        "bucket entry parent row out of range")
+    invariants.check(num_inner <= icap,
+                     "bucket inner rows overflow the static bound")
+    dest = jnp.where(ok, wid_parent * 16 + e_j, icap * 16)
+    flat16 = flat16.at[dest].set(words, mode="drop")
+    inner_pad = flat16.reshape(icap, 128)
+    e_ranges = jnp.zeros((icap * inner_width, 2), jnp.int32).at[
+        jnp.where(ok, wid_parent * inner_width + e_j,
+                  icap * inner_width)].set(
+        jnp.stack([e_start, e_count], axis=1), mode="drop")
+    e_ranges = e_ranges.reshape(icap, inner_width, 2)
+
+    # --- root fixup (same semantics as emit_split) ---
+    root_tag = effs[0, 0]
+    root_is_leaf = (root_tag & 1) == 1
+    root_id = root_tag >> 1
+    copied = inner_pad[jnp.clip(root_id, 0, icap - 1)]
+    smin = jnp.stack([jnp.min(lo[:, c], where=live, initial=_F32_MAX)
+                      for c in range(3)])
+    smax = jnp.stack([jnp.max(hi[:, c], where=live, initial=-_F32_MAX)
+                      for c in range(3)])
+    leaf_meta = ((root_id << _META_CHILD_SHIFT) | CHILD_TRI).astype(jnp.int32)
+    leaf_row = jnp.concatenate([
+        f2i(smin), f2i(smax), leaf_meta[None], jnp.zeros((1,), jnp.int32),
+        jnp.zeros((128 - 8,), jnp.int32),
+    ])
+    inner_pad = inner_pad.at[0].set(
+        jnp.where(root_is_leaf, leaf_row, copied))
+    leaf_rr = jnp.zeros((inner_width, 2), jnp.int32).at[0].set(
+        jnp.stack([jnp.int32(0), num_leaves]))
+    e_ranges = e_ranges.at[0].set(jnp.where(
+        root_is_leaf, leaf_rr, e_ranges[jnp.clip(root_id, 0, icap - 1)]))
+
+    # --- views ---
+    inner_i = inner_pad
+    inner_v = jax.lax.bitcast_convert_type(
+        jnp.pad(inner_pad.reshape(icap, 16, 8)[:, :width, :],
+                ((0, 0), (0, 0), (0, 120))),
+        jnp.float32)
+    prows = jnp.pad(rows_live,
+                    ((0, max(128 - n, 0)), (0, 128 - rows_live.shape[1])))
+    pairs_f = jax.lax.bitcast_convert_type(prows, jnp.float32)
+
+    split = SplitBVH(inner=inner_pad[:, : width * 8], num_inner=num_inner,
+                     num_leaves=num_leaves, leaf_width=leaf_width,
+                     e_ranges=e_ranges, max_slot=max_slot)
+    return (inner_i, inner_v, pairs_f), packed, split
+
+
 def refit_split(split: SplitBVH, packed: PackedPairs) -> SplitBVH:
     """Topology-preserving refit: refresh every inner entry's AABB from
     the CURRENT pair rows, keeping the tree (metas, windows, row ids).

@@ -1463,7 +1463,8 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
                              any_hit: bool = False,
                              sort_origin: bool = False, k: int = None,
                              c_slots: int = None, leafw: int = None,
-                             sort_mode: str = None, cell_shift: int = 9):
+                             sort_mode: str = None, cell_shift: int = 9,
+                             kernel_v: int = None):
     """Tiled drop-in tracer over 16x8 screen-tile packets.
 
     With views=None the (inner_i, inner_v, pairs_f) triple rides in the
@@ -1493,7 +1494,8 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
         if sort_mode == "presorted":
             return trace_rays_split_pallas(v, p, rays, active=active,
                                            any_hit=any_hit, k=k,
-                                           c_slots=c_slots, leafw=leafw)
+                                           c_slots=c_slots, leafw=leafw,
+                                           kernel_v=kernel_v)
         if sort_mode == "binned":
             # Presorted input + treelet binning (trace/binned.py): items
             # grouped by root child so packets share a subtree.
@@ -1528,7 +1530,8 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
             act = None if active is None else active[perm]
             rec, stats = trace_rays_split_pallas(v, p, srt, active=act,
                                                  any_hit=any_hit, k=k,
-                                                 c_slots=c_slots, leafw=leafw)
+                                                 c_slots=c_slots, leafw=leafw,
+                                                 kernel_v=kernel_v)
             if any_hit:
                 # Occlusion consumers read only .hit — one bool gather
                 # instead of eight (stats stay in sorted order; the
@@ -1559,7 +1562,8 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
             act = None if active is None else active[perm]
             rec, stats = trace_rays_split_pallas(v, p, srt, active=act,
                                                  any_hit=any_hit, k=k,
-                                                 c_slots=c_slots, leafw=leafw)
+                                                 c_slots=c_slots, leafw=leafw,
+                                                 kernel_v=kernel_v)
             rec = rec.replace(hit=rec.hit[inv])
             return rec, stats
         # Any resolution runs the flagship kernel: frames that don't tile
@@ -1586,9 +1590,10 @@ def make_split_pallas_tracer(views, packed, width: int, height: int,
         act = None if active is None else tile_reorder(active, w_, h_, tw, th)
         rec, stats = trace_rays_split_pallas(v, p, tiled, active=act,
                                              any_hit=any_hit, k=k,
-                                             c_slots=c_slots, leafw=leafw)
+                                             c_slots=c_slots, leafw=leafw,
+                                             kernel_v=kernel_v)
         rec = jax.tree.map(lambda a: tile_restore(a, w_, h_, tw, th), rec)
-        if KERNEL_V >= 3:
+        if (KERNEL_V if kernel_v is None else kernel_v) >= 3:
             # v3 counters are real per-ray values: un-tile them so the
             # BOX_TESTS / TRIANGLE_TESTS heatmaps are spatially correct.
             stats = jax.tree.map(
