@@ -203,6 +203,22 @@ def test_split_pallas_v4_matches_brute(sphere, cornell, soup, sp):
         _assert_matches(rec, brute_force_trace(tris, rays))
 
 
+def test_split_pallas_v5_matches_brute(cornell, soup, sp):
+    """v5 (B-batched pops over the scalar stack): batch members cannot
+    prune each other, but the closest hit must still be exact."""
+    for scene, pairs in [(cornell, True), (soup, False)]:
+        camera = cam.camera_to_device(
+            cam.update_camera(
+                cam.initialise_camera(scene.aabb_min, scene.aabb_max)))
+        tris = jnp.asarray(scene.triangles)
+        split, packed = jax.jit(
+            lambda t, p=pairs: bucket.build_bucket_split(t, p))(tris)
+        views = sp.prep_split_views(split, packed)
+        rays = generate_primary_rays(camera, 16, 8)
+        rec, _ = sp.trace_rays_split_pallas(views, packed, rays, kernel_v=5)
+        _assert_matches(rec, brute_force_trace(tris, rays))
+
+
 def test_split_pallas_v4_refill_and_any_hit(sphere, sp):
     """v4 slot refill (more packets than slots) + occlusion early-finish:
     .hit must match the v3 kernel on the same rays."""

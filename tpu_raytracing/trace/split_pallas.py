@@ -77,6 +77,10 @@ LEAFW = int(_os.environ.get("TPURT_SPLIT_LEAFW", "64"))
 # default pending hardware A/B), 3 = latency-batched pops,
 # 2 = round-1 kernel (kept for A/B measurement).
 KERNEL_V = int(_os.environ.get("TPURT_SPLIT_V", "3"))
+# Pops per slot visit in the v5 kernel (TPURT_SPLIT_PB): the whole
+# per-visit control structure (branch regions, reduction latency,
+# finish/refill logic) amortizes over C*PB pops.
+POP_BATCH = int(_os.environ.get("TPURT_SPLIT_PB", "8"))
 # Leaf windows per batched flush in the v4 kernel (TPURT_SPLIT_LB):
 # a slot defers leaf windows into a queue and intersects LB of them in
 # ONE loop visit, amortizing the per-pop scalar control (the measured
@@ -891,6 +895,358 @@ def _kernel_v4(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
             ).wait()
 
 
+def _kernel_v5(inner_i, inner_v, pairs_f, rays_hbm, ptag, out_hbm,
+               ray_scr, leaf_scr, iv_s, st_t, st_tri, out_stage,
+               ii_s, stack, tags, takes, sps, acts, outp, pkts,
+               ipops, lpops, cursor,
+               sem_ii, sem_iv, sem_leaf, sem_ray, sem_out, *, w,
+               leafw, any_hit, k, stack_cap, c_slots, pbatch):
+    """v5: B-batched pops — the round-5 attack on the per-pop
+    scalar-control wall (VERDICT r4 #1, second attempt after v4).
+
+    v4 batched only LEAF windows behind a queue and lost the bounce pass
+    (the queue rarely filled and its mode bookkeeping cost more than it
+    saved). v5 batches the POP itself: each slot visit pops up to B
+    stack entries at once (scalar stack reads are free), starts all B
+    row/window DMAs together, and the next visit processes the whole
+    batch — leaf Moller-Trumbores first (so the slabs see the tightened
+    t), then all slabs, with every vector->scalar reduction for the
+    batch issued back-to-back (micro_control.py: one reduction exposes
+    ~130-200 ns but each additional pipelined one costs ~12 ns). The
+    per-visit fixed control (branch regions, finish/refill/out logic,
+    reduction latency) amortizes over C*B pops instead of C.
+
+    Ordering: the top-B entries are processed nearest-first within the
+    visit (j=0 = stack top); inner rows push their children in
+    reverse-j order so the nearest parent's children end up on top.
+    Entries popped together cannot prune each other via the stack (a
+    batch member's slab runs against t as of its own phase-A step), so
+    pop counts can rise vs v3's strict LIFO — measured, not assumed
+    (benchmarks/probe_v4.py TPURT_PROBE_VERSIONS=3,5).
+
+    Correctness is order-free as for v4: closest hit = min over all
+    tested windows, and a stale inner pop simply produces an empty
+    vmask (its slab reads the current t).
+    """
+    STACK = stack_cap
+    C = c_slots
+    B = pbatch
+    num_p = rays_hbm.shape[0]
+    nred = C * B
+    npack = (nred * w + 31) // 32
+    per = 32 // w  # (c, j) groups per packed-vmask reduction
+
+    def start_j(c, j, tagv):
+        """Start the row/window DMA for popped tag tagv into batch slot
+        j (caller guards kind + j < take)."""
+        is_l = (tagv & 1) == 1
+
+        @pl.when(is_l)
+        def _():
+            pltpu.make_async_copy(
+                pairs_f.at[pl.ds(jnp.maximum(tagv >> 1, 0), leafw), :],
+                leaf_scr.at[c, j], sem_leaf.at[c, j],
+            ).start()
+
+        @pl.when(jnp.logical_not(is_l))
+        def _():
+            idx = jnp.maximum(tagv >> 1, 0)
+            pltpu.make_async_copy(
+                inner_i.at[idx], ii_s.at[c, j], sem_ii.at[c, j]).start()
+            pltpu.make_async_copy(
+                inner_v.at[idx], iv_s.at[c, j], sem_iv.at[c, j]).start()
+
+    def init_slot(c, pkt):
+        pkts[c] = pkt
+        t0 = ptag[pkt]
+        tags[c, 0] = t0
+        takes[c] = jnp.int32(1)
+        sps[c] = jnp.int32(0)
+        ipops[c] = jnp.int32(0)
+        lpops[c] = jnp.int32(0)
+        pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+        ).start()
+        start_j(c, 0, t0)
+        pltpu.make_async_copy(
+            rays_hbm.at[pkt], ray_scr.at[c, pl.ds(0, 8)], sem_ray.at[c]
+        ).wait()
+        ray_scr[c, 8:11, :] = 1.0 / ray_scr[c, 3:6, :]
+        st_t[c] = ray_scr[c, 7:8, :]
+        st_tri[c] = jnp.full((1, k), -1, jnp.int32)
+
+    def slab_keys_b(c, j):
+        row = iv_s[c, j]  # (w, 128)
+        ox, oy, oz = (ray_scr[c, i : i + 1, :] for i in range(3))
+        invx, invy, invz = (ray_scr[c, i : i + 1, :] for i in range(8, 11))
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+        tx0 = (row[:, 0:1] - ox) * invx
+        ty0 = (row[:, 1:2] - oy) * invy
+        tz0 = (row[:, 2:3] - oz) * invz
+        tx1 = (row[:, 3:4] - ox) * invx
+        ty1 = (row[:, 4:5] - oy) * invy
+        tz1 = (row[:, 5:6] - oz) * invz
+        front = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        back = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        bh = (back >= front) & (front <= t_cur) & (back >= tmn)
+        d8 = jnp.min(jnp.where(bh, jnp.maximum(front, 0.0), _F32_MAX),
+                     axis=1, keepdims=True)
+        validv = d8 < _F32_MAX
+        e_iota = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        key = (pltpu.bitcast(d8, jnp.int32) & ~(w - 1)) | (w - 1 - e_iota)
+        return jnp.where(validv, key, 0x7FFFFFFF), validv
+
+    def leaf_mt_b(c, j, tagv):
+        row = leaf_scr[c, j]  # (leafw, 128)
+        dx = ray_scr[c, 3:4, :]
+        dy = ray_scr[c, 4:5, :]
+        dz = ray_scr[c, 5:6, :]
+        ox = ray_scr[c, 0:1, :]
+        oy = ray_scr[c, 1:2, :]
+        oz = ray_scr[c, 2:3, :]
+        tmn = ray_scr[c, 6:7, :]
+        t_cur = st_t[c]
+
+        def col(word):
+            return row[:, word : word + 1]
+
+        def mt(a0, a1, a2, b0, b1, b2, c0, c1, c2):
+            e1x, e1y, e1z = b0 - a0, b1 - a1, b2 - a2
+            e2x, e2y, e2z = c0 - a0, c1 - a1, c2 - a2
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            degen = (det > -_TRI_EPS) & (det < _TRI_EPS)
+            f = 1.0 / det
+            sx, sy, sz = ox - a0, oy - a1, oz - a2
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tt = f * (e2x * qx + e2y * qy + e2z * qz)
+            acc = (
+                ~degen & (uu >= 0.0) & (uu <= 1.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0) & (tt >= tmn) & (tt <= t_cur)
+            )
+            return acc, tt
+
+        v0 = (col(0), col(1), col(2))
+        v1 = (col(3), col(4), col(5))
+        v2 = (col(6), col(7), col(8))
+        v3_ = (col(9), col(10), col(11))
+        acc_a, tt_a = mt(*v0, *v1, *v2)
+        acc_b, tt_b = mt(*v2, *v1, *v3_)
+        cand_a = jnp.where(acc_a, tt_a, _F32_MAX)
+        cand_b = jnp.where(acc_b, tt_b, _F32_MAX)
+        enc = jax.lax.broadcasted_iota(jnp.int32, (leafw, k), 0) * 2
+        cand = jnp.minimum(cand_a, cand_b)
+        encab = jnp.where(cand_b <= cand_a, enc + 1, enc)
+        tm = jnp.min(cand, axis=0, keepdims=True)
+        wenc = jnp.max(jnp.where(cand == tm, encab, -1), axis=0,
+                       keepdims=True)
+        take_h = tm <= t_cur
+        tri_new = (tagv >> 1) * 2 + wenc
+        st_tri[c] = jnp.where(take_h, tri_new, st_tri[c])
+        if any_hit:
+            st_t[c] = jnp.where(take_h, -_F32_MAX, st_t[c])
+        else:
+            st_t[c] = jnp.where(take_h, tm, st_t[c])
+
+    # --- init ---
+    for c in range(C):
+        outp[c] = jnp.int32(0)
+        if c < num_p:
+            acts[c] = jnp.int32(1)
+            init_slot(c, jnp.int32(c))
+        else:
+            acts[c] = jnp.int32(0)
+            sps[c] = jnp.int32(0)
+            takes[c] = jnp.int32(0)
+            pkts[c] = jnp.int32(0)
+            ipops[c] = jnp.int32(0)
+            lpops[c] = jnp.int32(0)
+    cursor[0] = jnp.int32(min(C, num_p))
+
+    def body(nd):
+        # ---- phase A: waits + vector work + reduction ISSUE ----
+        acts_v = [acts[c] == 1 for c in range(C)]
+        takes_v = [takes[c] for c in range(C)]
+        tags_v = [[tags[c, j] for j in range(B)] for c in range(C)]
+        keyvs = [[None] * B for _ in range(C)]
+        validvs = [[None] * B for _ in range(C)]
+        for c in range(C):
+            # leaf windows first, nearest (j=0) to farthest: each MT
+            # tightens t before the next and before every slab below
+            for j in range(B):
+                live_j = acts_v[c] & (j < takes_v[c])
+                is_l = (tags_v[c][j] & 1) == 1
+
+                @pl.when(live_j & is_l)
+                def _(c=c, j=j):
+                    pltpu.make_async_copy(
+                        pairs_f.at[
+                            pl.ds(jnp.maximum(tags_v[c][j] >> 1, 0),
+                                  leafw), :],
+                        leaf_scr.at[c, j], sem_leaf.at[c, j],
+                    ).wait()
+                    leaf_mt_b(c, j, tags_v[c][j])
+            for j in range(B):
+                live_j = acts_v[c] & (j < takes_v[c])
+                is_l = (tags_v[c][j] & 1) == 1
+
+                @pl.when(live_j & jnp.logical_not(is_l))
+                def _(c=c, j=j):
+                    idx = jnp.maximum(tags_v[c][j] >> 1, 0)
+                    pltpu.make_async_copy(
+                        inner_i.at[idx], ii_s.at[c, j],
+                        sem_ii.at[c, j]).wait()
+                    pltpu.make_async_copy(
+                        inner_v.at[idx], iv_s.at[c, j],
+                        sem_iv.at[c, j]).wait()
+                # slab computed unconditionally (garbage for leaf /
+                # inactive slots — never consumed)
+                keyvs[c][j], validvs[c][j] = slab_keys_b(c, j)
+
+        # one packed-validity reduction per 32-bit group, then all kmins
+        packs = []
+        flat_valid = [validvs[c][j] for c in range(C) for j in range(B)]
+        for g in range(npack):
+            idxs = range(g * per, min((g + 1) * per, nred))
+            bits = jnp.concatenate(
+                [
+                    jnp.where(
+                        flat_valid[i],
+                        jnp.int32(1)
+                        << (jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+                            + (i % per) * w),
+                        0,
+                    )
+                    for i in idxs
+                ],
+                axis=0,
+            )
+            packs.append(jnp.sum(bits))
+        kmins = [[jnp.min(keyvs[c][j]) for j in range(B)]
+                 for c in range(C)]
+        dones = [None] * C
+        if any_hit:
+            for c in range(C):
+                done = (st_tri[c] >= 0) | (ray_scr[c, 7:8, :] < 0.0)
+                dones[c] = jnp.min(done.astype(jnp.int32))
+
+        # ---- phase B: consume scalars, push, advance, start DMAs ----
+        for c in range(C):
+            act = acts_v[c]
+            # reverse-j push order: the nearest parent's children land
+            # on top of the stack and pop first next visit
+            for j in reversed(range(B)):
+                i_flat = c * B + j
+                vmask = (packs[i_flat // per]
+                         >> ((i_flat % per) * w)) & ((1 << w) - 1)
+                emin = (w - 1) - (kmins[c][j] & (w - 1))
+                live_j = act & (j < takes_v[c])
+                is_l = (tags_v[c][j] & 1) == 1
+
+                @pl.when(live_j & jnp.logical_not(is_l))
+                def _(c=c, j=j, vmask=vmask, emin=emin):
+                    sp = sps[c]
+                    last_tag = jnp.int32(-1)
+                    for e in range(w):
+                        meta = ii_s[c, j, e * 8 + 6]
+                        ntype = meta & 3
+                        tag_e = ((meta >> 5) << 1) | (
+                            ntype == CHILD_TRI
+                        ).astype(jnp.int32)
+                        ok = (((vmask >> e) & 1) == 1) & (ntype != 0)
+                        last_tag = jnp.where(ok & (e == emin), tag_e,
+                                             last_tag)
+                        push = ok & (e != emin)
+                        stack[c, jnp.where(push, sp, STACK)] = tag_e
+                        sp = sp + push.astype(jnp.int32)
+                    ok_last = last_tag >= 0
+                    stack[c, jnp.where(ok_last, sp, STACK)] = last_tag
+                    sps[c] = sp + ok_last.astype(jnp.int32)
+                    ipops[c] = ipops[c] + 1
+
+                @pl.when(live_j & is_l)
+                def _(c=c):
+                    lpops[c] = lpops[c] + 1
+
+            if any_hit:
+                @pl.when(act & (dones[c] == 1))
+                def _(c=c):
+                    sps[c] = jnp.int32(0)
+
+            # --- advance: finish/refill or pop the next batch ---
+            sp_v = sps[c]
+            finished = act & (sp_v == 0)
+            nxt = cursor[0]
+            refill = finished & (nxt < num_p)
+            cont = act & (sp_v > 0)
+            take_new = jnp.minimum(sp_v, B)
+
+            @pl.when(finished & (outp[c] == 1))
+            def _(c=c):
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).wait()
+
+            @pl.when(finished)
+            def _(c=c):
+                out_stage[c, 0:1, :] = st_t[c]
+                out_stage[c, 1:2, :] = pltpu.bitcast(st_tri[c], jnp.float32)
+                out_stage[c, 2:3, :] = (
+                    jnp.zeros((1, k), jnp.float32)
+                    + ipops[c].astype(jnp.float32)
+                )
+                out_stage[c, 3:4, :] = (
+                    jnp.zeros((1, k), jnp.float32)
+                    + lpops[c].astype(jnp.float32)
+                )
+                pltpu.make_async_copy(
+                    out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+                ).start()
+                outp[c] = jnp.int32(1)
+                acts[c] = refill.astype(jnp.int32)
+
+            @pl.when(refill)
+            def _(c=c, nxt=nxt):
+                cursor[0] = nxt + 1
+                init_slot(c, nxt)
+
+            @pl.when(cont)
+            def _(c=c, sp_v=sp_v, take_new=take_new):
+                for j in range(B):
+                    @pl.when(j < take_new)
+                    def _(c=c, j=j, sp_v=sp_v):
+                        nt = stack[c, jnp.maximum(sp_v - 1 - j, 0)]
+                        tags[c, j] = nt
+                        start_j(c, j, nt)
+                sps[c] = sp_v - take_new
+                takes[c] = take_new
+
+            nd = nd + finished.astype(jnp.int32)
+        return nd
+
+    jax.lax.while_loop(lambda nd: nd < num_p, body, jnp.int32(0))
+
+    for c in range(C):
+        @pl.when(outp[c] == 1)
+        def _(c=c):
+            pltpu.make_async_copy(
+                out_stage.at[c], out_hbm.at[pkts[c]], sem_out.at[c]
+            ).wait()
+
+
 def _kernel(inner_i, inner_v, pairs_f, rays_hbm, out_hbm, pops_out,
             ray_scr, leaf_scr, leaf_scr2, iv_s, st_t, st_tri, out_stage,
             ii_s, stack, sps, tags, acts, outp, pkts, nxt2k, cursor, pops,
@@ -1277,6 +1633,61 @@ def trace_rays_split_pallas(
     stack_cap = _stack_cap(w, views[2].shape[0])
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     kv = KERNEL_V if kernel_v is None else kernel_v
+    if kv == 5 and not (diag_waste or stale_skip):
+        if packet_tags is None:
+            packet_tags = jnp.zeros((num_p,), jnp.int32)
+        cc = C if c_slots is None else c_slots
+        pb = POP_BATCH
+        out = pl.pallas_call(
+            functools.partial(_kernel_v5, w=w, leafw=leafw, any_hit=any_hit,
+                              k=k, stack_cap=stack_cap, c_slots=cc,
+                              pbatch=pb),
+            in_specs=[hbm] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=hbm,
+            out_shape=jax.ShapeDtypeStruct((num_p, 4, k), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((cc, 16, k), jnp.float32),        # ray_scr
+                pltpu.VMEM((cc, pb, leafw, 128), jnp.float32),  # leaf_scr
+                pltpu.VMEM((cc, pb, w, 128), jnp.float32),   # iv_s
+                pltpu.VMEM((cc, 1, k), jnp.float32),         # st_t
+                pltpu.VMEM((cc, 1, k), jnp.int32),           # st_tri
+                pltpu.VMEM((cc, 4, k), jnp.float32),         # out_stage
+                pltpu.SMEM((cc, pb, 128), jnp.int32),        # ii_s
+                pltpu.SMEM((cc, stack_cap + 1), jnp.int32),  # stack
+                pltpu.SMEM((cc, pb), jnp.int32),             # tags
+                pltpu.SMEM((cc,), jnp.int32),                # takes
+                pltpu.SMEM((cc,), jnp.int32),                # sps
+                pltpu.SMEM((cc,), jnp.int32),                # acts
+                pltpu.SMEM((cc,), jnp.int32),                # outp
+                pltpu.SMEM((cc,), jnp.int32),                # pkts
+                pltpu.SMEM((cc,), jnp.int32),                # ipops
+                pltpu.SMEM((cc,), jnp.int32),                # lpops
+                pltpu.SMEM((1,), jnp.int32),                 # cursor
+                pltpu.SemaphoreType.DMA((cc, pb)),           # sem_ii
+                pltpu.SemaphoreType.DMA((cc, pb)),           # sem_iv
+                pltpu.SemaphoreType.DMA((cc, pb)),           # sem_leaf
+                pltpu.SemaphoreType.DMA((cc,)),              # sem_ray
+                pltpu.SemaphoreType.DMA((cc,)),              # sem_out
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=_interpret(),
+        )(inner_i, inner_v, pairs_f, rays8, packet_tags)
+        t_flat = out[:, 0, :].reshape(num_rays)
+        tri_flat = jax.lax.bitcast_convert_type(
+            out[:, 1, :], jnp.int32
+        ).reshape(num_rays)
+        ip = out[:, 2, 0].astype(jnp.int32)
+        lp = out[:, 3, 0].astype(jnp.int32)
+        box_tests = jnp.repeat(ip * w, k, total_repeat_length=num_rays)
+        tri_tests = jnp.repeat(lp * 2 * leafw, k,
+                               total_repeat_length=num_rays)
+        if any_hit:
+            t_flat = rays.tmax
+        stats = TraceStats(box_tests=box_tests, tri_tests=tri_tests)
+        if raw:
+            return (t_flat, tri_flat), stats
+        rec = _reconstruct(packed, rays, t_flat, tri_flat)
+        return rec, stats
     if kv >= 4 and not (diag_waste or stale_skip):
         if packet_tags is None:
             packet_tags = jnp.zeros((num_p,), jnp.int32)
