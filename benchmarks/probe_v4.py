@@ -154,10 +154,11 @@ def main():
     n_act = int(jnp.sum(hit))
     log(f"bounce set: {n_act}/{nrays} live (tid sort)")
 
+    cs_b = int(os.environ.get("TPURT_PROBE_CS_B", "16"))
     for kv in VERSIONS:
-        fn = make_fn(kv, 256, 16)
-        timed_pops(f"B v{kv} bounce", fn, views, packed, bsort, act, n_act,
-                   256, w, sp.LEAFW)
+        fn = make_fn(kv, 256, cs_b)
+        timed_pops(f"B v{kv} bounce C={cs_b}", fn, views, packed, bsort,
+                   act, n_act, 256, w, sp.LEAFW)
 
 
 if __name__ == "__main__":
