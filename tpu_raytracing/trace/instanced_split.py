@@ -170,14 +170,32 @@ def trace_rays_instanced_split(
     cand_i = peel_candidates(words, k_slots)  # [R, K]
 
     # ---- expand to items and map through the instance transforms ----
+    # Per-coefficient FLAT gathers + [RK]-vector math only: gathering
+    # [RK, 3, 4] transform rows materializes a (…,3,4)-minor-dim tensor
+    # that TPU layouts pad to (4, 128) — a measured 170x HBM expansion
+    # (48 MB -> 8 GB at 512^2 x 16 slots) that OOM'd the first run of
+    # this path. Same rule as the emit's path-walk gathers
+    # (docs/TPU_NOTES.md compile-pathology notes): keep gather indices
+    # and results 1-D.
     inst = cand_i.reshape(-1)
     live = inst >= 0
     ray_id = jnp.repeat(jnp.arange(num_r, dtype=jnp.int32), k_slots)
-    minv = ias.inv_transforms[jnp.maximum(inst, 0)]  # [RK, 3, 4]
-    o = rays.origin[ray_id]
-    d = rays.direction[ray_id]
-    o_obj = jnp.einsum("ijk,ik->ij", minv[:, :, :3], o) + minv[:, :, 3]
-    d_obj = jnp.einsum("ijk,ik->ij", minv[:, :, :3], d)
+    mflat = ias.inv_transforms.reshape(-1)  # [I * 12]
+    mbase = jnp.maximum(inst, 0) * 12
+
+    def mcoef(r, c):  # [RK] flat gather of inverse-transform entry (r, c)
+        return mflat[mbase + (r * 4 + c)]
+
+    ox, oy, oz = (rays.origin[:, i][ray_id] for i in range(3))
+    dx, dy, dz = (rays.direction[:, i][ray_id] for i in range(3))
+    o_obj_c = []
+    d_obj_c = []
+    for r in range(3):
+        m0, m1, m2, m3 = (mcoef(r, c) for c in range(4))
+        o_obj_c.append(m0 * ox + m1 * oy + m2 * oz + m3)
+        d_obj_c.append(m0 * dx + m1 * dy + m2 * dz)
+    o_obj = jnp.stack(o_obj_c, axis=1)
+    d_obj = jnp.stack(d_obj_c, axis=1)
     item_rays = Rays(origin=o_obj, direction=d_obj,
                      tmin=rays.tmin[ray_id], tmax=rays.tmax[ray_id])
 
