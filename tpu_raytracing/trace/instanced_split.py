@@ -169,46 +169,53 @@ def trace_rays_instanced_split(
     words, nov = candidate_masks(ias.wmin, ias.wmax, rays, active=active)
     cand_i = peel_candidates(words, k_slots)  # [R, K]
 
-    # ---- expand to items and map through the instance transforms ----
-    # Per-coefficient FLAT gathers + [RK]-vector math only: gathering
-    # [RK, 3, 4] transform rows materializes a (…,3,4)-minor-dim tensor
-    # that TPU layouts pad to (4, 128) — a measured 170x HBM expansion
-    # (48 MB -> 8 GB at 512^2 x 16 slots) that OOM'd the first run of
-    # this path. Same rule as the emit's path-walk gathers
-    # (docs/TPU_NOTES.md compile-pathology notes): keep gather indices
-    # and results 1-D.
+    # ---- expand to items; ONE multi-payload sort; no inverse perm ----
+    # The first full-scale run spent 1284 of 1981 ms in two [R*K]=4.19M
+    # argsorts + six permutation gathers (benchmarks/probe_instanced.py).
+    # Rewritten: sort (key, inst, ray_id) in ONE lax.sort call, compute
+    # the object-space rays on the SORTED id streams (per-coefficient
+    # FLAT gathers — gathering [RK, 3, 4] transform rows pads the
+    # (3, 4) minor dims to TPU (4, 128) tiles, a measured 170x HBM
+    # expansion that OOM'd the very first run), trace, and reduce
+    # per-ray winners with scatter-mins keyed by the sorted ray ids —
+    # the inverse permutation is never materialized.
     inst = cand_i.reshape(-1)
     live = inst >= 0
     ray_id = jnp.repeat(jnp.arange(num_r, dtype=jnp.int32), k_slots)
-    mflat = ias.inv_transforms.reshape(-1)  # [I * 12]
-    mbase = jnp.maximum(inst, 0) * 12
-
-    def mcoef(r, c):  # [RK] flat gather of inverse-transform entry (r, c)
-        return mflat[mbase + (r * 4 + c)]
-
-    ox, oy, oz = (rays.origin[:, i][ray_id] for i in range(3))
-    dx, dy, dz = (rays.direction[:, i][ray_id] for i in range(3))
-    o_obj_c = []
-    d_obj_c = []
-    for r in range(3):
-        m0, m1, m2, m3 = (mcoef(r, c) for c in range(4))
-        o_obj_c.append(m0 * ox + m1 * oy + m2 * oz + m3)
-        d_obj_c.append(m0 * dx + m1 * dy + m2 * dz)
-    o_obj = jnp.stack(o_obj_c, axis=1)
-    d_obj = jnp.stack(d_obj_c, axis=1)
-    item_rays = Rays(origin=o_obj, direction=d_obj,
-                     tmin=rays.tmin[ray_id], tmax=rays.tmax[ray_id])
-
-    # ---- packet coherence: live first, grouped by instance + octant ----
-    octant = ((d_obj[:, 0] > 0).astype(jnp.int32)
-              | ((d_obj[:, 1] > 0).astype(jnp.int32) << 1)
-              | ((d_obj[:, 2] > 0).astype(jnp.int32) << 2))
+    # World-space direction octant: within one instance group the
+    # world->object map is a fixed affine, so world octants partition
+    # direction space exactly as well as object octants (the rotation
+    # permutes octant labels within the group, never merges them) —
+    # and the key needs no pre-sort transform math.
+    d_w = rays.direction
+    woct = ((d_w[:, 0] > 0).astype(jnp.int32)
+            | ((d_w[:, 1] > 0).astype(jnp.int32) << 1)
+            | ((d_w[:, 2] > 0).astype(jnp.int32) << 2))
     key = ((~live).astype(jnp.int32) << 30) | (jnp.maximum(inst, 0) << 3) \
-        | octant
-    perm = jnp.argsort(key, stable=True)
-    inv_perm = jnp.argsort(perm)
-    srt = jax.tree.map(lambda a: a[perm], item_rays)
-    act = live[perm]
+        | woct[ray_id]
+    s_key, s_inst, s_ray = jax.lax.sort(
+        (key, jnp.maximum(inst, 0), ray_id), num_keys=1)
+    act = (s_key >> 30) == 0  # live bit survives in the sorted key
+
+    mflat = ias.inv_transforms.reshape(-1)  # [I * 12]
+    mbase = s_inst * 12
+
+    def mcoef(r, c, base):  # flat gather of inverse-transform entry (r, c)
+        return mflat[base + (r * 4 + c)]
+
+    def obj_rays(rid, base):
+        ox, oy, oz = (rays.origin[:, i][rid] for i in range(3))
+        dx, dy, dz = (rays.direction[:, i][rid] for i in range(3))
+        oc, dc = [], []
+        for r in range(3):
+            m0, m1, m2, m3 = (mcoef(r, c, base) for c in range(4))
+            oc.append(m0 * ox + m1 * oy + m2 * oz + m3)
+            dc.append(m0 * dx + m1 * dy + m2 * dz)
+        return jnp.stack(oc, axis=1), jnp.stack(dc, axis=1)
+
+    o_obj, d_obj = obj_rays(s_ray, mbase)
+    srt = Rays(origin=o_obj, direction=d_obj,
+               tmin=rays.tmin[s_ray], tmax=rays.tmax[s_ray])
 
     pad = (-num_r * k_slots) % k
     if pad:
@@ -220,28 +227,36 @@ def trace_rays_instanced_split(
     (t_it, tri_it), stats = trace_rays_split_pallas(
         ias.views, ias.packed, srt, active=act, k=k, c_slots=c_slots,
         raw=True, kernel_v=kernel_v)
-    t_it = t_it[:num_r * k_slots][inv_perm]
-    tri_it = tri_it[:num_r * k_slots][inv_perm]
+    nitems = num_r * k_slots
+    t_it = t_it[:nitems]
+    tri_it = tri_it[:nitems]
+    act = act[:nitems]
 
-    # ---- per-ray winner over the K item slots ----
-    tt = jnp.where(live & (tri_it >= 0), t_it, _F32_MAX).reshape(
-        num_r, k_slots)
-    kbest = jnp.argmin(tt, axis=1).astype(jnp.int32)
-    tbest = jnp.min(tt, axis=1)
+    # ---- per-ray winners: two scatter-reduces keyed by sorted ray id ---
+    tt = jnp.where(act & (tri_it >= 0), t_it, _F32_MAX)
+    tbest = jnp.full((num_r,), _F32_MAX, jnp.float32).at[s_ray].min(
+        tt, mode="drop")
     hit = tbest < _F32_MAX
-    win = jnp.arange(num_r, dtype=jnp.int32) * k_slots + kbest
-    win_rays = Rays(origin=o_obj[win], direction=d_obj[win],
+    iota_it = jnp.arange(nitems, dtype=jnp.int32)
+    is_win = tt == tbest[s_ray]
+    win_pos = jnp.full((num_r,), nitems, jnp.int32).at[s_ray].min(
+        jnp.where(is_win & act & (tri_it >= 0), iota_it, nitems),
+        mode="drop")
+    wp = jnp.minimum(win_pos, nitems - 1)
+    # winner object-space rays recomputed at [R] scale (cheap gathers)
+    o_w, d_w_obj = obj_rays(s_ray[wp], s_inst[wp] * 12)
+    win_rays = Rays(origin=o_w, direction=d_w_obj,
                     tmin=rays.tmin, tmax=rays.tmax)
     rec = _reconstruct(
         ias.packed, win_rays,
         jnp.where(hit, tbest, rays.tmax),
-        jnp.where(hit, tri_it[win], -1))
-    inst_out = jnp.where(hit, inst[win], -1)
+        jnp.where(hit, tri_it[wp], -1))
+    inst_out = jnp.where(hit, s_inst[wp], -1)
 
-    bt = stats.box_tests[:num_r * k_slots][inv_perm].reshape(
-        num_r, k_slots).sum(axis=1)
-    trt = stats.tri_tests[:num_r * k_slots][inv_perm].reshape(
-        num_r, k_slots).sum(axis=1)
+    bt = jnp.zeros((num_r,), jnp.int32).at[s_ray].add(
+        stats.box_tests[:nitems], mode="drop")
+    trt = jnp.zeros((num_r,), jnp.int32).at[s_ray].add(
+        stats.tri_tests[:nitems], mode="drop")
     return (rec, inst_out, TraceStats(box_tests=bt, tri_tests=trt),
             jnp.max(nov))
 
