@@ -326,10 +326,21 @@ def config4():
         mo = max_overlap(ias_s, rays)
         kslots = max(4, -(-(mo + 2) // 4) * 4)
         log(f"config 4: max instance overlap/ray {mo} -> k_slots {kslots}")
-        _trace_s = jax.jit(lambda i, r: trace_rays_instanced_split(
+        # Warmup pass sizes the live-item compaction budget (mean
+        # overlap << k_slots, so compacting the item stream shrinks the
+        # sort/gather/trace machinery ~k_slots/mean-fold); the guard
+        # re-checks both capacities every warmup.
+        _trace_f = jax.jit(lambda i, r: trace_rays_instanced_split(
             i, r, k_slots=kslots))
+        _, _, _, guard0 = _trace_f(ias_s, rays)
+        check_candidate_capacity(guard0, kslots)
+        budget = -(-int(np.asarray(guard0)[1]) * 13 // (10 * 256)) * 256
+        log(f"config 4: {int(np.asarray(guard0)[1])} live items "
+            f"-> item_budget {budget}")
+        _trace_s = jax.jit(lambda i, r: trace_rays_instanced_split(
+            i, r, k_slots=kslots, item_budget=budget))
         _, _, _, nov = _trace_s(ias_s, rays)
-        check_candidate_capacity(nov, kslots)
+        check_candidate_capacity(nov, kslots, budget)
 
         def _t_of(f):
             out = f(); jax.block_until_ready(out)

@@ -250,3 +250,52 @@ def test_instanced_split_matches_flattened_brute():
     check = hit & same_t
     np.testing.assert_array_equal(
         np.asarray(inst_id)[check], ref_inst[check])
+
+
+def test_instanced_split_item_budget_matches_full():
+    """Live-item compaction (item_budget) must be hit-for-hit identical
+    to the full [R*K] expansion, and the guard must raise when the
+    budget is too small for the live-item total."""
+    import pytest as _pytest
+
+    from tpu_raytracing.bvh import bucket
+    from tpu_raytracing.trace import split_pallas as sp
+    from tpu_raytracing.trace.instanced_split import (
+        InstancedCandidateOverflow,
+        build_instanced_split,
+        check_candidate_capacity,
+        trace_rays_instanced_split,
+    )
+
+    rng = np.random.default_rng(11)
+    mesh = icosphere(subdivisions=1, radius=0.8)
+    transforms = _transforms(12, rng)
+    split, packed = jax.jit(
+        lambda t: bucket.emit_split(
+            bucket.split_front(t, enable_pairs=True),
+            leaf_width=sp.LEAFW))(jnp.asarray(mesh))
+    views = jax.jit(sp.prep_split_views)(split, packed)
+    m = jnp.asarray(mesh).reshape(-1, 3)
+    ias = jax.jit(build_instanced_split)(
+        views, packed, jnp.min(m, axis=0), jnp.max(m, axis=0),
+        jnp.asarray(transforms))
+    rays = _rays_grid(np.zeros(3), 6.0)
+
+    rec_f, inst_f, _, g_f = jax.jit(
+        lambda i, r: trace_rays_instanced_split(i, r, k_slots=8))(ias, rays)
+    total_live = int(np.asarray(g_f)[1])
+    budget = -(-max(total_live, 1) // 128) * 128 + 128
+    rec_b, inst_b, _, g_b = jax.jit(
+        lambda i, r: trace_rays_instanced_split(
+            i, r, k_slots=8, item_budget=budget))(ias, rays)
+    check_candidate_capacity(g_b, 8, budget)
+    np.testing.assert_array_equal(np.asarray(rec_f.hit),
+                                  np.asarray(rec_b.hit))
+    hit = np.asarray(rec_f.hit)
+    np.testing.assert_allclose(np.asarray(rec_f.t)[hit],
+                               np.asarray(rec_b.t)[hit], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(inst_f), np.asarray(inst_b))
+
+    with _pytest.raises(InstancedCandidateOverflow):
+        check_candidate_capacity(
+            np.array([4, total_live]), 8, item_budget=max(total_live - 8, 1))

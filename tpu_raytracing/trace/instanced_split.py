@@ -156,12 +156,23 @@ def max_overlap(ias: InstancedSplitAS, rays: Rays) -> int:
 def trace_rays_instanced_split(
     ias: InstancedSplitAS, rays: Rays, active=None, k_slots: int = 8,
     k: int = 256, c_slots: int = 8, kernel_v: int = None,
+    item_budget: int = None,
 ) -> Tuple[HitRecord, jnp.ndarray, TraceStats, jnp.ndarray]:
     """Closest-hit over instances sharing one BLAS.
 
     Returns (HitRecord, hit_instance [R] int32 (-1 = none), stats,
-    max_noverlap [] int32 — host-check it against k_slots via
+    guard [2] int32 = (max per-ray overlap, total live items) —
+    host-check against (k_slots, item_budget) via
     check_candidate_capacity).
+
+    item_budget (static): live-item compaction. With the default None
+    the item stream is the full [R * k_slots] expansion (always
+    correct). A budget compacts the live (ray, instance) items — mean
+    overlap is typically a small fraction of the worst-ray k_slots, so
+    the sort/gather/trace machinery shrinks ~k_slots/mean-fold — at
+    the cost of one [R, K]->[budget] scatter. Live items past the
+    budget are DROPPED (missing hits): size it from a warmup's
+    total-live guard value with margin, like k_slots.
     """
     from tpu_raytracing.trace.split_pallas import trace_rays_split_pallas
 
@@ -179,9 +190,34 @@ def trace_rays_instanced_split(
     # expansion that OOM'd the very first run), trace, and reduce
     # per-ray winners with scatter-mins keyed by the sorted ray ids —
     # the inverse permutation is never materialized.
-    inst = cand_i.reshape(-1)
-    live = inst >= 0
-    ray_id = jnp.repeat(jnp.arange(num_r, dtype=jnp.int32), k_slots)
+    nov_k = jnp.minimum(nov, k_slots)
+    total_live = jnp.sum(nov_k)
+    if item_budget is None:
+        inst = cand_i.reshape(-1)
+        live = inst >= 0
+        ray_id = jnp.repeat(jnp.arange(num_r, dtype=jnp.int32), k_slots)
+    else:
+        # Live-item compaction: peel emits a ray's live candidates in
+        # slots [0, nov_k) (lowest set bits first), so item (r, j) is
+        # live iff j < nov_k[r] and its compacted position is
+        # base[r] + j with base = exclusive cumsum of nov_k. One
+        # [R, K] -> [budget] scatter replaces 4x the downstream work.
+        base = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(nov_k, dtype=jnp.int32)[:-1]])
+        slot = jnp.broadcast_to(
+            jnp.arange(k_slots, dtype=jnp.int32)[None, :],
+            (num_r, k_slots))
+        ok_it = slot < nov_k[:, None]
+        dest = jnp.where(ok_it, base[:, None] + slot, item_budget)
+        inst = jnp.full((item_budget,), -1, jnp.int32).at[
+            dest.reshape(-1)].set(cand_i.reshape(-1), mode="drop")
+        rsrc = jnp.broadcast_to(
+            jnp.arange(num_r, dtype=jnp.int32)[:, None],
+            (num_r, k_slots))
+        ray_id = jnp.zeros((item_budget,), jnp.int32).at[
+            dest.reshape(-1)].set(rsrc.reshape(-1), mode="drop")
+        live = inst >= 0
     # World-space direction octant: within one instance group the
     # world->object map is a fixed affine, so world octants partition
     # direction space exactly as well as object octants (the rotation
@@ -217,7 +253,8 @@ def trace_rays_instanced_split(
     srt = Rays(origin=o_obj, direction=d_obj,
                tmin=rays.tmin[s_ray], tmax=rays.tmax[s_ray])
 
-    pad = (-num_r * k_slots) % k
+    nitems = num_r * k_slots if item_budget is None else item_budget
+    pad = (-nitems) % k
     if pad:
         ext = lambda a: jnp.concatenate(  # noqa: E731
             [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
@@ -227,7 +264,6 @@ def trace_rays_instanced_split(
     (t_it, tri_it), stats = trace_rays_split_pallas(
         ias.views, ias.packed, srt, active=act, k=k, c_slots=c_slots,
         raw=True, kernel_v=kernel_v)
-    nitems = num_r * k_slots
     t_it = t_it[:nitems]
     tri_it = tri_it[:nitems]
     act = act[:nitems]
@@ -258,14 +294,23 @@ def trace_rays_instanced_split(
     trt = jnp.zeros((num_r,), jnp.int32).at[s_ray].add(
         stats.tri_tests[:nitems], mode="drop")
     return (rec, inst_out, TraceStats(box_tests=bt, tri_tests=trt),
-            jnp.max(nov))
+            jnp.stack([jnp.max(nov), total_live]))
 
 
-def check_candidate_capacity(max_nov, k_slots: int) -> None:
+def check_candidate_capacity(guard, k_slots: int,
+                             item_budget: int = None) -> None:
     """Host-fetch guard: raise when any ray overlapped more instances
-    than the K item slots (hits would be silently dropped)."""
-    mo = int(max_nov)
+    than the K item slots, or the live-item total exceeded the
+    compaction budget (hits would be silently dropped either way)."""
+    import numpy as _np
+
+    g = _np.asarray(guard).reshape(-1)
+    mo = int(g[0])
     if mo > k_slots:
         raise InstancedCandidateOverflow(
             f"instance overlap {mo} exceeds k_slots {k_slots}; re-trace "
             f"with k_slots >= {mo}")
+    if item_budget is not None and len(g) > 1 and int(g[1]) > item_budget:
+        raise InstancedCandidateOverflow(
+            f"live items {int(g[1])} exceed item_budget {item_budget}; "
+            f"re-trace with a larger budget")
