@@ -250,8 +250,13 @@ def main():
     # flush measured 963 vs 789 ns/pop on the real tid-sorted bounce set).
     tracer = sp.make_split_pallas_tracer(None, None, res, res, c_slots=4,
                                          kernel_v=4)
+    # TPURT_BOUNCE_C: bounce-pass slot count A/B knob (16 = the r2-r4
+    # measured default on the bucket tree; the SAH tree's shallower
+    # traversals may prefer a different point).
+    bounce_c = int(os.environ.get("TPURT_BOUNCE_C", "16"))
     bounce_tracer = sp.make_split_pallas_tracer(
-        None, None, res, res, k=256, c_slots=16, sort_mode="presorted")
+        None, None, res, res, k=256, c_slots=bounce_c,
+        sort_mode="presorted")
     shadow_tracer = sp.make_split_pallas_tracer(None, None, res, res,
                                                 any_hit=True, c_slots=4,
                                                 kernel_v=4)
