@@ -121,22 +121,25 @@ def candidate_masks(wmin, wmax, rays: Rays, active=None, chunk: int = 128):
 
 def peel_candidates(words, k_slots: int):
     """K lowest set instance bits per ray -> cand_i [R, K] int32 (-1 =
-    none). [R, W]-wide word ops only."""
+    none). [R, W]-wide DENSE ops only: the first version's per-round
+    argmax + take_along_axis were row-serialized gathers (262k rows x
+    16 rounds at config-4 scale); the first-nonzero word and its value
+    now come from a min-reduce and a one-hot masked sum instead."""
     num_r, nw = words.shape
+    widx = jnp.arange(nw, dtype=jnp.int32)[None, :]
     cands = []
     for _ in range(k_slots):
         nz = words != 0
         any_nz = jnp.any(nz, axis=1)
-        wi = jnp.argmax(nz, axis=1).astype(jnp.int32)
-        wv = jnp.take_along_axis(words, wi[:, None].astype(jnp.int32),
-                                 axis=1)[:, 0]
+        wi = jnp.min(jnp.where(nz, widx, nw), axis=1)  # first nonzero word
+        onehot = widx == wi[:, None]                   # [R, W]
+        wv = jnp.sum(jnp.where(onehot, words, 0), axis=1, dtype=jnp.uint32)
         bit = wv & (~wv + jnp.uint32(1))  # lowest set bit
         bidx = jax.lax.population_count(bit - jnp.uint32(1)).astype(jnp.int32)
         idx = wi * 32 + bidx
         cands.append(jnp.where(any_nz, idx, -1))
         cleared = wv & ~bit
-        words = jnp.where(
-            jnp.arange(nw)[None, :] == wi[:, None], cleared[:, None], words)
+        words = jnp.where(onehot, cleared[:, None], words)
     return jnp.stack(cands, axis=1)  # [R, K]
 
 
