@@ -97,3 +97,8 @@ def k_wrap(r, a):
     return j_kern(views_b, packed_s, r, a)
 (t_it, tri_it), _ = timeit("split kernel (RK items)", k_wrap, srt, act, vary=0)
 log("done")
+
+# ---- chunk sweep for candidate_masks (run as main appendix) ----
+for ch in (256, 512, 1000):
+    j = jax.jit(lambda wm, wx, r, c=ch: isp.candidate_masks(wm, wx, r, chunk=c))
+    timeit(f"candidate_masks chunk={ch}", j, wmin, wmax, rays, vary=2)

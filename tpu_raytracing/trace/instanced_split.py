@@ -79,9 +79,13 @@ def _sanitize_dir(d):
                      jnp.where(d < 0, -1e-30, 1e-30), d)
 
 
-def candidate_masks(wmin, wmax, rays: Rays, active=None, chunk: int = 128):
+def candidate_masks(wmin, wmax, rays: Rays, active=None, chunk: int = 256):
     """Per-ray instance hit bitmasks [R, ceil(I/32)] uint32 + overlap
-    counts [R] — one fused slab sweep, nothing [R, I]-sized stored."""
+    counts [R] — one fused slab sweep, nothing [R, I]-sized stored.
+
+    chunk=256 measured 26 ms vs 179 ms at 128 on the config-4 shape
+    (512^2 x 1k instances) — the smaller chunks were dispatch/layout
+    bound, not flop bound (benchmarks/probe_instanced.py sweep)."""
     num_i = wmin.shape[0]
     nw = -(-num_i // 32)
     d = _sanitize_dir(rays.direction)
